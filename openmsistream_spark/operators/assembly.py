@@ -1,0 +1,140 @@
+"""A1-A3 — batch file assembly: chunks → files, with dedup, generation
+policy, completion detection and hash verification.
+
+Reference semantics being re-expressed (not ported):
+  - dedup by write offset within one file generation
+    (download_data_file.py:98-107)
+  - generation policy: when two generations of a file are in flight,
+    adopt the one with strictly more chunks, or equal chunks and
+    strictly newer mtime (download_data_file.py:160-272)
+  - completion when distinct offsets == n_total_chunks; then verify
+    sha512(assembled bytes) == file_hash (download_data_file.py:124-156)
+
+Spark-first shape: groupBy(file key) with map-side partial aggregation;
+the byte concatenation uses sort_array(collect_list(struct)) so chunk
+arrival order never matters. The streaming twin lives in
+``streaming/assembly.py`` and shares these semantics.
+
+Scale note: collect_list holds one file's chunks in one aggregation
+buffer — correct sizing is "a file fits in an executor", the same
+constraint the reference's in-memory mode has (data_file_stream_handler
+mode="memory"). For larger-than-memory files use the streaming path with
+disk spill, mirroring the reference's mode="disk".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import sha512_digest
+from ..schemas import (
+    CODE_HASH_MISMATCH,
+    CODE_IN_PROGRESS,
+    CODE_SUCCESSFULLY_RECONSTRUCTED,
+)
+
+FILE_KEY = ["rel_path"]
+
+
+def dedup_chunks(chunks: DataFrame, key: list[str] | None = None) -> DataFrame:
+    """F4 — drop chunks whose write offset was already recorded for this
+    file generation. Deterministic: exact-duplicate rows collapse via
+    distinct on (key, generation, offset) keeping the first payload —
+    payloads at the same (generation, offset) are identical by
+    construction (chunk_hash is re-verified upstream)."""
+    key = key or FILE_KEY
+    return chunks.dropDuplicates([*key, "file_hash", "chunk_offset_write"])
+
+
+def pick_latest_generation(chunks: DataFrame, key: list[str] | None = None) -> DataFrame:
+    """A2 — keep only the winning generation per file.
+
+    Ordering: greater n_total_chunks wins; ties broken by newer
+    file_mtime; final tiebreak on file_hash for determinism. Implemented
+    as an argmax via max(struct(...)) — one map-side-combinable
+    aggregation plus a broadcastable join back, no window shuffle over
+    the (huge) chunk table.
+    """
+    key = key or FILE_KEY
+    gen = F.struct(
+        F.col("n_total_chunks"),
+        F.coalesce(F.col("file_mtime"), F.lit(0.0)).alias("file_mtime"),
+        F.sha2(F.col("file_hash"), 256).alias("gen_tiebreak"),
+    )
+    winners = (
+        chunks.groupBy(*key)
+        .agg(F.max(gen).alias("_win"))
+        .select(
+            *key,
+            F.col("_win.n_total_chunks").alias("n_total_chunks"),
+            F.col("_win.gen_tiebreak").alias("_gen_tiebreak"),
+        )
+    )
+    tagged = chunks.withColumn("_gen_tiebreak", F.sha2(F.col("file_hash"), 256))
+    return (
+        tagged.join(
+            F.broadcast(winners),
+            on=[*key, "n_total_chunks", "_gen_tiebreak"],
+            how="left_semi",
+        )
+    )
+
+
+def assemble_files(
+    chunks: DataFrame,
+    key: list[str] | None = None,
+    apply_generation_policy: bool = True,
+    emit_incomplete: bool = True,
+) -> DataFrame:
+    """A1+A3 — reassemble files from chunk rows.
+
+    Returns one row per file: key columns, n_total_chunks,
+    n_chunks_received, file_bytes (null unless complete), status code in
+    {IN_PROGRESS, SUCCESSFULLY_RECONSTRUCTED, HASH_MISMATCH}.
+    """
+    key = key or FILE_KEY
+    df = chunks
+    if apply_generation_policy:
+        df = pick_latest_generation(df, key)
+    df = dedup_chunks(df, key)
+
+    assembled = (
+        df.groupBy(*key)
+        .agg(
+            F.first("n_total_chunks").alias("n_total_chunks"),
+            F.first("file_hash").alias("file_hash"),
+            F.max("file_mtime").alias("file_mtime"),
+            F.count("*").alias("n_chunks_received"),
+            F.array_sort(
+                F.collect_list(F.struct("chunk_offset_write", "data"))
+            ).alias("_parts"),
+        )
+        .withColumn(
+            "file_bytes",
+            F.when(
+                F.col("n_chunks_received") == F.col("n_total_chunks"),
+                F.aggregate(
+                    "_parts",
+                    F.lit(b""),
+                    lambda acc, part: F.concat(acc, part.getField("data")),
+                ),
+            ),
+        )
+        .withColumn(
+            "status",
+            F.when(
+                F.col("n_chunks_received") < F.col("n_total_chunks"),
+                F.lit(CODE_IN_PROGRESS),
+            )
+            .when(
+                sha512_digest(F.col("file_bytes")) == F.col("file_hash"),
+                F.lit(CODE_SUCCESSFULLY_RECONSTRUCTED),
+            )
+            .otherwise(F.lit(CODE_HASH_MISMATCH)),
+        )
+        .drop("_parts")
+    )
+    if not emit_incomplete:
+        assembled = assembled.filter(F.col("status") != CODE_IN_PROGRESS)
+    return assembled
