@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+  - exact dedup is a hash-groupBy (map-side combinable, one shuffle);
+  - near-dup never does all-pairs: MinHash banding buckets candidates
+    first, so the pairwise verify join touches only colliding docs;
+  - every hash is derived from md5 so the identical value is computable
+    in any engine (portable to the DuckDB oracle — engine-native
+    ``hash()`` functions differ and would not validate).
+
+Content-addressed dedup generalizes the reference's chunk-offset dedup
+and generation policy (reference: download_data_file.py:98-107,160-272):
+same idea — identity by content hash — lifted from file chunks to
+documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def _normalized(text_col: str = "text") -> F.Column:
+    return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one representative (min id) per
+    distinct normalized text, plus the duplicate count."""
+    return (
+        docs.withColumn("content_hash", F.md5(_normalized(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count("*").alias("n_duplicates"),
+        )
+    )
+
+
+def _tokens(text_col: str = "text") -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle) rows."""
+    parts = ", ".join(f"element_at(_toks, CAST(i+{j} AS INT))" for j in range(n))
+    shingle_arr = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks)-{n - 1}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.withColumn("_toks", _tokens(text_col))
+        .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """All-pairs n-gram Jaccard over a (id, shingle) table.
+
+    Pairs are generated only through shared shingles (the join key), so
+    disjoint documents never meet. At scale, cap hot shingles via a
+    document-frequency filter before calling, or use MinHash-LSH below.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature rows (id, h, minhash): the h-th hash function is
+    md5 seeded by h; the signature element is the minimum over the doc's
+    shingles. One map-side-combinable aggregation."""
+    hseq = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("h")
+    return (
+        shingles.select(id_col, "shingle", hseq)
+        .withColumn(
+            "hv", F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("shingle")))
+        )
+        .groupBy(id_col, "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: group signature rows into bands of ``rows_per_band``
+    hashes; docs sharing any (band, band_signature) become candidates.
+    The self-join runs on band buckets, never on all pairs."""
+    bands = (
+        signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("h", "minhash"))),
+                        lambda s: s.getField("minhash"),
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pipeline: shingle → minhash → band → candidate pairs →
+    exact Jaccard verify on candidates only."""
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
+    cand = minhash_lsh_candidates(sigs, rows_per_band=rows_per_band, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Frequency-weighted SimHash fingerprint (``bits``-bit, default 32).
+
+    Bit j of each token's hash is extracted from the token's md5 hex
+    digits (portable across engines); per-document bit j is the sign of
+    the frequency-weighted sum of (2*bit-1); the fingerprint packs the
+    winning bits. Two shuffles total: (doc, token) count, then the
+    per-(doc, bit) vote — both map-side combinable.
+    """
+    tok_counts = (
+        docs.select(id_col, F.explode(_tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("th", F.md5("token"))
+    )
+    j = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("j")
+    votes = (
+        tok_counts.select(id_col, "cnt", "th", j)
+        # hex digit holding bit j, then the bit within that digit
+        .withColumn("hex_digit", F.substring(F.col("th"), (F.col("j") / 4).cast("int") + 1, 1))
+        .withColumn("dv", F.instr(F.lit(HEX), F.col("hex_digit")) - 1)
+        .withColumn(
+            "bit",
+            F.floor(F.col("dv") / F.pow(F.lit(2.0), (F.col("j") % 4).cast("double"))).cast("long")
+            % 2,
+        )
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("cnt") * (2 * F.col("bit") - 1)).alias("vote"))
+    )
+    return (
+        votes.withColumn("win", F.when(F.col("vote") > 0, 1).otherwise(0))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("win") * F.pow(F.lit(2.0), F.col("j").cast("double")).cast("long")
+            ).alias("simhash")
+        )
+    )

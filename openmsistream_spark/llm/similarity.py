@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline: the query set is
+broadcast, so the scan of the (huge) corpus side never shuffles — each
+partition scores its rows against the in-memory queries and a global
+top-k per query is taken (TakeOrderedAndProject-style via window over
+the small scored-pairs set).
+
+The LSH variant buckets vectors by projection signs so each query only
+scores its bucket — the scale path when the corpus is too large for
+brute force. Both are pure column expressions (zip_with/aggregate), no
+Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: F.Column) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    vec = _as_double(F.col(vec_col))
+    return df.withColumn("_vec", vec).withColumn("_norm", F.sqrt(_dot(F.col("_vec"), F.col("_vec"))))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query id, the k nearest other vectors.
+
+    Output: query_id, neighbor_id, cosine (rounded, which also makes the
+    ranking engine-portable), rank.
+    """
+    corpus = _with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("c_vec"), F.col("_norm").alias("c_norm")
+    )
+    queries = (
+        _with_norm(embeddings.filter(F.col(id_col).isin(query_ids)), vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col("_vec").alias("q_vec"), F.col("_norm").alias("q_norm"))
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 4),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_bucket(vec_col: F.Column, n_bits: int = 4) -> F.Column:
+    """Projection-sign bucket id: bit i = sign(vec[i]).
+
+    Axis-aligned sign projections — deterministic and engine-portable.
+    (A random-hyperplane family plugs in by replacing the projection
+    with a dot product against broadcast hyperplanes.)
+    """
+    bits = [
+        (F.element_at(vec_col, i + 1) > 0).cast("int") * (2**i) for i in range(n_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: score only within the query's LSH bucket.
+
+    At scale the corpus is pre-partitioned by bucket, so a query touches
+    1/2^n_bits of the data; recall trades off against n_bits.
+    """
+    corpus = (
+        _with_norm(embeddings, vec_col)
+        .withColumn("bucket", lsh_bucket(F.col("_vec"), n_bits))
+        .select(F.col(id_col).alias("neighbor_id"), "bucket", F.col("_vec").alias("c_vec"), F.col("_norm").alias("c_norm"))
+    )
+    queries = (
+        _with_norm(embeddings.filter(F.col(id_col).isin(query_ids)), vec_col)
+        .withColumn("bucket", lsh_bucket(F.col("_vec"), n_bits))
+        .select(F.col(id_col).alias("query_id"), "bucket", F.col("_vec").alias("q_vec"), F.col("_norm").alias("q_norm"))
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 4),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

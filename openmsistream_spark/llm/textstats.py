@@ -1,0 +1,75 @@
+"""Text analysis operators: token stats, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All pure column expressions (whole-stage codegen; no Python). Each has
+an exact SQL twin for the DuckDB oracle — note DuckDB's regexp_replace
+needs the 'g' flag to match Spark's replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _tokens(text_col: str = "text") -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats: char/token counts, distinct-token ratio, mean
+    token length, non-alphanumeric density — the standard quality-filter
+    features of a pretraining pipeline."""
+    toks = _tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            4,
+        ).alias("mean_token_len"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("distinct_ratio"),
+        F.length(F.regexp_replace(F.lower(text_col), r"[a-z0-9\s]", "")).alias("n_punct"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language heuristic: the fraction of tokens that are
+    common English function words. (Real pipelines swap in per-language
+    stopword tables or an n-gram model; the plan shape is identical.)"""
+    toks = _tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ratio = F.round(n_stop / F.size(toks), 4)
+    return docs.select(
+        F.col(id_col),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("predicted_lang"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", kgram: int = 8
+) -> DataFrame:
+    """Content fingerprints: md5 of the normalized text plus a
+    winnowing-style k-gram fingerprint (min over character k-gram
+    hashes) that survives local edits."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    grams = F.expr(
+        f"CASE WHEN length(_norm) >= {kgram} THEN "
+        f"transform(sequence(1, length(_norm)-{kgram - 1}), i -> md5(substring(_norm, CAST(i AS INT), {kgram}))) "
+        f"ELSE array(md5(_norm)) END"
+    )
+    return (
+        docs.withColumn("_norm", norm)
+        .select(
+            F.col(id_col),
+            F.md5(F.col("_norm")).alias("content_fp"),
+            F.array_min(grams).alias("kgram_fp"),
+        )
+    )

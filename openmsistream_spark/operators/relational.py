@@ -1,0 +1,119 @@
+"""The relational operator surface (SURVEY §2.3/§2.5/§2.7).
+
+Thin, named wrappers over stock DataFrame ops — each is the declared
+Spark mapping of a reference operator, kept declarative so Catalyst can
+push filters into the scan, prune columns, and pick broadcast joins.
+These are the operators the DuckDB oracle validates (t2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def regex_filter(df: DataFrame, col: str, pattern: str, negate: bool = False) -> DataFrame:
+    """F1/F2 — key/filepath regex filter
+    (reference: openmsistream_consumer.py:363-410)."""
+    pred = F.col(col).rlike(pattern)
+    return df.filter(~pred if negate else pred)
+
+
+def offset_gate(df: DataFrame, offset_col: str, starting_offset: int) -> DataFrame:
+    """F3 — consumed-before gate: keep records at/after the group's
+    starting offset (reference: openmsistream_consumer.py:412-449)."""
+    return df.filter(F.col(offset_col) >= F.lit(starting_offset))
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: Sequence[str], order_col: str, agg_cols: Sequence[str] = ()
+) -> DataFrame:
+    """F4 — deterministic dedup: one row per key, keeping the smallest
+    ``order_col`` (the reference keeps the first-arriving chunk per
+    offset, download_data_file.py:98-107). Map-side combinable:
+    min(struct(order, payload...)) — no window shuffle."""
+    payload = F.struct(F.col(order_col), *[F.col(c) for c in agg_cols])
+    out = df.groupBy(*keys).agg(F.min(payload).alias("_first"))
+    return out.select(
+        *keys,
+        F.col(f"_first.{order_col}").alias(order_col),
+        *[F.col(f"_first.{c}").alias(c) for c in agg_cols],
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, on, broadcast_right: bool = True) -> DataFrame:
+    """Rerun filter: stream ∩ registry (reference:
+    stream_handler_registries.py:84-97). Registry side is small → broadcast."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on, broadcast_right: bool = True) -> DataFrame:
+    """Skip-already-completed on startup (reference:
+    data_file_upload_directory.py:550-572)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how="left_anti")
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """A7 — top-K (50-most-recent ring buffer, data_file_chunk_handlers.py:24).
+    Spark plans orderBy+limit as TakeOrderedAndProject — per-partition
+    heap + driver merge of K rows, never a full sort at scale."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def latest_per_key(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]
+) -> DataFrame:
+    """A2 — argmax per key (generation adoption by (n_total_chunks, mtime),
+    download_data_file.py:160-272). Window row_number==1; ``order_by``
+    must be a total order for determinism."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str,
+    interval: str = "1 hour",
+    extra_keys: Sequence[str] = (),
+    byte_col: str | None = None,
+) -> DataFrame:
+    """A8 — heartbeat counters: tumbling-window message/byte counts
+    (reference: controlled_message_reproducer.py:80-104). Uses
+    date_trunc for engine-portable window starts."""
+    unit = interval.split()[-1].rstrip("s")
+    g = df.groupBy(
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"), *extra_keys
+    )
+    aggs = [F.count("*").alias("n_messages")]
+    if byte_col:
+        aggs.append(F.sum(byte_col).alias("n_bytes"))
+    return g.agg(*aggs)
+
+
+def status_counts(df: DataFrame, status_col: str = "status") -> DataFrame:
+    """A6/R9 — files-by-state summary
+    (reference: data_file_upload_directory.py:715-755)."""
+    return df.groupBy(status_col).agg(F.count("*").alias("n"))
+
+
+def running_total(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    value: Column,
+    alias: str = "running_total",
+) -> DataFrame:
+    """Cumulative aggregation per key in a defined total order (the
+    reference's per-file byte accumulation generalized)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(alias, F.sum(value).over(w))
