@@ -97,15 +97,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature rows (id, h, minhash): the h-th hash function is
     md5 seeded by h; the signature element is the minimum over the doc's
-    shingles. One map-side-combinable aggregation."""
-    hseq = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("h")
-    return (
-        shingles.select(id_col, "shingle", hseq)
-        .withColumn(
-            "hv", F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("shingle")))
-        )
-        .groupBy(id_col, "h")
-        .agg(F.min("hv").alias("minhash"))
+    shingles.
+
+    All ``num_hashes`` minima are computed as parallel aggregates in ONE
+    map-side-combinable groupBy (no row explosion before the shuffle —
+    at 100 TB an 8× pre-shuffle blowup is the difference between one
+    pass and eight), then unpivoted with stack()."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"_mh{h}")
+        for h in range(num_hashes)
+    ]
+    wide = shingles.groupBy(id_col).agg(*aggs)
+    pairs = ", ".join(f"CAST({h} AS INT), _mh{h}" for h in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {pairs}) AS (h, minhash)"
     )
 
 
@@ -195,26 +200,19 @@ def simhash(
         .agg(F.count("*").alias("cnt"))
         .withColumn("th", F.md5("token"))
     )
-    j = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("j")
-    votes = (
-        tok_counts.select(id_col, "cnt", "th", j)
-        # hex digit holding bit j, then the bit within that digit
-        .withColumn("hex_digit", F.substring(F.col("th"), (F.col("j") / 4).cast("int") + 1, 1))
-        .withColumn("dv", F.instr(F.lit(HEX), F.col("hex_digit")) - 1)
-        .withColumn(
-            "bit",
-            F.floor(F.col("dv") / F.pow(F.lit(2.0), (F.col("j") % 4).cast("double"))).cast("long")
-            % 2,
-        )
-        .groupBy(id_col, "j")
-        .agg(F.sum(F.col("cnt") * (2 * F.col("bit") - 1)).alias("vote"))
-    )
-    return (
-        votes.withColumn("win", F.when(F.col("vote") > 0, 1).otherwise(0))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.col("win") * F.pow(F.lit(2.0), F.col("j").cast("double")).cast("long")
-            ).alias("simhash")
-        )
-    )
+
+    def vote(j: int) -> F.Column:
+        # hex digit holding bit j, then the bit within that digit —
+        # j is a build-time constant, so positions/shifts fold into codegen
+        dv = F.instr(F.lit(HEX), F.substring(F.col("th"), j // 4 + 1, 1)) - 1
+        bit = F.shiftright(dv, j % 4).bitwiseAND(F.lit(1)).cast("long")
+        return F.sum(F.col("cnt") * (2 * bit - 1)).alias(f"_v{j}")
+
+    # all `bits` votes as parallel aggregates in one map-side-combinable
+    # groupBy — no bits× row explosion before the shuffle
+    votes = tok_counts.groupBy(id_col).agg(*[vote(j) for j in range(bits)])
+    packed = None
+    for j in range(bits):
+        term = F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return votes.select(id_col, packed.alias("simhash"))
