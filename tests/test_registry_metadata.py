@@ -1,0 +1,139 @@
+"""Registry (R1-R9), metadata extraction (P7), multimodal plumbing tests."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def test_parquet_registry_upsert_lookup_delete(spark, tmp):
+    from openmsistream_spark.operators.registry import ParquetRegistry
+
+    reg = ParquetRegistry(spark, f"{tmp}/reg", ["rel_path"])
+    reg.upsert(spark.createDataFrame(
+        [("a", "in_progress", 3), ("b", "completed", 2)],
+        "rel_path string, status string, n_chunks long",
+    ))
+    assert reg.lookup(rel_path="a").collect()[0].status == "in_progress"
+
+    reg.upsert(spark.createDataFrame(
+        [("a", "completed", 3), ("c", "in_progress", 9)],
+        "rel_path string, status string, n_chunks long",
+    ))
+    rows = {r.rel_path: r.status for r in reg.read().collect()}
+    assert rows == {"a": "completed", "b": "completed", "c": "in_progress"}
+
+    reg.delete(spark.createDataFrame([("b",)], "rel_path string"))
+    assert sorted(r.rel_path for r in reg.read().collect()) == ["a", "c"]
+
+
+def test_registry_compaction(spark, tmp):
+    from openmsistream_spark.operators.registry import ParquetRegistry
+
+    shards = []
+    for i, rows in enumerate([[("a", 1), ("b", 2)], [("b", 2), ("c", 3)]]):
+        p = f"{tmp}/shard{i}"
+        spark.createDataFrame(rows, "rel_path string, n_chunks long").write.parquet(p)
+        shards.append(p)
+    reg = ParquetRegistry(spark, f"{tmp}/consolidated", ["rel_path"])
+    reg.compact(shards)
+    assert reg.read().count() == 3
+
+
+def test_chunk_ledger_and_resume(spark):
+    from openmsistream_spark.operators.registry import (
+        chunk_ledger,
+        completed_filepaths,
+        incomplete_files,
+        resume_plan,
+        rerun_key_filter,
+    )
+
+    chunks = spark.createDataFrame(
+        [("f1", i, 3) for i in range(1, 4)] + [("f2", i, 2) for i in range(1, 3)],
+        "rel_path string, chunk_i long, n_total_chunks long",
+    )
+    delivered = spark.createDataFrame(
+        [("f1", 1), ("f1", 2), ("f1", 3), ("f2", 1)],
+        "rel_path string, chunk_i long",
+    )
+    ledger = chunk_ledger(chunks, delivered)
+    rows = {r.rel_path: r for r in ledger.collect()}
+    assert rows["f1"].status == "completed"
+    assert rows["f2"].status == "in_progress"
+    assert list(rows["f2"].chunks_to_send) == [2]
+
+    assert [r.rel_path for r in incomplete_files(ledger).collect()] == ["f2"]
+    assert [r.rel_path for r in completed_filepaths(ledger).collect()] == ["f1"]
+
+    discovered = spark.createDataFrame(
+        [("f1",), ("f2",), ("f3",)], "rel_path string"
+    )
+    skip, resume = resume_plan(discovered, ledger)
+    assert [r.rel_path for r in skip.collect()] == ["f1"]
+    assert [r.rel_path for r in resume.collect()] == ["f2"]
+
+    stream = spark.createDataFrame(
+        [("f1", 10), ("f2", 11), ("f2", 12)], "rel_path string, offset long"
+    )
+    kept = rerun_key_filter(stream, ledger)
+    assert kept.count() == 2  # only in-progress f2 records pass
+
+
+def test_metadata_extraction(spark):
+    from openmsistream_spark.operators.metadata import extract_metadata
+
+    content = (
+        b"preamble junk\n"
+        b"[Measurement conditions]\n"
+        b"K Alpha1,1.54060\n"
+        b"Scan axis,Gonio,extra\n"
+        b"[Scan points]\n"
+        b"Angle,Intensity\n"
+        b"12.01,103.4\n"
+    )
+    df = spark.createDataFrame(
+        [("x/f.csv", bytearray(content))], "rel_path string, file_bytes binary"
+    )
+    out = extract_metadata(df).collect()[0]
+    assert out.metadata["Measurement conditions.K Alpha1"] == "1.54060"
+    assert out.metadata["Measurement conditions.Scan axis"] == "Gonio;extra"
+    assert '"Measurement conditions.K Alpha1":"1.54060"' in out.metadata_json
+
+
+def test_multimodal_plumbing(spark):
+    from openmsistream_spark.llm.multimodal import decode_features, sample_frames
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"imgbytes"), {"fmt": "png"}),
+            (2, "video", bytearray(b"vidbytes" * 100), {"fmt": "mp4"}),
+        ],
+        "media_id long, media_type string, content binary, meta map<string,string>",
+    )
+    feats = {r.media_id: r for r in decode_features(media).collect()}
+    assert feats[1].n_frames == 1
+    assert len(feats[1].features) == 8
+    assert feats[2].n_bytes == 800
+    # deterministic: same content → same features
+    again = {r.media_id: r for r in decode_features(media).collect()}
+    assert again[1].features == feats[1].features
+
+    frames = sample_frames(media, every_nth=5).collect()
+    assert all(r.frame_i % 5 == 0 for r in frames)
+
+
+def test_multimodal_strict_stub(spark):
+    from openmsistream_spark.llm.multimodal import decode_features
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"), None)],
+        "media_id long, media_type string, content binary, meta map<string,string>",
+    )
+    with pytest.raises(NotImplementedError, match="stub by design"):
+        decode_features(media, strict=True)
