@@ -988,3 +988,9 @@ def language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(load(spark, sf_dir, "documents"))
+
+
+# Extension modules register additional queries into QUERIES via the
+# same @query decorator (imported at the bottom so the decorator and
+# helpers above are defined first).
+from . import queries_tpch  # noqa: E402,F401  isort: skip
