@@ -994,3 +994,4 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same @query decorator (imported at the bottom so the decorator and
 # helpers above are defined first).
 from . import queries_tpch  # noqa: E402,F401  isort: skip
+from . import queries_ops  # noqa: E402,F401  isort: skip
