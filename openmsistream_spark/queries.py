@@ -995,3 +995,4 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # helpers above are defined first).
 from . import queries_tpch  # noqa: E402,F401  isort: skip
 from . import queries_ops  # noqa: E402,F401  isort: skip
+from . import queries_llm  # noqa: E402,F401  isort: skip
