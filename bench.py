@@ -26,6 +26,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
     "hourly_event_counts",
     "latest_event_per_user",
     "running_balance_per_customer",
@@ -35,7 +39,11 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_docs",
     "cosine_topk_bruteforce",
+    "embedding_neardup_pairs",
+    "ann_ivf_topk",
     "text_stats_docs",
+    "token_count_bpe",
+    "multimodal_decode_features",
 ]
 
 
