@@ -21,5 +21,33 @@ Layout:
 
 from .session import get_spark, stop_spark
 
-__all__ = ["get_spark", "stop_spark"]
+
+def __getattr__(name):
+    # Lazy top-level API: the pipeline entry points mirror the
+    # reference's console scripts without importing pyspark.sql machinery
+    # at package-import time.
+    _pipeline_api = {
+        "upload_directory", "download_directory", "reproduce_dlq",
+        "StreamProcessor", "StreamReproducer", "MetadataJSONReproducer",
+        "write_topic", "read_topic",
+    }
+    if name in _pipeline_api:
+        from . import pipelines
+
+        return getattr(pipelines, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "get_spark",
+    "stop_spark",
+    "upload_directory",
+    "download_directory",
+    "reproduce_dlq",
+    "StreamProcessor",
+    "StreamReproducer",
+    "MetadataJSONReproducer",
+    "write_topic",
+    "read_topic",
+]
 __version__ = "0.1.0"

@@ -192,6 +192,15 @@ def download_directory(
     )
 
 
+def reproduce_dlq(spark: SparkSession, dlq_dir: str, topic_uri: str) -> int:
+    """K8 — re-produce dead-lettered raw (key, value) messages to a topic
+    (reference: tools/undecryptable_messages/reproduce_undecryptable_messages.py:1-82).
+    Returns the number of messages re-produced."""
+    dlq = spark.read.parquet(dlq_dir).select("key", "value")
+    write_topic(dlq, topic_uri)
+    return dlq.count()
+
+
 # --------------------------------------------------------------------------
 # stream processor / reproducer harnesses  (A4 / A5)
 # --------------------------------------------------------------------------
