@@ -102,6 +102,36 @@ def status_counts(df: DataFrame, status_col: str = "status") -> DataFrame:
     return df.groupBy(status_col).agg(F.count("*").alias("n"))
 
 
+def salted_counts_sums(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column | None = None,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-stage salted aggregation for low-cardinality / skewed keys.
+
+    A plain ``groupBy(key)`` over a column with K distinct values puts
+    the whole 100 TB table on K reducers. Stage 1 groups by
+    (key, random-ish salt) — full cluster parallelism; stage 2 merges the
+    ≤ K×n_salts partial rows. The salt is derived from input columns
+    (crc32 of the row's key+value text), not rand(), so the result is
+    deterministic and retry-safe. Results are identical to the unsalted
+    aggregation — salting is pure execution strategy.
+
+    (Spark's partial aggregation already map-side combines; explicit
+    salting additionally bounds the *reduce*-side key width, which
+    partial agg alone cannot.)
+    """
+    salt = F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])) % n_salts
+    aggs1 = [F.count("*").alias("_n")]
+    aggs2 = [F.sum("_n").cast("long").alias("n")]
+    if value is not None:
+        aggs1.append(F.sum(value).alias("_s"))
+        aggs2.append(F.sum("_s").alias("total"))
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*aggs1)
+    return partial.groupBy(*keys).agg(*aggs2)
+
+
 def running_total(
     df: DataFrame,
     keys: Sequence[str],

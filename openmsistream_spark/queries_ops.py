@@ -284,6 +284,28 @@ def r8_resume_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_skew_aggregate",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
+    FROM {EV} GROUP BY event_type
+    """,
+    doc="skewed-key aggregate via two-stage salting (result ≡ plain groupBy)",
+    survey="§4 skew handling; A6 at scale (5 distinct keys over the whole table)",
+)
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import salted_counts_sums
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_counts_sums(
+        ev, ["event_type"], value=F.col("value").cast("decimal(28,6)"), n_salts=32
+    )
+    return out.select(
+        "event_type", "n", F.round("total", 2).cast("double").alias("total")
+    )
+
+
+@query(
     "k6_dead_letter_split",
     """
     SELECT CASE WHEN json_extract_string(props, '$.k') IS NULL OR event_type = 'error'
