@@ -1,0 +1,107 @@
+"""Physical-plan regression tests: the scale properties the engine
+depends on must survive refactors — filters reach the parquet scan,
+column pruning happens, dimension sides broadcast, top-K never global-
+sorts, aggregates partial-combine before the shuffle."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmsistream_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = m.group(1)
+    assert "l_orderkey" not in read_cols  # unused columns pruned from the scan
+    assert "l_partkey" not in read_cols
+    # partial agg before the exchange (map-side combine)
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_q5_dimensions_broadcast(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,ASIA)" in plan  # dim filter pushed into its scan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "top50_recent_events")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunker_stays_jvm_side(spark):
+    # P1 must be pure codegen: no Python/Arrow eval nodes in the plan
+    plan = plan_of(spark, "p1_chunk_documents")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "codegen id" in plan  # whole-stage codegen spans the pipeline
+
+
+def test_semi_join_for_exists(spark):
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_salted_agg_two_stages(spark):
+    plan = plan_of(spark, "salted_skew_aggregate")
+    # two aggregation layers: (key, salt) then (key)
+    assert plan.count("HashAggregate") >= 3  # partial+final per stage
+
+
+def test_upload_select_bytes(spark, tmp_path):
+    """P2 through the pipeline: only the declared byte ranges travel."""
+    from openmsistream_spark.pipelines import download_directory, upload_directory
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    payload = bytes(range(256)) * 4
+    (watch / "f.bin").write_bytes(payload)
+    topic = str(tmp_path / "topic")
+    upload_directory(
+        spark, str(watch), topic, chunk_size=64, select_bytes=[(0, 100), (200, 300)]
+    )
+    out = str(tmp_path / "out")
+    statuses = download_directory(spark, topic, out).collect()
+    assert statuses[0].status == "SUCCESSFULLY_RECONSTRUCTED"
+    with open(f"{out}/f.bin", "rb") as fh:
+        assert fh.read() == payload[0:100] + payload[200:300]
+
+
+def test_heartbeat_stream_windowed_agg(spark, tmp_path):
+    """A8/K7: the windowed heartbeat agg emits JSON counter messages."""
+    import json
+
+    from openmsistream_spark.streaming.sinks import heartbeat_stream
+
+    src = str(tmp_path / "hb_src")
+    spark.createDataFrame(
+        [(f"k{i}".encode(), b"x" * 10) for i in range(20)], "key binary, data binary"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("key binary, data binary").parquet(src)
+    q = (
+        heartbeat_stream(stream, interval="1 minute")
+        .writeStream.outputMode("complete")  # emit open windows every trigger
+        .format("memory")
+        .queryName("hb_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM hb_out").collect()
+    assert rows, "heartbeat window emitted nothing"
+    beat = json.loads(rows[0].value)
+    assert beat["n_messages_read"] == 20
+    assert beat["n_bytes_read"] == 200
