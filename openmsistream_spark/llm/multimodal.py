@@ -103,6 +103,37 @@ def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
     )
 
 
+def resize_media(
+    media: DataFrame, target_width: int, strict: bool = False
+) -> DataFrame:
+    """Resize plumbing: decode → compute target dimensions (aspect-ratio
+    preserving) → re-encode. With a real codec registered the content
+    bytes are resampled; the deterministic fake keeps the plumbing
+    testable by deriving the resized content hash from (source hash,
+    target dims). Dimension math runs JVM-side after the decode stage."""
+    feats = decode_features(media, strict=strict)
+    new_h = F.greatest(
+        F.lit(1),
+        F.round(F.col("height") * F.lit(target_width) / F.col("width")).cast("int"),
+    )
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.col("width").alias("orig_width"),
+        F.col("height").alias("orig_height"),
+        F.lit(target_width).cast("int").alias("width"),
+        new_h.alias("height"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("content_sha256"),
+                F.lit(str(target_width)),
+                new_h.cast("string"),
+            )
+        ).alias("resized_content_id"),
+    )
+
+
 def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling plumbing: explode decoded frame indices and keep
     every n-th — the plan shape of video frame extraction (the decode of

@@ -272,6 +272,28 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    f"""
+    WITH feats AS ({_MM_CTE})
+    SELECT media_id, media_type,
+           width AS orig_width, height AS orig_height,
+           CAST(128 AS INT) AS width,
+           CAST(greatest(1, round(height * 128.0 / width)) AS INT) AS height,
+           md5(content_sha256 || ':128:' ||
+               CAST(CAST(greatest(1, round(height * 128.0 / width)) AS INT) AS VARCHAR))
+             AS resized_content_id
+    FROM feats
+    """,
+    doc="aspect-preserving media resize plumbing (codec stage pluggable)",
+    survey="LLM multimodal: resize",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.multimodal import resize_media
+
+    return resize_media(_media_df(spark, sf_dir), target_width=128)
+
+
+@query(
     "multimodal_frame_sample",
     f"""
     WITH feats AS ({_MM_CTE})
