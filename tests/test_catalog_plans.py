@@ -1,0 +1,35 @@
+"""Catalog-wide plan audit: every relational query must stay JVM-side
+(no Python eval in the hot path) — the only sanctioned Python stages are
+the wire serde, the stateful assembly, user hooks, and the stubbed
+multimodal codec."""
+
+from openmsistream_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose declared design includes a Python (Arrow) stage
+PYTHON_ALLOWED = {
+    "multimodal_decode_features",  # mapInPandas codec stage (by design)
+    "multimodal_frame_sample",
+    "multimodal_resize",
+}
+
+
+def test_catalog_is_jvm_side(spark):
+    offenders = []
+    for name, spec in QUERIES.items():
+        plan = (
+            spec.fn(spark, SF)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        )
+        has_python = "EvalPython" in plan or "MapInPandas" in plan
+        if has_python and name not in PYTHON_ALLOWED:
+            offenders.append(name)
+        if not has_python and name in PYTHON_ALLOWED:
+            offenders.append(f"{name} (expected a Python stage, found none)")
+    assert not offenders, f"non-JVM plans: {offenders}"
