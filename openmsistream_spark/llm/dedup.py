@@ -182,6 +182,61 @@ def minhash_lsh_dedup(
     )
 
 
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → duplicate clusters.
+
+    The step after candidate-pair generation in every large-scale dedup:
+    pairs (a~b, b~c) must collapse to one cluster so exactly one
+    representative survives. Min-label propagation: every node starts
+    labeled with itself; each round, labels flow across edges and each
+    node keeps the minimum seen; fixpoint in O(diameter) rounds (near-dup
+    clusters are shallow — a handful of rounds in practice; the loop
+    stops early at convergence via a cheap count). Each round is one
+    shuffle (join + min-agg) — the standard distributed-CC shape.
+
+    Returns (id, cluster, is_representative) for every node.
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.cache()
+
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        labels = labels.cache()
+        # labels neighbors would push to me this round
+        pushed = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(pushed, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).cache()
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster"),
+        (F.col("id") == F.col("label")).alias("is_representative"),
+    )
+
+
 def simhash(
     docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

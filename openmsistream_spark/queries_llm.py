@@ -201,6 +201,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "neardup_clusters",
+    _EMB_NORM_CTE
+    + """
+    , pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.35),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    walk AS (
+      WITH RECURSIVE w(node, root) AS (
+        SELECT vec_id, vec_id FROM emb
+        UNION
+        SELECT s.dst, w.root FROM w JOIN sym s ON s.src = w.node
+      ) SELECT node, min(root) AS cluster FROM w GROUP BY node)
+    SELECT node AS vec_id, cluster, (node = cluster) AS is_representative
+    FROM walk
+    """,
+    doc="duplicate clusters: connected components over near-dup pairs (min-label propagation)",
+    survey="LLM dedup: cluster formation after candidate pairs",
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.dedup import dedup_clusters
+
+    emb = load(spark, sf_dir, "embeddings")
+    # the validated near-dup pair generator at a looser threshold so real
+    # multi-node clusters form
+    b = _bucketed(_normed(spark, sf_dir), 4)
+    a = b.select(
+        F.col("bucket"), F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    c = b.select(
+        F.col("bucket"), F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    loose = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(_cos("va", "vb") / (F.col("na") * F.col("nb")), 4)
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    return dedup_clusters(emb.select("vec_id"), loose, id_col="vec_id")
+
+
 # --- multimodal: binary columns + typed metadata, decoded via mapInPandas ---
 #
 # The oracle replays the deterministic fake decoder arithmetic from the
