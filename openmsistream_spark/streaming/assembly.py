@@ -36,6 +36,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..schemas import (
     CODE_HASH_MISMATCH,
+    CODE_IN_PROGRESS,
     CODE_SUCCESSFULLY_RECONSTRUCTED,
 )
 
@@ -81,11 +82,38 @@ def _adopt_new_generation(
 
 
 def _assemble_group(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    timeout_ms: int | None = None,
 ) -> Iterable[pd.DataFrame]:
     import hashlib
 
     rel_path = key[0]
+
+    if getattr(state, "hasTimedOut", False):
+        # ops guard: surface a stalled partial WITHOUT dropping its state
+        # (the reference never expires partials — they persist in the
+        # registry across restarts, data_file_stream_processor.py:85-95)
+        n_total, file_hash, file_mtime, offsets, payloads = state.get
+        state.update((n_total, file_hash, file_mtime, list(offsets), list(payloads)))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "rel_path": rel_path,
+                    "n_total_chunks": n_total,
+                    "n_chunks_received": len(offsets),
+                    "file_hash": bytes(file_hash),
+                    "file_mtime": file_mtime,
+                    "file_bytes": None,
+                    "status": CODE_IN_PROGRESS,
+                }
+            ]
+        )
+        return
+
     if state.exists:
         n_total, file_hash, file_mtime, offsets, payloads = state.get
         file_hash = bytes(file_hash)
@@ -139,23 +167,41 @@ def _assemble_group(
         state.update(
             (n_total, file_hash, file_mtime, offsets, [offset_map[o] for o in offsets])
         )
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             columns=[f.name for f in OUTPUT_SCHEMA.fields]
         ).astype(object)
 
 
-def streaming_assemble(chunks: DataFrame, key_col: str = "rel_path") -> DataFrame:
+def streaming_assemble(
+    chunks: DataFrame,
+    key_col: str = "rel_path",
+    partial_timeout_ms: int | None = None,
+) -> DataFrame:
     """Group a (streaming) chunk DataFrame by file and assemble
-    statefully; emits one row per completed file."""
+    statefully; emits one row per completed file.
+
+    ``partial_timeout_ms`` — ops guard: when set, a file that receives no
+    chunks for this long emits an IN_PROGRESS snapshot row (null
+    file_bytes) so stalled partials are observable, while its state is
+    retained — late chunks are never dropped (the reference's contract)."""
     cols = ["n_total_chunks", "file_hash", "file_mtime", "chunk_offset_write", "data"]
     return (
         chunks.selectExpr(f"{key_col} AS rel_path", *cols)
         .groupBy("rel_path")
         .applyInPandasWithState(
-            _assemble_group,
+            # closure captures the timeout by value (survives executor pickling)
+            lambda key, pdfs, state: _assemble_group(
+                key, pdfs, state, partial_timeout_ms
+            ),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if partial_timeout_ms
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

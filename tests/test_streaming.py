@@ -99,6 +99,67 @@ def test_streaming_generation_replacement(spark, tmpdirs):
     assert hashlib.sha512(new).digest() == bytes(row.file_hash)
 
 
+def test_partial_timeout_heartbeat_keeps_state(spark, tmpdirs):
+    """Ops guard: a stalled partial emits IN_PROGRESS snapshots after the
+    timeout, and late chunks STILL complete the file (state retained)."""
+    import time
+
+    from openmsistream_spark.streaming.assembly import streaming_assemble
+
+    payload = os.urandom(3 * CS)
+    chunks = _chunk_rows(spark, "slow.bin", payload, 1.0).collect()
+    cols = chunks[0].asDict().keys()
+    in_dir = f"{tmpdirs}/in"
+    spark.createDataFrame(chunks[:-1]).select(*cols).write.parquet(
+        f"{in_dir}/batch=0"
+    )
+
+    schema = (
+        "rel_path string, file_mtime double, n_total_chunks bigint, "
+        "file_hash binary, chunk_i bigint, chunk_offset_write bigint, data binary"
+    )
+    src = spark.readStream.schema(schema).parquet(f"{in_dir}/batch=*")
+    q = (
+        streaming_assemble(src, partial_timeout_ms=500)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asm_timeout")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        # wait until at least one IN_PROGRESS heartbeat lands
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            beats = spark.sql(
+                "SELECT * FROM asm_timeout WHERE status = 'IN_PROGRESS'"
+            ).collect()
+            if beats:
+                break
+            time.sleep(0.5)
+        assert beats, "no IN_PROGRESS heartbeat emitted for the stalled partial"
+        assert beats[0].n_chunks_received == 2
+        assert beats[0].file_bytes is None
+
+        # the late chunk arrives — the file must still complete
+        spark.createDataFrame(chunks[-1:]).select(*cols).write.parquet(
+            f"{in_dir}/batch=1"
+        )
+        deadline = time.time() + 60
+        done = []
+        while time.time() < deadline:
+            done = spark.sql(
+                "SELECT * FROM asm_timeout WHERE status = 'SUCCESSFULLY_RECONSTRUCTED'"
+            ).collect()
+            if done:
+                break
+            time.sleep(0.5)
+        assert done, "late chunk did not complete the file after timeout beats"
+        assert bytes(done[0].file_bytes) == payload
+    finally:
+        q.stop()
+
+
 def test_disk_reconstruction_sink(spark, tmpdirs):
     from openmsistream_spark.streaming.sinks import write_reconstructed_files
 
