@@ -35,6 +35,7 @@ HEADLINE = [
     "running_balance_per_customer",
     "p1_chunk_documents",
     "a1_reassemble_documents",
+    "wire_roundtrip_docs",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "simhash_docs",

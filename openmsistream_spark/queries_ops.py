@@ -284,6 +284,50 @@ def r8_resume_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wire_roundtrip_docs",
+    """
+    SELECT 'SUCCESSFULLY_RECONSTRUCTED' AS status,
+           count(*) AS n_files,
+           CAST(sum(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS BIGINT)
+             AS n_chunks
+    FROM documents
+    """,
+    doc="full wire path: chunk → msgpack serialize → deserialize+verify → assemble",
+    survey="P1+P3+P4+A1 end-to-end (the reference's E2E round trip, "
+    "test_data_file_directories.py:230)",
+)
+def wire_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.serde import deserialize_chunks, dlq_split, serialize_chunks
+    from .operators.assembly import assemble_files
+    from .operators.chunking import chunk_binary_column
+
+    docs = load(spark, sf_dir, "documents")
+    files = docs.select(
+        F.col("doc_id").cast("string").alias("filename"),
+        F.lit("").alias("subdir_str"),
+        F.lit("").alias("filename_append"),
+        F.lit(None).cast("double").alias("file_mtime"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    chunks = chunk_binary_column(
+        files,
+        content="content",
+        chunk_size=64,
+        keep=["filename", "subdir_str", "filename_append", "file_mtime"],
+    )
+    wire = serialize_chunks(chunks).select("value")
+    decoded = deserialize_chunks(wire)
+    good, _dlq = dlq_split(decoded)
+    assembled = assemble_files(
+        good.withColumn("rel_path", F.col("filename"))
+    )
+    return assembled.groupBy("status").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_total_chunks").cast("long").alias("n_chunks"),
+    )
+
+
+@query(
     "salted_skew_aggregate",
     """
     SELECT event_type, count(*) AS n,

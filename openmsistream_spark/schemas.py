@@ -104,6 +104,9 @@ CODE_ALREADY_WRITTEN = "ALREADY_WRITTEN"
 CODE_SUCCESSFULLY_RECONSTRUCTED = "SUCCESSFULLY_RECONSTRUCTED"
 CODE_HASH_MISMATCH = "HASH_MISMATCH"
 CODE_GENERATION_RESET = "GENERATION_RESET"
+# completion detected with offsets-only state (disk-spill mode): bytes
+# reconstruct downstream via batch join against the chunk log
+CODE_COMPLETE_OFFSETS_ONLY = "COMPLETE_OFFSETS_ONLY"
 
 # Default payload slice size (reference: utilities/config.py:33).
 DEFAULT_CHUNK_SIZE = 524288

@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..schemas import (
+    CODE_COMPLETE_OFFSETS_ONLY,
     CODE_HASH_MISMATCH,
     CODE_IN_PROGRESS,
     CODE_SUCCESSFULLY_RECONSTRUCTED,
@@ -86,6 +87,7 @@ def _assemble_group(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
     timeout_ms: int | None = None,
+    buffer_bytes: bool = True,
 ) -> Iterable[pd.DataFrame]:
     import hashlib
 
@@ -142,12 +144,19 @@ def _assemble_group(
             off = int(row.chunk_offset_write)
             if off in offset_map:  # dedup by offset (at-least-once delivery)
                 continue
-            offset_map[off] = bytes(row.data)
+            # disk-spill mode: track the offset, never buffer the payload
+            offset_map[off] = bytes(row.data) if buffer_bytes else b""
 
     if n_total and len(offset_map) >= n_total:
-        body = b"".join(offset_map[o] for o in sorted(offset_map))
-        ok = hashlib.sha512(body).digest() == file_hash
-        status = CODE_SUCCESSFULLY_RECONSTRUCTED if ok else CODE_HASH_MISMATCH
+        if buffer_bytes:
+            body = b"".join(offset_map[o] for o in sorted(offset_map))
+            ok = hashlib.sha512(body).digest() == file_hash
+            status = CODE_SUCCESSFULLY_RECONSTRUCTED if ok else CODE_HASH_MISMATCH
+        else:
+            # completion by offset count only; bytes (and the sha512
+            # verify) reconstruct downstream from the chunk log
+            body = None
+            status = CODE_COMPLETE_OFFSETS_ONLY
         state.remove()
         yield pd.DataFrame(
             [
@@ -178,6 +187,7 @@ def streaming_assemble(
     chunks: DataFrame,
     key_col: str = "rel_path",
     partial_timeout_ms: int | None = None,
+    buffer_bytes: bool = True,
 ) -> DataFrame:
     """Group a (streaming) chunk DataFrame by file and assemble
     statefully; emits one row per completed file.
@@ -185,7 +195,14 @@ def streaming_assemble(
     ``partial_timeout_ms`` — ops guard: when set, a file that receives no
     chunks for this long emits an IN_PROGRESS snapshot row (null
     file_bytes) so stalled partials are observable, while its state is
-    retained — late chunks are never dropped (the reference's contract)."""
+    retained — late chunks are never dropped (the reference's contract).
+
+    ``buffer_bytes=False`` — the reference's mode="disk"
+    (data_file_stream_handler.py:57-74) for larger-than-memory files:
+    state keeps only the offset set; completion emits a
+    COMPLETE_OFFSETS_ONLY row (null bytes) and the payload reassembles
+    downstream via a batch join of the completed keys against the
+    durable chunk log (``operators.assembly.assemble_files``)."""
     cols = ["n_total_chunks", "file_hash", "file_mtime", "chunk_offset_write", "data"]
     return (
         chunks.selectExpr(f"{key_col} AS rel_path", *cols)
@@ -193,7 +210,7 @@ def streaming_assemble(
         .applyInPandasWithState(
             # closure captures the timeout by value (survives executor pickling)
             lambda key, pdfs, state: _assemble_group(
-                key, pdfs, state, partial_timeout_ms
+                key, pdfs, state, partial_timeout_ms, buffer_bytes
             ),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,

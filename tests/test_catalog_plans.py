@@ -12,6 +12,7 @@ PYTHON_ALLOWED = {
     "multimodal_decode_features",  # mapInPandas codec stage (by design)
     "multimodal_frame_sample",
     "multimodal_resize",
+    "wire_roundtrip_docs",  # msgpack serde pandas UDFs (by design)
 }
 
 

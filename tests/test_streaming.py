@@ -160,6 +160,48 @@ def test_partial_timeout_heartbeat_keeps_state(spark, tmpdirs):
         q.stop()
 
 
+def test_offsets_only_mode_with_downstream_reassembly(spark, tmpdirs):
+    """mode="disk" analogue: streaming state holds only offsets; the
+    completion record drives a batch join against the durable chunk log
+    that rebuilds and verifies the bytes."""
+    from openmsistream_spark.operators.assembly import assemble_files
+    from openmsistream_spark.streaming.assembly import streaming_assemble
+
+    payload = os.urandom(4 * CS + 9)
+    chunks = _chunk_rows(spark, "big.bin", payload, 1.0)
+    chunk_log = f"{tmpdirs}/chunk_log"
+    chunks.write.parquet(chunk_log)  # the durable chunk log
+
+    schema = (
+        "rel_path string, file_mtime double, n_total_chunks bigint, "
+        "file_hash binary, chunk_i bigint, chunk_offset_write bigint, data binary"
+    )
+    src = spark.readStream.schema(schema).parquet(chunk_log)
+    q = (
+        streaming_assemble(src, buffer_bytes=False)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asm_offsets")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    done = spark.sql("SELECT * FROM asm_offsets").collect()
+    assert len(done) == 1
+    assert done[0].status == "COMPLETE_OFFSETS_ONLY"
+    assert done[0].file_bytes is None
+    assert done[0].n_chunks_received == 5
+
+    # downstream: completed keys × chunk log → full assembly + verify
+    completed_keys = spark.sql(
+        "SELECT rel_path FROM asm_offsets WHERE status = 'COMPLETE_OFFSETS_ONLY'"
+    )
+    log = spark.read.parquet(chunk_log).join(completed_keys, "rel_path", "left_semi")
+    out = assemble_files(log).collect()
+    assert bytes(out[0].file_bytes) == payload
+    assert out[0].status == "SUCCESSFULLY_RECONSTRUCTED"
+
+
 def test_disk_reconstruction_sink(spark, tmpdirs):
     from openmsistream_spark.streaming.sinks import write_reconstructed_files
 
