@@ -132,6 +132,30 @@ def salted_counts_sums(
     return partial.groupBy(*keys).agg(*aggs2)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: the fact side gets a deterministic salt
+    (crc32 of its key), the dim side is replicated across all salts, and
+    the join runs on (key, salt) — a hot key's rows spread over
+    ``n_salts`` reducers instead of one. Result is identical to the
+    plain join. Use when AQE's runtime skew splitting isn't available
+    (streaming joins) or the skew is known up front; the dim replication
+    costs n_salts× its size, so keep the replicated side small."""
+    salted_fact = fact.withColumn(
+        "_salt", (F.crc32(F.col(on).cast("string")) % n_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+    return salted_fact.join(salted_dim, on=[on, "_salt"], how=how).drop("_salt")
+
+
 def running_total(
     df: DataFrame,
     keys: Sequence[str],

@@ -350,6 +350,31 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_order_revenue",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="skew-resistant salted equi join (result ≡ plain join)",
+    survey="§4 skew handling for joins (AQE-less path, e.g. streaming)",
+)
+def salted_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import salted_join
+    from .queries import dsum
+
+    orders = load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(orders, cust, on="c_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@query(
     "k6_dead_letter_split",
     """
     SELECT CASE WHEN json_extract_string(props, '$.k') IS NULL OR event_type = 'error'
