@@ -47,14 +47,22 @@ def dedup_chunks(chunks: DataFrame, key: list[str] | None = None) -> DataFrame:
     return chunks.dropDuplicates([*key, "file_hash", "chunk_offset_write"])
 
 
-def pick_latest_generation(chunks: DataFrame, key: list[str] | None = None) -> DataFrame:
+def pick_latest_generation(
+    chunks: DataFrame, key: list[str] | None = None, strategy: str = "join"
+) -> DataFrame:
     """A2 — keep only the winning generation per file.
 
     Ordering: greater n_total_chunks wins; ties broken by newer
-    file_mtime; final tiebreak on file_hash for determinism. Implemented
-    as an argmax via max(struct(...)) — one map-side-combinable
-    aggregation plus a broadcastable join back, no window shuffle over
-    the (huge) chunk table.
+    file_mtime; final tiebreak on file_hash for determinism.
+
+    ``strategy="join"``: argmax via max(struct(...)) — a map-side-
+    combinable aggregation plus a broadcastable semi join back. Scans the
+    input TWICE; right when the upstream is a cheap columnar scan.
+
+    ``strategy="window"``: max(gen) over a partition window + filter —
+    ONE pass over the input. Right when the upstream is expensive to
+    recompute (Python serde UDFs, decode stages): a self-join would
+    re-execute the whole uncached subtree per branch.
     """
     key = key or FILE_KEY
     gen = F.struct(
@@ -62,6 +70,16 @@ def pick_latest_generation(chunks: DataFrame, key: list[str] | None = None) -> D
         F.coalesce(F.col("file_mtime"), F.lit(0.0)).alias("file_mtime"),
         F.sha2(F.col("file_hash"), 256).alias("gen_tiebreak"),
     )
+    if strategy == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key)
+        return (
+            chunks.withColumn("_gen", gen)
+            .withColumn("_win", F.max("_gen").over(w))
+            .filter(F.col("_gen") == F.col("_win"))
+            .drop("_gen", "_win")
+        )
     winners = (
         chunks.groupBy(*key)
         .agg(F.max(gen).alias("_win"))
@@ -86,17 +104,20 @@ def assemble_files(
     key: list[str] | None = None,
     apply_generation_policy: bool = True,
     emit_incomplete: bool = True,
+    generation_strategy: str = "join",
 ) -> DataFrame:
     """A1+A3 — reassemble files from chunk rows.
 
     Returns one row per file: key columns, n_total_chunks,
     n_chunks_received, file_bytes (null unless complete), status code in
     {IN_PROGRESS, SUCCESSFULLY_RECONSTRUCTED, HASH_MISMATCH}.
+    ``generation_strategy``: see ``pick_latest_generation`` — use
+    "window" when the chunk source is UDF-expensive to rescan.
     """
     key = key or FILE_KEY
     df = chunks
     if apply_generation_policy:
-        df = pick_latest_generation(df, key)
+        df = pick_latest_generation(df, key, strategy=generation_strategy)
     df = dedup_chunks(df, key)
 
     assembled = (

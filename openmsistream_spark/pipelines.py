@@ -184,7 +184,9 @@ def download_directory(
     ``streaming/assembly.streaming_assemble`` + ``reconstruction_sink``.
     """
     good = _decode_and_filter(spark, topic_uri, key_regex, filepath_regex, dlq_dir)
-    assembled = assemble_files(good)
+    # window strategy: the upstream serde UDF chain must not be
+    # re-executed by a generation-policy self-join
+    assembled = assemble_files(good, generation_strategy="window")
     complete = assembled.filter(F.col("status") == CODE_SUCCESSFULLY_RECONSTRUCTED)
     write_reconstructed_files(complete, out_dir)
     return assembled.select(
@@ -283,7 +285,9 @@ class StreamProcessor:
     ) -> DataFrame:
         _pickle_hook_by_value(self)
         good = _decode_and_filter(spark, topic_uri, key_regex, filepath_regex, dlq_dir)
-        completed = assemble_files(good, emit_incomplete=False).filter(
+        completed = assemble_files(
+            good, emit_incomplete=False, generation_strategy="window"
+        ).filter(
             F.col("status") == CODE_SUCCESSFULLY_RECONSTRUCTED
         )
         hook = self.process_file
@@ -341,7 +345,9 @@ class StreamReproducer:
     ) -> DataFrame:
         _pickle_hook_by_value(self)
         good = _decode_and_filter(spark, source_topic_uri, key_regex, filepath_regex, None)
-        completed = assemble_files(good, emit_incomplete=False).filter(
+        completed = assemble_files(
+            good, emit_incomplete=False, generation_strategy="window"
+        ).filter(
             F.col("status") == CODE_SUCCESSFULLY_RECONSTRUCTED
         )
         hook = self.compute_message

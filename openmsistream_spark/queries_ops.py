@@ -318,8 +318,12 @@ def wire_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = serialize_chunks(chunks).select("value")
     decoded = deserialize_chunks(wire)
     good, _dlq = dlq_split(decoded)
+    # single generation by construction — skip the generation-policy
+    # join-back, which would re-execute the serde UDF subtree for the
+    # winner aggregation (self-joins duplicate non-cached subtrees)
     assembled = assemble_files(
-        good.withColumn("rel_path", F.col("filename"))
+        good.withColumn("rel_path", F.col("filename")),
+        apply_generation_policy=False,
     )
     return assembled.groupBy("status").agg(
         F.count("*").alias("n_files"),
