@@ -53,6 +53,39 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 12.0,
+    min_distinct_ratio: float = 0.3,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """The keep/drop decision a pretraining pipeline runs over every
+    document (Gopher/C4-style heuristic rules composed from text_stats):
+    too-short, degenerate token lengths, low lexical diversity, and
+    punctuation-heavy documents are dropped. Emits the per-rule verdicts
+    so filter rates are auditable per rule."""
+    stats = text_stats(docs, id_col=id_col, text_col=text_col)
+    rules = {
+        "ok_len": F.col("n_tokens") >= min_tokens,
+        "ok_token_len": F.col("mean_token_len").between(
+            min_mean_token_len, max_mean_token_len
+        ),
+        "ok_diversity": F.col("distinct_ratio") >= min_distinct_ratio,
+        "ok_punct": (F.col("n_punct") / F.col("n_chars")) <= max_punct_ratio,
+    }
+    out = stats.select(
+        id_col, "n_tokens", *[expr.alias(name) for name, expr in rules.items()]
+    )
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def doc_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", kgram: int = 8
 ) -> DataFrame:

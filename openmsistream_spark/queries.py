@@ -974,6 +974,36 @@ def language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_filter_docs",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             round(list_sum(list_transform({_TOKS}, w -> length(w))) * 1.0
+                   / len({_TOKS}), 4) AS mean_token_len,
+             round(len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}), 4) AS distinct_ratio,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           (n_tokens >= 20) AS ok_len,
+           (mean_token_len BETWEEN 3.0 AND 12.0) AS ok_token_len,
+           (distinct_ratio >= 0.3) AS ok_diversity,
+           (n_punct * 1.0 / n_chars <= 0.2) AS ok_punct,
+           ((n_tokens >= 20) AND (mean_token_len BETWEEN 3.0 AND 12.0)
+            AND (distinct_ratio >= 0.3) AND (n_punct * 1.0 / n_chars <= 0.2)) AS keep
+    FROM s
+    """,
+    doc="composite keep/drop quality filter with per-rule verdicts",
+    survey="LLM text analysis: quality filtering (C4/Gopher-style rules)",
+)
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.textstats import quality_filter
+
+    return quality_filter(load(spark, sf_dir, "documents"))
+
+
+@query(
     "doc_fingerprints",
     f"""
     WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
