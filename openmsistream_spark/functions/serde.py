@@ -319,7 +319,10 @@ def deserialize_chunks(
 
 
 def dlq_split(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """K6 — split a deserialized stream into (good, dead-letter)."""
-    good = decoded.filter(F.col("deser_error").isNull() & F.col("hash_ok"))
-    dlq = decoded.filter(F.col("deser_error").isNotNull() | ~F.col("hash_ok"))
-    return good, dlq
+    """K6 — split a deserialized stream into (good, dead-letter).
+    Splits on the hash verify too when present (deserialize verify=True),
+    else on deserialization errors alone."""
+    ok = F.col("deser_error").isNull()
+    if "hash_ok" in decoded.columns:
+        ok = ok & F.col("hash_ok")
+    return decoded.filter(ok), decoded.filter(~ok)

@@ -207,8 +207,11 @@ def dedup_clusters(
     sym = sym.cache()
 
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    to_unpersist: list[DataFrame] = [sym]
+    changed = 1
     for _ in range(max_iterations):
         labels = labels.cache()
+        to_unpersist.append(labels)
         # labels neighbors would push to me this round
         pushed = (
             sym.join(labels, sym.src == labels.id)
@@ -225,16 +228,28 @@ def dedup_clusters(
                 "label",
             )
         ).cache()
+        to_unpersist.append(new_labels)
         changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
         labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} iterations "
+            "(a component's diameter exceeds the bound) — raise max_iterations"
+        )
 
-    return labels.select(
+    result = labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster"),
         (F.col("id") == F.col("label")).alias("is_representative"),
     )
+    # materialize before releasing the iteration caches the plan rests on
+    result = result.cache()
+    result.count()
+    for df in to_unpersist:
+        df.unpersist()
+    return result
 
 
 def simhash(

@@ -110,7 +110,9 @@ def chunk_ledger(chunks: DataFrame, delivered: DataFrame, key: str = "rel_path")
     per file, delivered/to-send chunk sets and completion state
     (reference: producer_file_registry.py:169-289)."""
     all_chunks = chunks.select(key, "chunk_i", "n_total_chunks")
-    acked = delivered.select(key, "chunk_i").withColumn("_d", F.lit(1))
+    # distinct: at-least-once delivery acks the same chunk repeatedly —
+    # a duplicate ack must not multiply join rows / inflate counts
+    acked = delivered.select(key, "chunk_i").distinct().withColumn("_d", F.lit(1))
     joined = all_chunks.join(acked, [key, "chunk_i"], "left")
     return (
         joined.groupBy(key)

@@ -84,12 +84,16 @@ def windowed_counts(
     byte_col: str | None = None,
 ) -> DataFrame:
     """A8 — heartbeat counters: tumbling-window message/byte counts
-    (reference: controlled_message_reproducer.py:80-104). Uses
-    date_trunc for engine-portable window starts."""
-    unit = interval.split()[-1].rstrip("s")
-    g = df.groupBy(
-        F.date_trunc(unit, F.col(ts_col)).alias("window_start"), *extra_keys
-    )
+    (reference: controlled_message_reproducer.py:80-104). Single-unit
+    intervals ("1 hour") use date_trunc (engine-portable window starts
+    for the oracle); multi-unit intervals ("15 minutes") use
+    F.window — date_trunc would silently produce 1-unit buckets."""
+    count_s, unit = interval.split()
+    if count_s in ("1", "01"):
+        start = F.date_trunc(unit.rstrip("s"), F.col(ts_col))
+    else:
+        start = F.window(F.col(ts_col), interval).getField("start")
+    g = df.groupBy(start.alias("window_start"), *extra_keys)
     aggs = [F.count("*").alias("n_messages")]
     if byte_col:
         aggs.append(F.sum(byte_col).alias("n_bytes"))
@@ -145,7 +149,15 @@ def salted_join(
     ``n_salts`` reducers instead of one. Result is identical to the
     plain join. Use when AQE's runtime skew splitting isn't available
     (streaming joins) or the skew is known up front; the dim replication
-    costs n_salts× its size, so keep the replicated side small."""
+    costs n_salts× its size, so keep the replicated side small.
+
+    Only inner/left joins are supported: an outer side on the replicated
+    dim would surface its unmatched rows once per salt."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r} "
+            "(outer-on-dim would duplicate unmatched dim rows per salt)"
+        )
     salted_fact = fact.withColumn(
         "_salt", (F.crc32(F.col(on).cast("string")) % n_salts).cast("int")
     )

@@ -115,7 +115,7 @@ def upload_directory(
         F.encode(F.col("msg_key"), "UTF-8").alias("key"), "value"
     )
     write_topic(wire, topic_uri)
-    n_chunks = spark.read.parquet(topic_uri).count() if not _is_kafka(topic_uri) else -1
+    n_chunks = chunks.count()  # chunks produced by THIS run (topic appends)
 
     if registry_dir:
         # R4 ledger: the batch write is atomic, so every chunk of every
@@ -153,13 +153,16 @@ def _decode_and_filter(
             "key", "value", "deser_error",
             F.current_timestamp().alias("dlq_ts"),
         ).write.mode("append").parquet(dlq_dir)
+    # coalesce: external producers may encode subdir/append as wire-nil
+    # (only this package's serializer coerces them to ''); a null would
+    # poison F.concat and null out rel_path
+    fname = F.concat(
+        F.col("filename"), F.coalesce(F.col("filename_append"), F.lit(""))
+    )
+    subdir = F.coalesce(F.col("subdir_str"), F.lit(""))
     good = good.withColumn(
         "rel_path",
-        F.when(
-            F.col("subdir_str") == "", F.concat("filename", "filename_append")
-        ).otherwise(
-            F.concat_ws("/", "subdir_str", F.concat("filename", "filename_append"))
-        ),
+        F.when(subdir == "", fname).otherwise(F.concat_ws("/", subdir, fname)),
     )
     if key_regex is not None:  # F1 (openmsistream_consumer.py:363-386)
         good = good.filter(F.decode(F.col("key"), "UTF-8").rlike(key_regex))

@@ -41,6 +41,14 @@ from ..schemas import (
     CODE_SUCCESSFULLY_RECONSTRUCTED,
 )
 
+# completion tombstone: n_total_chunks is stored negated so a late
+# duplicate chunk of an already-reconstructed file is recognized (and
+# ignored) instead of re-creating phantom partial state — the
+# at-least-once analogue of the reference's ALREADY_WRITTEN return code
+# (download_data_file.py:98-107). A tombstone is ~100 bytes per
+# completed file, the same order as the reference's persistent registry
+# row.
+
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("rel_path", T.StringType()),
@@ -99,6 +107,11 @@ def _assemble_group(
         # registry across restarts, data_file_stream_processor.py:85-95)
         n_total, file_hash, file_mtime, offsets, payloads = state.get
         state.update((n_total, file_hash, file_mtime, list(offsets), list(payloads)))
+        if n_total < 0:  # completed tombstone — nothing to report
+            yield pd.DataFrame(
+                columns=[f.name for f in OUTPUT_SCHEMA.fields]
+            ).astype(object)
+            return
         if timeout_ms:
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
@@ -116,10 +129,15 @@ def _assemble_group(
         )
         return
 
+    completed_tombstone = False
     if state.exists:
         n_total, file_hash, file_mtime, offsets, payloads = state.get
         file_hash = bytes(file_hash)
         offset_map = dict(zip(offsets, (bytes(p) for p in payloads)))
+        if n_total < 0:  # tombstone: this file already reconstructed
+            completed_tombstone = True
+            n_total = -n_total
+            offset_map = {}
     else:
         n_total, file_hash, file_mtime, offset_map = 0, b"", None, {}
 
@@ -127,7 +145,21 @@ def _assemble_group(
         for row in pdf.itertuples(index=False):
             row_hash = bytes(row.file_hash)
             row_mtime = None if pd.isna(row.file_mtime) else float(row.file_mtime)
-            if not offset_map and n_total == 0:
+            if completed_tombstone:
+                if row_hash == file_hash:
+                    continue  # ALREADY_WRITTEN: duplicate of the done file
+                if _adopt_new_generation(
+                    n_total, file_hash, file_mtime,
+                    int(row.n_total_chunks), row_hash, row_mtime,
+                ):
+                    completed_tombstone = False
+                    offset_map.clear()
+                    n_total, file_hash, file_mtime = (
+                        int(row.n_total_chunks), row_hash, row_mtime,
+                    )
+                else:
+                    continue  # stale generation vs the completed one
+            elif not offset_map and n_total == 0:
                 n_total, file_hash, file_mtime = int(row.n_total_chunks), row_hash, row_mtime
             elif row_hash != file_hash:
                 if _adopt_new_generation(
@@ -147,7 +179,14 @@ def _assemble_group(
             # disk-spill mode: track the offset, never buffer the payload
             offset_map[off] = bytes(row.data) if buffer_bytes else b""
 
-    if n_total and len(offset_map) >= n_total:
+    if completed_tombstone:
+        # nothing new for a completed file — keep the tombstone
+        # (no timeout re-arm: tombstones never stall)
+        state.update((-n_total, file_hash, file_mtime, [], []))
+        yield pd.DataFrame(
+            columns=[f.name for f in OUTPUT_SCHEMA.fields]
+        ).astype(object)
+    elif n_total and len(offset_map) >= n_total:
         if buffer_bytes:
             body = b"".join(offset_map[o] for o in sorted(offset_map))
             ok = hashlib.sha512(body).digest() == file_hash
@@ -157,7 +196,9 @@ def _assemble_group(
             # verify) reconstruct downstream from the chunk log
             body = None
             status = CODE_COMPLETE_OFFSETS_ONLY
-        state.remove()
+        # tombstone instead of remove: shields against late duplicates
+        # (no timeout arm: tombstones never stall)
+        state.update((-n_total, file_hash, file_mtime, [], []))
         yield pd.DataFrame(
             [
                 {

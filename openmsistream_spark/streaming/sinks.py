@@ -33,8 +33,15 @@ def write_reconstructed_files(batch_df: DataFrame, out_dir: str) -> int:
     rows = batch_df.select("rel_path", "file_bytes", "file_hash")
 
     def _write_partition(it):
+        root = os.path.abspath(out_dir)
         for row in it:
-            target = os.path.join(out_dir, row.rel_path)
+            # rel_path comes off the wire — never let '..' or an absolute
+            # path escape the output root
+            target = os.path.abspath(os.path.join(root, row.rel_path.lstrip("/")))
+            if os.path.commonpath([root, target]) != root:
+                raise ValueError(
+                    f"unsafe rel_path escapes output dir: {row.rel_path!r}"
+                )
             os.makedirs(os.path.dirname(target), exist_ok=True)
             payload = bytes(row.file_bytes)
             want = bytes(row.file_hash)

@@ -28,8 +28,10 @@ def _file_predicates(
     upload_regex: str,
     lag_seconds: float | None,
 ) -> DataFrame:
+    # \Q...\E: the watch dir is a literal, not a pattern — unquoted
+    # metacharacters ('(', '+', ...) would corrupt rel_path or crash
     rel = F.regexp_replace(
-        F.col("path"), F.lit("^.*?" + root.rstrip("/") + "/"), ""
+        F.col("path"), F.lit("^.*?\\Q" + root.rstrip("/") + "\\E/"), ""
     )
     out = (
         df.withColumn("rel_path", rel)
