@@ -1026,3 +1026,4 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_tpch  # noqa: E402,F401  isort: skip
 from . import queries_ops  # noqa: E402,F401  isort: skip
 from . import queries_llm  # noqa: E402,F401  isort: skip
+from . import queries_analytics  # noqa: E402,F401  isort: skip
