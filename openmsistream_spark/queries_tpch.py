@@ -561,6 +561,141 @@ def q20_parts_with_surplus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey,
+             CAST(round(sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_1'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, part_value FROM pv
+    WHERE part_value > (SELECT CAST(sum(part_value) AS DOUBLE) * 0.001 FROM pv)
+    """,
+    doc="TPC-H Q11 shape (lineitem value for partsupp): per-part value above a "
+    "fraction-of-total scalar-subquery threshold",
+    survey="§2.7 grouped sum + scalar subquery threshold",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+    )
+    # pv is reused by both the threshold scalar and the filter; its agg is
+    # cheap but upstream joins aren't — cache would help iteratively, but a
+    # single-action plan lets Spark reuse the shuffle output of the agg.
+    thresh = pv.agg((F.sum("part_value") * 0.001).alias("_t"))
+    return (
+        pv.crossJoin(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("_t"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape (lineitem as part-supplier bridge; negative-balance "
+    "suppliers for complaints): distinct-supplier counts with NOT IN anti join",
+    survey="§2.7 anti join + count distinct",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    """
+    WITH po AS (
+      SELECT l_orderkey, max(l_shipdate) AS max_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY l_orderkey),
+    late AS (
+      SELECT l.l_orderkey, l.l_suppkey, po.n_supp
+      FROM lineitem l JOIN po ON l.l_orderkey = po.l_orderkey
+      WHERE l.l_shipdate = po.max_ship
+      GROUP BY 1, 2, 3),
+    sole AS (
+      SELECT l_orderkey, min(l_suppkey) AS l_suppkey, min(n_supp) AS n_supp
+      FROM late GROUP BY l_orderkey HAVING count(*) = 1)
+    SELECT s.s_name, count(*) AS numwait
+    FROM sole
+    JOIN orders o   ON sole.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+    WHERE sole.n_supp > 1
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape (shipdate for commit/receipt lag): the sole last-to-ship "
+    "supplier on multi-supplier finished orders — EXISTS/NOT-EXISTS self-joins "
+    "expressed as window-free aggregate-join-back",
+    survey="§2.7 double self-join (exists + not-exists) + grouped count",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load(spark, sf_dir, "supplier")
+    po = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    late = (
+        li.join(po, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .select("l_orderkey", "l_suppkey", "n_supp")
+        .distinct()
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.min("n_supp").alias("n_supp"),
+            F.count("*").alias("_n_late"),
+        )
+        .filter((F.col("_n_late") == 1) & (F.col("n_supp") > 1))
+    )
+    return (
+        sole.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey"
+        )
+        .join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
     "q22_idle_customers",
     """
     WITH pos AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_bal
