@@ -201,3 +201,56 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_value"),
         F.round(F.sqrt(var), 4).alias("stddev_value"),
     )
+
+
+@query(
+    "cube_status_priority_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE with grouping() flags: all 4 grouping sets of status × priority "
+    "in one pass (Spark expands to a single Expand+HashAggregate — no "
+    "re-reads of the fact table at 100 TB)",
+    survey="OLAP surface: grouping sets / cube",
+)
+def cube_status_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+@query(
+    "hll_distinct_users_daily",
+    # No portable oracle: Spark's hll_sketch_agg (Apache DataSketches HLL)
+    # and DuckDB's approx_count_distinct (different HLL impl) give
+    # different estimates by design. The driver records a rows-only
+    # check; tests/test_queries assert the estimate is within 5% of the
+    # exact count at sf0.01.
+    None,
+    doc="HyperLogLog sketch distinct users per day — the 100 TB path for "
+    "COUNT(DISTINCT): mergeable fixed-size sketches instead of a "
+    "shuffle of every distinct key; partial-aggregates map-side",
+    survey="scale extension: sketch aggregation (A8-style counters at scale)",
+)
+def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias(
+                "approx_users"
+            ),
+            F.count("*").alias("n_events"),
+        )
+        .select("day", "approx_users", "n_events")
+    )
