@@ -9,16 +9,47 @@ directory + a keyed-upsert helper (MERGE semantics without Delta:
 anti-join the old rows on key, union the new, overwrite atomically via a
 staging path). At cluster scale the same API backs onto Delta/Iceberg
 MERGE INTO — the call sites don't change.
+
+All filesystem operations (exists / rename / recursive delete) go
+through the Hadoop FileSystem API resolved from the registry URI, so a
+registry path may live on any Hadoop-supported store — file:/, hdfs://,
+s3a://, abfs:// — not just the driver's local POSIX filesystem. On HDFS
+the staging rename is atomic; on object stores it degrades to
+copy-rename (the usual caveat), which is still safe here because readers
+resolve the path fresh per read and a failed swap leaves either the old
+or the new table, never a partial one.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem for the few
+    metadata ops a registry needs. Replaces os.path.exists/os.replace/
+    shutil.rmtree so registries work on shared storage (the reference's
+    registries are local CSV files, dataclass_table.py:197-213 — a real
+    cluster keeps durable state on HDFS/S3)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._jpath(path)))
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic on HDFS/local; copy-rename on object stores. Returns
+        False if the filesystem refused (e.g. destination exists)."""
+        return bool(self._fs.rename(self._jpath(src), self._jpath(dst)))
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._jpath(path), True)  # recursive, idempotent
 
 
 class ParquetRegistry:
@@ -33,9 +64,10 @@ class ParquetRegistry:
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
+        self.fs = HadoopFS(spark, path)
 
     def exists(self) -> bool:
-        return os.path.exists(self.path)
+        return self.fs.exists(self.path)
 
     def read(self) -> DataFrame | None:
         if not self.exists():
@@ -46,10 +78,14 @@ class ParquetRegistry:
         staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(staging)
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(self.path):
-            os.replace(self.path, old)
-        os.replace(staging, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        if self.fs.exists(self.path):
+            if not self.fs.rename(self.path, old):
+                raise IOError(f"could not stage out old registry at {self.path}")
+        if not self.fs.rename(staging, self.path):
+            # roll back so the registry is never left missing
+            self.fs.rename(old, self.path)
+            raise IOError(f"could not swap staged registry into {self.path}")
+        self.fs.delete(old)
 
     def upsert(self, updates: DataFrame) -> None:
         """R2 — MERGE: replace rows whose key matches, append the rest."""
@@ -85,7 +121,7 @@ class ParquetRegistry:
         row is lost before the shards would be removed (the reference
         verifies all lines copied before unlink,
         producer_file_registry.py:291-326)."""
-        shards = [self.spark.read.parquet(p) for p in shard_paths if os.path.exists(p)]
+        shards = [self.spark.read.parquet(p) for p in shard_paths if self.fs.exists(p)]
         if not shards:
             return
         merged = shards[0]

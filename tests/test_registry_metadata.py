@@ -32,6 +32,27 @@ def test_parquet_registry_upsert_lookup_delete(spark, tmp):
     assert sorted(r.rel_path for r in reg.read().collect()) == ["a", "c"]
 
 
+def test_parquet_registry_on_fs_uri(spark, tmp):
+    """The registry must work against a Hadoop-FS URI (here file:/ — the
+    same code path serves hdfs:// and s3a://), not just bare POSIX paths."""
+    from openmsistream_spark.operators.registry import HadoopFS, ParquetRegistry
+
+    uri = f"file://{tmp}/reg_uri"
+    reg = ParquetRegistry(spark, uri, ["rel_path"])
+    assert not reg.exists()
+    reg.upsert(spark.createDataFrame([("a", 1)], "rel_path string, n_chunks long"))
+    reg.upsert(spark.createDataFrame([("a", 2), ("b", 1)], "rel_path string, n_chunks long"))
+    rows = {r.rel_path: r.n_chunks for r in reg.read().collect()}
+    assert rows == {"a": 2, "b": 1}
+    # no stale staging/old directories left behind after the swap
+    fs = HadoopFS(spark, uri)
+    assert fs.exists(uri)
+    import os as _os
+
+    leftovers = [d for d in _os.listdir(tmp) if ".staging-" in d or ".old-" in d]
+    assert leftovers == []
+
+
 def test_registry_compaction(spark, tmp):
     from openmsistream_spark.operators.registry import ParquetRegistry
 
