@@ -24,17 +24,33 @@ disk spill, mirroring the reference's mode="disk".
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.hashes import sha512_digest
 from ..schemas import (
+    CODE_CORRUPTION,
     CODE_HASH_MISMATCH,
     CODE_IN_PROGRESS,
     CODE_SUCCESSFULLY_RECONSTRUCTED,
 )
 
 FILE_KEY = ["rel_path"]
+
+
+@pandas_udf(T.BinaryType())
+def _join_byte_parts(parts: pd.Series) -> pd.Series:
+    """Linear-time binary flatten (b"".join). The declarative alternative
+    — F.aggregate over concat — re-copies the accumulated prefix per
+    element: ~n²/2 byte copies for an n-chunk file (the reference instead
+    writes offset-addressed, download_data_file.py:355-372). Arrow-batched;
+    null in (incomplete/corrupt file) → null out."""
+    return parts.map(
+        lambda ps: None if ps is None else b"".join(bytes(p) for p in ps)
+    )
 
 
 def dedup_chunks(chunks: DataFrame, key: list[str] | None = None) -> DataFrame:
@@ -105,24 +121,45 @@ def assemble_files(
     apply_generation_policy: bool = True,
     emit_incomplete: bool = True,
     generation_strategy: str = "join",
+    detect_corruption: bool = True,
 ) -> DataFrame:
     """A1+A3 — reassemble files from chunk rows.
 
     Returns one row per file: key columns, n_total_chunks,
     n_chunks_received, file_bytes (null unless complete), status code in
-    {IN_PROGRESS, SUCCESSFULLY_RECONSTRUCTED, HASH_MISMATCH}.
+    {IN_PROGRESS, SUCCESSFULLY_RECONSTRUCTED, HASH_MISMATCH, CORRUPTION}.
     ``generation_strategy``: see ``pick_latest_generation`` — use
     "window" when the chunk source is UDF-expensive to rescan.
+
+    ``detect_corruption`` — the reference raises when one file_hash
+    appears with two different n_total_chunks (download_data_file.py:
+    160-272); here those files get status CORRUPTION and null bytes. The
+    check is a window over the file key, so it reuses the shuffle the
+    assembly groupBy needs anyway — no extra scan of the chunk source.
     """
     key = key or FILE_KEY
     df = chunks
+    if detect_corruption:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key)
+        # corrupt ⇔ more distinct (hash, count) pairs than distinct hashes
+        df = df.withColumn(
+            "_corrupt",
+            F.size(F.collect_set(F.struct("file_hash", "n_total_chunks")).over(w))
+            > F.size(F.collect_set("file_hash").over(w)),
+        )
     if apply_generation_policy:
         df = pick_latest_generation(df, key, strategy=generation_strategy)
     df = dedup_chunks(df, key)
 
+    corrupt_col = (
+        F.first("_corrupt") if detect_corruption else F.lit(False)
+    ).alias("_corrupt")
     assembled = (
         df.groupBy(*key)
         .agg(
+            corrupt_col,
             F.first("n_total_chunks").alias("n_total_chunks"),
             F.first("file_hash").alias("file_hash"),
             F.max("file_mtime").alias("file_mtime"),
@@ -133,18 +170,20 @@ def assemble_files(
         )
         .withColumn(
             "file_bytes",
-            F.when(
-                F.col("n_chunks_received") == F.col("n_total_chunks"),
-                F.aggregate(
-                    "_parts",
-                    F.lit(b""),
-                    lambda acc, part: F.concat(acc, part.getField("data")),
-                ),
+            # the when() gates the UDF's INPUT, so incomplete/corrupt
+            # files never ship their chunk bytes through Arrow
+            _join_byte_parts(
+                F.when(
+                    (F.col("n_chunks_received") == F.col("n_total_chunks"))
+                    & ~F.col("_corrupt"),
+                    F.transform("_parts", lambda part: part.getField("data")),
+                )
             ),
         )
         .withColumn(
             "status",
-            F.when(
+            F.when(F.col("_corrupt"), F.lit(CODE_CORRUPTION))
+            .when(
                 F.col("n_chunks_received") < F.col("n_total_chunks"),
                 F.lit(CODE_IN_PROGRESS),
             )
@@ -154,7 +193,7 @@ def assemble_files(
             )
             .otherwise(F.lit(CODE_HASH_MISMATCH)),
         )
-        .drop("_parts")
+        .drop("_parts", "_corrupt")
     )
     if not emit_incomplete:
         assembled = assembled.filter(F.col("status") != CODE_IN_PROGRESS)

@@ -601,11 +601,11 @@ def a1_reassemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_parts"),
         )
         .withColumn(
+            # array_join flattens in one linear pass (F.aggregate+concat
+            # would copy the accumulated prefix per chunk — O(n²) bytes)
             "body",
-            F.aggregate(
-                "_parts",
-                F.lit(""),
-                lambda acc, p: F.concat(acc, p.getField("chunk_data")),
+            F.array_join(
+                F.transform("_parts", lambda p: p.getField("chunk_data")), ""
             ),
         )
     )

@@ -104,6 +104,10 @@ CODE_ALREADY_WRITTEN = "ALREADY_WRITTEN"
 CODE_SUCCESSFULLY_RECONSTRUCTED = "SUCCESSFULLY_RECONSTRUCTED"
 CODE_HASH_MISMATCH = "HASH_MISMATCH"
 CODE_GENERATION_RESET = "GENERATION_RESET"
+# same file_hash seen with two different n_total_chunks — the reference
+# raises a corruption error for this (download_data_file.py:160-272);
+# we surface it as a status so the pipeline can route it like a DLQ row
+CODE_CORRUPTION = "CORRUPTION"
 # completion detected with offsets-only state (disk-spill mode): bytes
 # reconstruct downstream via batch join against the chunk log
 CODE_COMPLETE_OFFSETS_ONLY = "COMPLETE_OFFSETS_ONLY"

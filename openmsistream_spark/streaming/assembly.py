@@ -36,6 +36,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..schemas import (
     CODE_COMPLETE_OFFSETS_ONLY,
+    CODE_CORRUPTION,
     CODE_HASH_MISMATCH,
     CODE_IN_PROGRESS,
     CODE_SUCCESSFULLY_RECONSTRUCTED,
@@ -73,21 +74,33 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def generation_decision(
+    cur_n: int, cur_hash: bytes, cur_mtime: float | None,
+    new_n: int, new_hash: bytes, new_mtime: float | None,
+) -> str:
+    """The reference's tri-state generation rule
+    (download_data_file.py:160-272): "adopt" iff strictly more chunks, or
+    equal chunks and strictly newer mtime; same hash with a DIFFERENT
+    chunk count is "corrupt" (the reference raises a corruption error);
+    everything else "skip"."""
+    if new_hash == cur_hash:
+        return "corrupt" if new_n != cur_n else "skip"
+    if new_n > cur_n:
+        return "adopt"
+    if new_n == cur_n and (new_mtime or 0.0) > (cur_mtime or 0.0):
+        return "adopt"
+    return "skip"
+
+
 def _adopt_new_generation(
     cur_n: int, cur_hash: bytes, cur_mtime: float | None,
     new_n: int, new_hash: bytes, new_mtime: float | None,
 ) -> bool:
-    """The reference's tri-state generation rule
-    (download_data_file.py:160-272): adopt iff strictly more chunks, or
-    equal chunks and strictly newer mtime."""
-    if new_hash == cur_hash:
-        return False
-    if new_n > cur_n:
-        return True
-    if new_n == cur_n:
-        if (new_mtime or 0.0) > (cur_mtime or 0.0):
-            return True
-    return False
+    """Boolean view of ``generation_decision`` (adopt or not)."""
+    return (
+        generation_decision(cur_n, cur_hash, cur_mtime, new_n, new_hash, new_mtime)
+        == "adopt"
+    )
 
 
 def _assemble_group(
@@ -141,51 +154,74 @@ def _assemble_group(
     else:
         n_total, file_hash, file_mtime, offset_map = 0, b"", None, {}
 
+    corrupt = False
     for pdf in pdfs:
         for row in pdf.itertuples(index=False):
             row_hash = bytes(row.file_hash)
+            row_n = int(row.n_total_chunks)
             row_mtime = None if pd.isna(row.file_mtime) else float(row.file_mtime)
             if completed_tombstone:
                 if row_hash == file_hash:
+                    if row_n != n_total:
+                        corrupt = True  # same hash, different count
                     continue  # ALREADY_WRITTEN: duplicate of the done file
                 if _adopt_new_generation(
-                    n_total, file_hash, file_mtime,
-                    int(row.n_total_chunks), row_hash, row_mtime,
+                    n_total, file_hash, file_mtime, row_n, row_hash, row_mtime,
                 ):
                     completed_tombstone = False
                     offset_map.clear()
-                    n_total, file_hash, file_mtime = (
-                        int(row.n_total_chunks), row_hash, row_mtime,
-                    )
+                    n_total, file_hash, file_mtime = row_n, row_hash, row_mtime
                 else:
                     continue  # stale generation vs the completed one
             elif not offset_map and n_total == 0:
-                n_total, file_hash, file_mtime = int(row.n_total_chunks), row_hash, row_mtime
+                n_total, file_hash, file_mtime = row_n, row_hash, row_mtime
             elif row_hash != file_hash:
                 if _adopt_new_generation(
-                    n_total, file_hash, file_mtime,
-                    int(row.n_total_chunks), row_hash, row_mtime,
+                    n_total, file_hash, file_mtime, row_n, row_hash, row_mtime,
                 ):
                     # generation reset: drop all prior state
                     offset_map.clear()
-                    n_total, file_hash, file_mtime = (
-                        int(row.n_total_chunks), row_hash, row_mtime,
-                    )
+                    n_total, file_hash, file_mtime = row_n, row_hash, row_mtime
                 else:
                     continue  # stale generation chunk — discard
+            elif row_n != n_total:
+                # same hash, different count — the reference raises a
+                # corruption error here (download_data_file.py:160-272);
+                # emit a CORRUPTION row, discard the chunk, keep state
+                corrupt = True
+                continue
             off = int(row.chunk_offset_write)
             if off in offset_map:  # dedup by offset (at-least-once delivery)
                 continue
             # disk-spill mode: track the offset, never buffer the payload
             offset_map[off] = bytes(row.data) if buffer_bytes else b""
 
+    def _corruption_rows() -> list[dict]:
+        if not corrupt:
+            return []
+        return [
+            {
+                "rel_path": rel_path,
+                "n_total_chunks": n_total,
+                "n_chunks_received": len(offset_map),
+                "file_hash": file_hash,
+                "file_mtime": file_mtime,
+                "file_bytes": None,
+                "status": CODE_CORRUPTION,
+            }
+        ]
+
     if completed_tombstone:
         # nothing new for a completed file — keep the tombstone
         # (no timeout re-arm: tombstones never stall)
         state.update((-n_total, file_hash, file_mtime, [], []))
-        yield pd.DataFrame(
-            columns=[f.name for f in OUTPUT_SCHEMA.fields]
-        ).astype(object)
+        yield (
+            pd.DataFrame(_corruption_rows())
+            if corrupt
+            else pd.DataFrame(columns=[f.name for f in OUTPUT_SCHEMA.fields]).astype(
+                object
+            )
+        )
     elif n_total and len(offset_map) >= n_total:
         if buffer_bytes:
             body = b"".join(offset_map[o] for o in sorted(offset_map))
@@ -211,6 +247,7 @@ def _assemble_group(
                     "status": status,
                 }
             ]
+            + _corruption_rows()
         )
     else:
         offsets = sorted(offset_map)
@@ -219,9 +256,13 @@ def _assemble_group(
         )
         if timeout_ms:
             state.setTimeoutDuration(timeout_ms)
-        yield pd.DataFrame(
-            columns=[f.name for f in OUTPUT_SCHEMA.fields]
-        ).astype(object)
+        yield (
+            pd.DataFrame(_corruption_rows())
+            if corrupt
+            else pd.DataFrame(columns=[f.name for f in OUTPUT_SCHEMA.fields]).astype(
+                object
+            )
+        )
 
 
 def streaming_assemble(

@@ -16,6 +16,7 @@ from openmsistream_spark.operators.assembly import (
 )
 from openmsistream_spark.operators.chunking import chunk_binary_column, chunk_files
 from openmsistream_spark.schemas import (
+    CODE_CORRUPTION,
     CODE_HASH_MISMATCH,
     CODE_IN_PROGRESS,
     CODE_SUCCESSFULLY_RECONSTRUCTED,
@@ -101,6 +102,47 @@ def test_generation_policy(spark):
 
     out = {r.rel_path: bytes(r.file_bytes) for r in assemble_files(all_chunks).collect()}
     assert out == {"f": b"ccccddddeeee", "w": b"33334444"}
+
+
+def test_same_hash_different_count_is_corruption(spark):
+    """Reference semantics (download_data_file.py:160-272): one file_hash
+    seen with two different n_total_chunks is corruption, not adoption —
+    the file must surface status CORRUPTION with null bytes."""
+    df = spark.createDataFrame(
+        [("f", b"aaaabbbb"), ("ok", b"ccccdddd")],
+        "rel_path string, content binary",
+    ).withColumn("file_mtime", F.lit(1.0))
+    chunks = chunk_binary_column(df, chunk_size=4, keep=["rel_path", "file_mtime"])
+    # forge a chunk of f claiming the SAME hash but a different count
+    forged = chunks.filter("rel_path='f' AND chunk_i=1").withColumn(
+        "n_total_chunks", F.lit(5).cast("long")
+    )
+    out = {r.rel_path: r for r in assemble_files(chunks.union(forged)).collect()}
+    assert out["f"].status == CODE_CORRUPTION
+    assert out["f"].file_bytes is None
+    assert out["ok"].status == CODE_SUCCESSFULLY_RECONSTRUCTED
+    assert bytes(out["ok"].file_bytes) == b"ccccdddd"
+
+
+def test_many_chunk_assembly_is_linear(spark):
+    """5k-chunk file assembles without the O(n²) concat blowup (a 5000-
+    chunk file under F.aggregate+concat does ~12.5M byte-copies of the
+    running prefix; the Arrow b''.join path is one pass)."""
+    import time
+
+    cs = 256
+    payload = bytes(range(256)) * (5000 * cs // 256)  # exactly 5000 chunks
+    df = spark.createDataFrame(
+        [("big", payload)], "rel_path string, content binary"
+    ).withColumn("file_mtime", F.lit(1.0))
+    chunks = chunk_binary_column(df, chunk_size=cs, keep=["rel_path", "file_mtime"])
+    t0 = time.monotonic()
+    rows = assemble_files(chunks).collect()
+    elapsed = time.monotonic() - t0
+    assert rows[0].status == CODE_SUCCESSFULLY_RECONSTRUCTED
+    assert bytes(rows[0].file_bytes) == payload
+    assert rows[0].n_total_chunks == 5000
+    assert elapsed < 60  # generous; the quadratic path takes minutes
 
 
 def test_zero_and_boundary_sizes(spark):

@@ -16,7 +16,10 @@ except ImportError:
     msgpack = None
 
 from openmsistream_spark.functions.serde import packb, unpackb
-from openmsistream_spark.streaming.assembly import _adopt_new_generation
+from openmsistream_spark.streaming.assembly import (
+    _adopt_new_generation,
+    generation_decision,
+)
 
 # --------------------------------------------------------------------------
 # wire codec
@@ -105,6 +108,19 @@ def test_same_hash_never_readopted(seeds):
         n, mtime = _gen(seed)
         assert not _adopt_new_generation(n, _hash(seed), mtime, n + 3, _hash(seed),
                                          (mtime or 0) + 1)
+
+
+@given(generation_seeds)
+@settings(max_examples=500, deadline=None)
+def test_same_hash_different_count_is_corrupt(seeds):
+    """Same hash + different chunk count must be classified "corrupt"
+    (the reference raises a corruption error, download_data_file.py:
+    160-272); same hash + same count is a plain "skip" duplicate."""
+    for seed in seeds:
+        n, mtime = _gen(seed)
+        h = _hash(seed)
+        assert generation_decision(n, h, mtime, n + 1, h, mtime) == "corrupt"
+        assert generation_decision(n, h, mtime, n, h, (mtime or 0) + 5) == "skip"
 
 
 def test_adoption_tri_state_exact():

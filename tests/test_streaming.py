@@ -202,6 +202,66 @@ def test_offsets_only_mode_with_downstream_reassembly(spark, tmpdirs):
     assert out[0].status == "SUCCESSFULLY_RECONSTRUCTED"
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for driving _assemble_group directly
+    (deterministic micro-batch boundaries, no streaming query)."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_streaming_corruption_same_hash_different_count(spark):
+    """A chunk carrying the CURRENT generation's hash but a different
+    n_total_chunks must emit a CORRUPTION row (reference raises,
+    download_data_file.py:160-272) — the chunk is discarded, the good
+    state survives, and the file still completes."""
+    import pandas as pd
+
+    from openmsistream_spark.streaming.assembly import _assemble_group
+
+    payload = os.urandom(3 * CS)
+    rows = [r.asDict() for r in _chunk_rows(spark, "c.bin", payload, 1.0).collect()]
+    state = _FakeState()
+
+    def run(batch_rows):
+        return [
+            df
+            for df in _assemble_group(("c.bin",), [pd.DataFrame(batch_rows)], state)
+            if len(df)
+        ]
+
+    # batch 0: two of three chunks — no output, state held
+    assert run(rows[:-1]) == []
+    # batch 1: forged same-hash chunk claiming 7 total → CORRUPTION row
+    forged = {**rows[0], "n_total_chunks": 7, "chunk_offset_write": 999}
+    out = run([forged])
+    assert len(out) == 1 and list(out[0].status) == ["CORRUPTION"]
+    assert out[0].file_bytes.iloc[0] is None
+    assert out[0].n_total_chunks.iloc[0] == 3  # the retained generation
+    # batch 2: the real last chunk — state survived, file completes
+    out = run(rows[-1:])
+    assert list(out[0].status) == ["SUCCESSFULLY_RECONSTRUCTED"]
+    assert bytes(out[0].file_bytes.iloc[0]) == payload
+    # batch 3: forged duplicate against the completed tombstone → CORRUPTION
+    out = run([forged])
+    assert list(out[0].status) == ["CORRUPTION"]
+
+
 def test_disk_reconstruction_sink(spark, tmpdirs):
     from openmsistream_spark.streaming.sinks import write_reconstructed_files
 
