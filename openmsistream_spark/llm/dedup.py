@@ -60,15 +60,47 @@ def word_shingles(
     )
 
 
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
+def cap_hot_shingles(
+    shingles: DataFrame, max_df: int | None = DEFAULT_MAX_SHINGLE_DF
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    A stop-word shingle shared by k documents generates k² join rows in
+    any shared-shingle pair join — at corpus scale one hot key is
+    quadratic. The DF count is one map-side-combinable groupBy; the hot
+    set is tiny by construction (only shingles above the cap), so the
+    exclusion is a broadcast anti-join. ``max_df=None`` disables.
+    """
+    if not max_df:
+        return shingles
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    return shingles.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def jaccard_pairs(
-    shingles: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+    shingles: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard over a (id, shingle) table.
 
     Pairs are generated only through shared shingles (the join key), so
-    disjoint documents never meet. At scale, cap hot shingles via a
-    document-frequency filter before calling, or use MinHash-LSH below.
+    disjoint documents never meet. Hot shingles (document frequency >
+    ``max_shingle_df``) are excluded from BOTH the pair join and the
+    per-doc sizes — a high-DF shingle is a quadratic hot key at corpus
+    scale (see ``cap_hot_shingles``). For large corpora prefer
+    MinHash-LSH below.
     """
+    shingles = cap_hot_shingles(shingles, max_shingle_df)
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -153,10 +185,16 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Near-dup pipeline: shingle → minhash → band → candidate pairs →
-    exact Jaccard verify on candidates only."""
+    exact Jaccard verify on candidates only.
+
+    Hot shingles are capped once, up front, so signatures, candidates and
+    the verify join all see the same capped shingle set (a high-DF
+    shingle would otherwise be a quadratic hot key in the verify join)."""
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sh = cap_hot_shingles(sh, max_shingle_df)
     sigs = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
     cand = minhash_lsh_candidates(sigs, rows_per_band=rows_per_band, id_col=id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

@@ -10,10 +10,18 @@ The LSH variant buckets vectors by projection signs so each query only
 scores its bucket — the scale path when the corpus is too large for
 brute force. Both are pure column expressions (zip_with/aggregate), no
 Python in the scoring loop.
+
+Top-k is two-phase: each corpus partition keeps a bounded per-query
+top-k (mapInPandas over the narrow scored rows — the vectors never cross
+Arrow), then the global window merges only partitions×queries×k
+survivors. A single `row_number() OVER (PARTITION BY query_id)` would
+instead shuffle EVERY scored candidate of a query to one reducer —
+|corpus| rows per task at scale.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,6 +39,39 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
 def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     vec = _as_double(F.col(vec_col))
     return df.withColumn("_vec", vec).withColumn("_norm", F.sqrt(_dot(F.col("_vec"), F.col("_vec"))))
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase top-k over (query_id, neighbor_id, cosine) rows.
+
+    Phase 1 — per-partition: a running bounded top-k per query inside
+    mapInPandas (memory ≤ queries×k + one Arrow batch; no shuffle — rows
+    are pruned where the corpus partitions already live).
+    Phase 2 — global: the usual window over the tiny survivor set.
+
+    Safe prune: any row in the global top-k under (cosine desc,
+    neighbor_id asc) is necessarily in its own partition's top-k under
+    the same order.
+    """
+
+    def partition_topk(batches):
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            cur = cur.sort_values(
+                ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    pruned = scored.mapInPandas(partition_topk, schema=scored.schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def cosine_topk(
@@ -60,12 +101,7 @@ def cosine_topk(
         )
         .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def lsh_bucket(vec_col: F.Column, n_bits: int = 4) -> F.Column:
@@ -116,9 +152,4 @@ def cosine_topk_lsh(
         )
         .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k)

@@ -193,12 +193,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(_cos("qv", "xv") / (F.col("qn") * F.col("xn")), 4))
     )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # two-phase top-k: per-partition prune, then merge the survivors
+    # (a bare per-query window would pull every scored candidate of a
+    # query onto one reducer)
+    from .llm.similarity import _topk_per_query
+
+    return _topk_per_query(pairs.select("query_id", "neighbor_id", "cosine"), 5)
 
 
 @query(

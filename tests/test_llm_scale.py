@@ -1,0 +1,92 @@
+"""Scale-path unit tests for the LLM dedup/similarity operators: the
+hot-shingle document-frequency cap (a high-DF shingle is a quadratic hot
+key in any shared-shingle pair join) and the two-phase top-k (a bare
+per-query window shuffles every scored candidate to one reducer)."""
+
+from pyspark.sql import functions as F
+
+from openmsistream_spark.llm.dedup import (
+    cap_hot_shingles,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+)
+from openmsistream_spark.llm.similarity import cosine_topk
+
+
+def test_hot_shingle_excluded_from_pairs(spark):
+    # docs 1..6 share "hot" (DF 6); only docs 1,2 share real content
+    rows = (
+        [(i, "hot") for i in range(1, 7)]
+        + [(1, s) for s in ("a", "b", "c")]
+        + [(2, s) for s in ("a", "b", "c")]
+    )
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    capped = jaccard_pairs(sh, threshold=0.1, max_shingle_df=5).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(1, 2)}
+    # capped sizes exclude the hot shingle on both sides → exact 3/3
+    assert capped[0].jaccard == 1.0
+
+    # uncapped: the single hot shingle alone creates all C(6,2)=15 pairs
+    uncapped = jaccard_pairs(sh, threshold=0.1, max_shingle_df=None).collect()
+    assert len(uncapped) == 15
+
+
+def test_cap_hot_shingles_noop_below_cap(spark):
+    sh = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (1, "y")], "doc_id long, shingle string"
+    )
+    assert cap_hot_shingles(sh, 10_000).count() == 3
+    assert cap_hot_shingles(sh, None).count() == 3
+    assert cap_hot_shingles(sh, 1).count() == 1  # "x" (DF 2) dropped
+
+
+def test_minhash_pipeline_ignores_hot_shingle(spark):
+    # two docs whose ONLY overlap is a stop-word shingle repeated
+    # everywhere; with the cap they must not pair up
+    common = "the of and " * 4  # produces the same hot shingles in both
+    docs = spark.createDataFrame(
+        [(1, common + "alpha beta gamma delta"), (2, common + "zeta eta theta iota")]
+        + [(i, common + f"filler{i} a{i} b{i} c{i}") for i in range(3, 9)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_dedup(docs, threshold=0.2, max_shingle_df=5).collect()
+    assert out == []
+
+
+def test_two_phase_topk_matches_bruteforce_window(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)  # several partitions so phase 1 actually prunes
+    out = cosine_topk(emb, query_ids=[3, 4, 5], k=4).collect()
+    # exactly k per query, ranks 1..k, cosine non-increasing
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {3, 4, 5}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4]
+        assert all(
+            rows[i].cosine >= rows[i + 1].cosine for i in range(len(rows) - 1)
+        )
+        assert all(r.neighbor_id != q for r in rows)
+
+    # cross-check against a driver-side exact computation
+    vecs = {i: np.array(v) for i, v in [(r.vec_id, r.embedding) for r in emb.collect()]}
+    for q, rows in by_q.items():
+        sims = sorted(
+            (
+                (round(float(vecs[q] @ v / (np.linalg.norm(vecs[q]) * np.linalg.norm(v))), 4), -i)
+                for i, v in vecs.items()
+                if i != q
+            ),
+            reverse=True,
+        )[:4]
+        expect = [(-i, c) for c, i in sims]
+        got = [(r.neighbor_id, r.cosine) for r in sorted(rows, key=lambda r: r.rank)]
+        assert got == expect
