@@ -572,7 +572,8 @@ def q20_parts_with_surplus(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n.n_name = 'NATION_1'
       GROUP BY l.l_partkey)
     SELECT l_partkey, part_value FROM pv
-    WHERE part_value > (SELECT CAST(sum(part_value) AS DOUBLE) * 0.001 FROM pv)
+    WHERE part_value >
+      (SELECT CAST(sum(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) * 0.001 FROM pv)
     """,
     doc="TPC-H Q11 shape (lineitem value for partsupp): per-part value above a "
     "fraction-of-total scalar-subquery threshold",
@@ -591,7 +592,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pv is reused by both the threshold scalar and the filter; its agg is
     # cheap but upstream joins aren't — cache would help iteratively, but a
     # single-action plan lets Spark reuse the shuffle output of the agg.
-    thresh = pv.agg((F.sum("part_value") * 0.001).alias("_t"))
+    # Threshold accumulates as decimal(28,6) (order-independent sum) so a
+    # boundary part can't flip between engines on float association.
+    thresh = pv.agg(
+        (F.sum(F.col("part_value").cast("decimal(28,6)")).cast("double") * 0.001).alias("_t")
+    )
     return (
         pv.crossJoin(F.broadcast(thresh))
         .filter(F.col("part_value") > F.col("_t"))
@@ -608,7 +613,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_brand <> 'Brand#1'
       AND p.p_type NOT LIKE 'PROMO%'
       AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
-      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0.0)
     GROUP BY 1, 2, 3
     """,
     doc="TPC-H Q16 shape (lineitem as part-supplier bridge; negative-balance "

@@ -2,14 +2,20 @@
 sf0.001 (the driver's own gate runs the same comparison at sf0.01 —
 tests/oracle_check.py runs either on demand)."""
 
+import os
 import subprocess
 import sys
 
 import pytest
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# the HLL tolerance check needs the larger sf0.01 set for statistical
+# power; honor the standard override and skip cleanly when absent
+HLL_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_HLL_SF_DIR", "/root/testdata/sf0.01")
+
 
 def test_entry_returns_rows(spark):
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO_ROOT)
     import __spark_entry__ as e
 
     df = e.entry(spark)
@@ -18,7 +24,7 @@ def test_entry_returns_rows(spark):
 
 
 def test_every_query_has_callable_and_oracle_alignment():
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO_ROOT)
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
@@ -27,25 +33,28 @@ def test_every_query_has_callable_and_oracle_alignment():
 
 
 @pytest.mark.slow
-def test_oracle_parity_sf0001():
+def test_oracle_parity(sf_dir):
     out = subprocess.run(
-        [sys.executable, "tests/oracle_check.py", "--sf", "/root/testdata/sf0.001"],
+        [sys.executable, "tests/oracle_check.py", "--sf", sf_dir],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
-        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin:/usr/local/bin",
-             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
+        cwd=REPO_ROOT,
+        env={"PYTHONPATH": REPO_ROOT, "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAVA_HOME": os.environ.get("JAVA_HOME", "")},
     )
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(HLL_SF_DIR), reason=f"{HLL_SF_DIR} not present"
+)
 def test_hll_sketch_within_5pct_of_exact(spark):
     from openmsistream_spark.queries import QUERIES, load
 
-    df = QUERIES["hll_distinct_users_daily"].fn(spark, "/root/testdata/sf0.01")
+    df = QUERIES["hll_distinct_users_daily"].fn(spark, HLL_SF_DIR)
     rows = {r["day"]: r["approx_users"] for r in df.collect()}
     assert rows, "no days produced"
-    ev = load(spark, "/root/testdata/sf0.01", "events")
+    ev = load(spark, HLL_SF_DIR, "events")
     from pyspark.sql import functions as F
 
     exact = {
@@ -58,10 +67,10 @@ def test_hll_sketch_within_5pct_of_exact(spark):
         assert abs(est - exact[day]) / exact[day] < 0.05, (day, est, exact[day])
 
 
-def test_cube_grouping_sets_complete(spark):
+def test_cube_grouping_sets_complete(spark, sf_dir):
     from openmsistream_spark.queries import QUERIES
 
-    df = QUERIES["cube_status_priority_counts"].fn(spark, "/root/testdata/sf0.001")
+    df = QUERIES["cube_status_priority_counts"].fn(spark, sf_dir)
     rows = df.collect()
     sets = {(r["g_status"], r["g_priority"]) for r in rows}
     assert sets == {(0, 0), (0, 1), (1, 0), (1, 1)}
