@@ -16,11 +16,67 @@ log. ``query.status`` / ``query.stop()`` are the check/quit commands.
 from __future__ import annotations
 
 import json
+import logging
+import threading
+import time
 from collections.abc import Callable
 
 from pyspark.sql.streaming import StreamingQueryListener
 
 HeartbeatEmit = Callable[[str, str], None]  # (key, value_json) -> None
+
+
+class LogBuffer(logging.Handler):
+    """K7 — bounded, thread-safe ring buffer of formatted log records
+    with per-reader drains (reference: utilities/log_handler.py:12-144,
+    simplified: a monotone sequence number replaces the reference's
+    index+generation pointer pair — same semantics, including readers
+    that fall behind losing the overwritten messages).
+
+    Attach to any logger; a LogBatchListener (or caller) periodically
+    drains unread messages into one (key, value) log-batch message."""
+
+    def __init__(self, max_messages: int = 128):
+        super().__init__()
+        self._lock2 = threading.Lock()
+        self._max = max_messages
+        self._buf: list[tuple[int, str]] = []  # (seq, message)
+        self._seq = 0
+        self._readers: dict[str, int] = {}  # reader -> last seq seen
+
+    def emit(self, record: logging.LogRecord) -> None:
+        msg = self.format(record)
+        with self._lock2:
+            self._seq += 1
+            self._buf.append((self._seq, msg))
+            if len(self._buf) > self._max:
+                del self._buf[: len(self._buf) - self._max]
+
+    def set_max_messages(self, max_messages: int) -> None:
+        with self._lock2:
+            self._max = max_messages
+            if len(self._buf) > self._max:
+                del self._buf[: len(self._buf) - self._max]
+
+    def get_messages(self, reader_id: str = "default") -> list[str]:
+        """Unread messages for this reader (and advance its pointer)."""
+        with self._lock2:
+            last = self._readers.get(reader_id, 0)
+            out = [m for s, m in self._buf if s > last]
+            self._readers[reader_id] = self._seq
+            return out
+
+
+def log_batch_message(buffer: LogBuffer, program_id: str) -> tuple[str, str]:
+    """One drained log-batch as the reference's wire shape (reference:
+    utilities/log_producibles.py:10-28): key = "<program_id>_log",
+    value = JSON {timestamp, messages:[...]}. Returns the pair even when
+    empty (the reference produces on every interval)."""
+    value = {
+        "timestamp": time.time(),
+        "messages": buffer.get_messages(program_id),
+    }
+    return f"{program_id}_log", json.dumps(value)
 
 
 class HeartbeatListener(StreamingQueryListener):
@@ -69,5 +125,64 @@ def attach_heartbeats(
     """Register a HeartbeatListener on the session; returns it (keep the
     handle to read ``.beats`` or to remove it later)."""
     listener = HeartbeatListener(program_id, emit)
+    spark.streams.addListener(listener)
+    return listener
+
+
+class LogBatchListener(StreamingQueryListener):
+    """K7 — ships buffered log batches through the same transport as
+    heartbeats: on each micro-batch progress event (rate-limited by
+    ``interval_secs``, the reference's log_interval_secs) the unread tail
+    of ``buffer`` is drained into one (key, value) message and handed to
+    ``emit`` — Kafka producer, parquet-topic appender, or test list."""
+
+    def __init__(
+        self,
+        buffer: LogBuffer,
+        program_id: str = "openmsistream_spark",
+        emit: HeartbeatEmit | None = None,
+        interval_secs: float = 0.0,
+    ):
+        self.buffer = buffer
+        self.program_id = program_id
+        self.batches: list[dict] = []
+        self._emit = emit
+        self._interval = interval_secs
+        self._last = 0.0
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802 (Spark API)
+        now = time.time()
+        if self._interval and (now - self._last) < self._interval:
+            return
+        self._last = now
+        key, value = log_batch_message(self.buffer, self.program_id)
+        self.batches.append(json.loads(value))
+        if self._emit is not None:
+            self._emit(key, value)
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+
+def attach_log_batches(
+    spark,
+    logger: logging.Logger,
+    program_id: str = "openmsistream_spark",
+    emit: HeartbeatEmit | None = None,
+    interval_secs: float = 0.0,
+    max_messages: int = 128,
+) -> LogBatchListener:
+    """Wire a LogBuffer onto ``logger`` and register a LogBatchListener
+    that drains it per micro-batch; returns the listener (its ``.buffer``
+    is the handler — detach both when done)."""
+    buffer = LogBuffer(max_messages)
+    logger.addHandler(buffer)
+    listener = LogBatchListener(buffer, program_id, emit, interval_secs)
     spark.streams.addListener(listener)
     return listener
