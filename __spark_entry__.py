@@ -24,17 +24,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _previously_verified() -> set[str]:
-    """Names with a green hash/rows row in any prior round's
-    CORRECTNESS_r*.json. Used to order the catalog so that, if the
-    driver caps its per-round sweep, not-yet-verified queries are
-    checked first and the whole catalog converges to driver-green."""
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _last_green_round() -> dict[str, str]:
+    """Map query name -> path of the NEWEST CORRECTNESS_r*.json holding a
+    green hash/rows row for it. Used to order the catalog so that, if
+    the driver caps its per-round sweep, not-yet-verified queries (and
+    verified queries whose source changed since that round — their green
+    row is stale) are checked first and the whole catalog converges to
+    driver-green on current code."""
     import glob
     import json
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    latest: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -42,15 +46,106 @@ def _previously_verified() -> set[str]:
             continue
         for name, row in data.items():
             if isinstance(row, dict) and (row.get("hash_match") or row.get("rows_match")):
-                seen.add(name)
-    return seen
+                latest[name] = path  # sorted() => later rounds overwrite
+    return latest
+
+
+def _query_source_files(name: str) -> list[str]:
+    """Repo-relative source files implementing a query: the module that
+    defines its fn plus every package module that module pulls symbols
+    from (one-level import closure — catches e.g. queries_llm.py calling
+    into llm/similarity.py)."""
+    import inspect
+    import types
+
+    fn = QUERIES[name].fn
+    mod = sys.modules.get(fn.__module__)
+    mods = {mod} if mod is not None else set()
+    if mod is not None:
+        for obj in vars(mod).values():
+            if isinstance(obj, types.ModuleType):
+                dep = obj
+            else:
+                dep = sys.modules.get(getattr(obj, "__module__", None) or "")
+            if dep is not None and (dep.__name__ or "").startswith("openmsistream_spark"):
+                mods.add(dep)
+    paths = set()
+    for m in mods:
+        try:
+            src = inspect.getsourcefile(m)
+        except TypeError:
+            src = None
+        if src:
+            paths.add(os.path.relpath(os.path.abspath(src), _HERE))
+    return sorted(paths)
+
+
+def _git_blob(commit: str, relpath: str, _cache: dict = {}) -> bytes | None:
+    import subprocess
+
+    key = (commit, relpath)
+    if key not in _cache:
+        try:
+            out = subprocess.run(
+                ["git", "-C", _HERE, "show", f"{commit}:{relpath}"],
+                capture_output=True, timeout=30,
+            )
+            _cache[key] = out.stdout if out.returncode == 0 else None
+        except Exception:
+            _cache[key] = None
+    return _cache[key]
+
+
+def _verified_commit(correctness_path: str, _cache: dict = {}) -> str | None:
+    """Commit whose code the driver ran to produce this CORRECTNESS file —
+    the commit that first added the file (the driver commits round
+    artifacts immediately after the end-of-round code snapshot)."""
+    import subprocess
+
+    rel = os.path.basename(correctness_path)
+    if rel not in _cache:
+        try:
+            out = subprocess.run(
+                ["git", "-C", _HERE, "log", "--diff-filter=A",
+                 "--format=%H", "-n", "1", "--", rel],
+                capture_output=True, text=True, timeout=30,
+            )
+            sha = out.stdout.strip() if out.returncode == 0 else ""
+            _cache[rel] = sha or None
+        except Exception:
+            _cache[rel] = None
+    return _cache[rel]
+
+
+def _is_stale(name: str, correctness_path: str) -> bool:
+    """True iff the query's implementing source differs now from what the
+    driver verified (so its green row no longer covers shipping code)."""
+    commit = _verified_commit(correctness_path)
+    if commit is None:
+        return False  # no git signal — keep the green row's word
+    for rel in _query_source_files(name):
+        then = _git_blob(commit, rel)
+        try:
+            with open(os.path.join(_HERE, rel), "rb") as f:
+                now = f.read()
+        except OSError:
+            now = None
+        if then != now:
+            return True
+    return False
 
 
 def _ordered_names() -> list[str]:
-    verified = _previously_verified()
+    latest = _last_green_round()
     names = list(QUERIES)
-    # stable partition: unverified first, original order within each group
-    return [n for n in names if n not in verified] + [n for n in names if n in verified]
+    try:
+        fresh = {
+            n for n in names if n in latest and not _is_stale(n, latest[n])
+        }
+    except Exception:
+        fresh = set(latest)
+    # stable partition: unverified/stale first, original order within each
+    return [n for n in names if n not in fresh] + [n for n in names if n in fresh]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -6,19 +6,22 @@ a bounded wait, after which a message either raises or — with
 ``treat_undecryptable_as_plaintext`` — passes through unchanged
 (serialization.py:84-160; consts utilities/config.py:41-42).
 
-KafkaCrypto is an external key-management service; this container ships
-no crypto libraries, so the cipher itself is pluggable: call
-``set_cipher(encrypt_fn, decrypt_fn)`` with real implementations (e.g.
-KafkaCrypto- or Fernet-backed) and the Spark-side plumbing — Arrow-batched
-UDF stages, chain composition, undecryptable→DLQ routing — is what this
-module provides and tests. Without a registered cipher, ``strict`` mode
-raises NotImplementedError (clearly-marked stub); non-strict mode is the
-identity (plaintext) chain.
+KafkaCrypto is an external key-management service; the cipher itself is
+pluggable: call ``set_cipher(encrypt_fn, decrypt_fn)`` with any
+implementation and the Spark-side plumbing — Arrow-batched UDF stages,
+chain composition, undecryptable→DLQ routing — is what this module
+provides and tests. A real symmetric cipher backed by ``cryptography``'s
+Fernet recipe (AES-128-CBC + HMAC-SHA256) ships here as
+``fernet_cipher``/``set_fernet_cipher``; KafkaCrypto's key-exchange
+topics remain out of scope (external service). Without a registered
+cipher, ``strict`` mode raises NotImplementedError; non-strict mode is
+the identity (plaintext) chain.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache, partial
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -40,6 +43,54 @@ def set_cipher(encrypt: CipherFn, decrypt: CipherFn) -> None:
 def clear_cipher() -> None:
     global _ENCRYPT, _DECRYPT
     _ENCRYPT = _DECRYPT = None
+
+
+@lru_cache(maxsize=8)
+def _fernet(key: bytes):
+    from cryptography.fernet import Fernet
+
+    return Fernet(key)
+
+
+# module-level so the partials pickle into executor-side UDF closures;
+# the Fernet instance is built once per worker (lru_cache), not per row
+def _fernet_encrypt(key: bytes, data: bytes) -> bytes:
+    return _fernet(key).encrypt(data)
+
+
+def _fernet_decrypt(key: bytes, data: bytes) -> bytes:
+    return _fernet(key).decrypt(data)
+
+
+def fernet_cipher(key: bytes | str) -> tuple[CipherFn, CipherFn]:
+    """P9 — a real symmetric cipher pair for the serde chain, backed by
+    ``cryptography``'s Fernet recipe (AES-128-CBC + HMAC-SHA256).
+
+    Plays the role of the reference's per-message symmetric encryption
+    (kafka_wrapper/openmsistream_kafka_crypto.py:1-123 wires KafkaCrypto
+    serializers around key+value; serialization.py:84-160 bounds the
+    decrypt wait). Key distribution/rotation is KafkaCrypto's
+    key-passing-topic protocol — an external service by design; here the
+    key is provisioned by the caller. Decrypting garbage or a
+    wrong-key ciphertext raises InvalidToken, which the decrypt stage
+    turns into a ``decrypt_error`` row (→ K6 DLQ split) or a plaintext
+    passthrough under ``treat_undecryptable_as_plaintext``.
+    """
+    key_b = key.encode() if isinstance(key, str) else bytes(key)
+    _fernet(key_b)  # validate the key eagerly, on the driver
+    return partial(_fernet_encrypt, key_b), partial(_fernet_decrypt, key_b)
+
+
+def set_fernet_cipher(key: bytes | str | None = None) -> bytes:
+    """Generate (or take) a Fernet key, register the cipher pair, and
+    return the key so the consumer side can register the same one."""
+    if key is None:
+        from cryptography.fernet import Fernet
+
+        key = Fernet.generate_key()
+    key_b = key.encode() if isinstance(key, str) else bytes(key)
+    set_cipher(*fernet_cipher(key_b))
+    return key_b
 
 
 def _require(fn: CipherFn | None, strict: bool) -> CipherFn | None:

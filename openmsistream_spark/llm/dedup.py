@@ -89,16 +89,19 @@ def jaccard_pairs(
     shingles: DataFrame,
     threshold: float = 0.5,
     id_col: str = "doc_id",
-    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard over a (id, shingle) table.
 
     Pairs are generated only through shared shingles (the join key), so
-    disjoint documents never meet. Hot shingles (document frequency >
-    ``max_shingle_df``) are excluded from BOTH the pair join and the
-    per-doc sizes — a high-DF shingle is a quadratic hot key at corpus
-    scale (see ``cap_hot_shingles``). For large corpora prefer
-    MinHash-LSH below.
+    disjoint documents never meet. EXACT by default: every shingle
+    participates. At corpus scale pass ``max_shingle_df`` (e.g.
+    ``DEFAULT_MAX_SHINGLE_DF``) to exclude hot shingles from BOTH the
+    pair join and the per-doc sizes — a high-DF shingle is a quadratic
+    hot key (see ``cap_hot_shingles``) — accepting that the returned
+    Jaccard is then computed over the capped shingle sets. For large
+    corpora prefer MinHash-LSH below, which keeps the cap on by
+    default.
     """
     shingles = cap_hot_shingles(shingles, max_shingle_df)
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))

@@ -160,8 +160,16 @@ def assemble_files(
         df.groupBy(*key)
         .agg(
             corrupt_col,
-            F.first("n_total_chunks").alias("n_total_chunks"),
-            F.first("file_hash").alias("file_hash"),
+            # deterministic generation pick: after the generation policy a
+            # group holds one (hash, count) pair, but with the policy off —
+            # or for CORRUPTION groups with mixed pairs — first() would be
+            # run-dependent; max over the struct gives a stable answer
+            F.max(F.struct("n_total_chunks", "file_hash"))
+            .getField("n_total_chunks")
+            .alias("n_total_chunks"),
+            F.max(F.struct("n_total_chunks", "file_hash"))
+            .getField("file_hash")
+            .alias("file_hash"),
             F.max("file_mtime").alias("file_mtime"),
             F.count("*").alias("n_chunks_received"),
             F.array_sort(

@@ -78,14 +78,22 @@ class ParquetRegistry:
         staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(staging)
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        if self.fs.exists(self.path):
+        existed = self.fs.exists(self.path)
+        if existed:
             if not self.fs.rename(self.path, old):
+                self.fs.delete(staging)
                 raise IOError(f"could not stage out old registry at {self.path}")
         if not self.fs.rename(staging, self.path):
-            # roll back so the registry is never left missing
-            self.fs.rename(old, self.path)
-            raise IOError(f"could not swap staged registry into {self.path}")
-        self.fs.delete(old)
+            # roll back so the registry is never left missing; if the
+            # rollback itself fails, say where the previous table ended up
+            rolled_back = self.fs.rename(old, self.path) if existed else True
+            self.fs.delete(staging)
+            msg = f"could not swap staged registry into {self.path}"
+            if not rolled_back:
+                msg += f"; ROLLBACK ALSO FAILED — previous table left at {old}"
+            raise IOError(msg)
+        if existed:
+            self.fs.delete(old)
 
     def upsert(self, updates: DataFrame) -> None:
         """R2 — MERGE: replace rows whose key matches, append the rest."""

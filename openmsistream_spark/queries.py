@@ -775,7 +775,12 @@ _SHINGLE_CTE = f"""
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles(load(spark, sf_dir, "documents"), n=3)
-    return jaccard_pairs(sh, threshold=0.12)
+    # explicit hot-shingle cap: the scale-safe form (library default is
+    # exact/uncapped); no shingle in the driver corpora approaches the
+    # cap, so the exact oracle above still hash-matches
+    from .llm.dedup import DEFAULT_MAX_SHINGLE_DF
+
+    return jaccard_pairs(sh, threshold=0.12, max_shingle_df=DEFAULT_MAX_SHINGLE_DF)
 
 
 @query(

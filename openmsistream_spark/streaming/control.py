@@ -19,6 +19,7 @@ import json
 import logging
 import threading
 import time
+from collections import deque
 from collections.abc import Callable
 
 from pyspark.sql.streaming import StreamingQueryListener
@@ -136,6 +137,8 @@ class LogBatchListener(StreamingQueryListener):
     of ``buffer`` is drained into one (key, value) message and handed to
     ``emit`` — Kafka producer, parquet-topic appender, or test list."""
 
+    MAX_RETAINED_BATCHES = 128
+
     def __init__(
         self,
         buffer: LogBuffer,
@@ -145,7 +148,9 @@ class LogBatchListener(StreamingQueryListener):
     ):
         self.buffer = buffer
         self.program_id = program_id
-        self.batches: list[dict] = []
+        # bounded like LogBuffer — long-running queries fire a progress
+        # event per micro-batch and nothing drains this list otherwise
+        self.batches: deque[dict] = deque(maxlen=self.MAX_RETAINED_BATCHES)
         self._emit = emit
         self._interval = interval_secs
         self._last = 0.0

@@ -30,6 +30,9 @@ import mimetypes
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import CODE_SUCCESSFULLY_RECONSTRUCTED
 
 BASE_METADATA_VERSION_KEY = "OpenMSIStreamSparkVersion"
 
@@ -278,9 +281,21 @@ def upload_batch_to_girder(
     per consumer thread). Existing items with a matching sha512/sha256
     are skipped (idempotent replay); mismatching ones are replaced only
     when ``replace_existing`` (ref :296-333).
+
+    Only successfully-reconstructed files are uploaded: streaming
+    assembly also emits IN_PROGRESS snapshots, CORRUPTION,
+    HASH_MISMATCH, and COMPLETE_OFFSETS_ONLY rows (null or corrupt
+    ``file_bytes``) — the reference only hands hash-verified completed
+    files to the Girder path (girder_upload_stream_processor.py).
     """
     meta = dict(base_metadata or {})
-    rows = batch_df.select("rel_path", "file_bytes", "file_hash")
+    if "status" in batch_df.columns:
+        batch_df = batch_df.filter(
+            F.col("status") == CODE_SUCCESSFULLY_RECONSTRUCTED
+        )
+    rows = batch_df.select("rel_path", "file_bytes", "file_hash").filter(
+        F.col("file_bytes").isNotNull()
+    )
 
     def _part(it):
         client = client_factory()

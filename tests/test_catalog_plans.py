@@ -13,6 +13,12 @@ PYTHON_ALLOWED = {
     "multimodal_frame_sample",
     "multimodal_resize",
     "wire_roundtrip_docs",  # msgpack serde pandas UDFs (by design)
+    # two-phase top-k: one bounded per-partition mapInPandas stage keeps the
+    # global window over partitions*queries*k survivors instead of the whole
+    # corpus (llm/similarity.py — sanctioned scale design, Arrow-batched)
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "ann_ivf_topk",
 }
 
 
@@ -33,4 +39,8 @@ def test_catalog_is_jvm_side(spark):
             offenders.append(name)
         if not has_python and name in PYTHON_ALLOWED:
             offenders.append(f"{name} (expected a Python stage, found none)")
+        # row-at-a-time Python UDFs are never sanctioned, even where an
+        # Arrow stage is allowed
+        if "BatchEvalPython" in plan:
+            offenders.append(f"{name} (row-at-a-time BatchEvalPython)")
     assert not offenders, f"non-JVM plans: {offenders}"

@@ -67,6 +67,82 @@ def test_undecryptable_routes_to_dlq_or_plaintext(spark):
     assert rows2[b"bad"].decrypt_error is None
 
 
+def test_fernet_roundtrip(spark):
+    # P9 with a REAL cipher: cryptography's Fernet recipe
+    from openmsistream_spark.functions.crypto import set_fernet_cipher
+
+    set_fernet_cipher()
+    msgs = spark.createDataFrame(
+        [(b"k1", b"payload-one"), (b"k2", b"payload-two")], "key binary, value binary"
+    )
+    enc = encrypt_messages(msgs)
+    enc_rows = {bytes(r.key): bytes(r.value) for r in enc.collect()}
+    assert enc_rows[b"k1"] != b"payload-one"  # actually encrypted
+    assert enc_rows[b"k1"].startswith(b"gAAAAA")  # base64url Fernet v0x80 token
+    dec = decrypt_messages(enc)
+    got = {bytes(r.key): bytes(r.value) for r in dec.collect()}
+    assert got == {b"k1": b"payload-one", b"k2": b"payload-two"}
+
+
+def test_fernet_wire_chain_end_to_end(spark, sf_dir):
+    """Producer chunk→serialize→encrypt; consumer decrypt→deserialize→
+    reassemble, with wrong-key ciphertext exercising BOTH undecryptable
+    routes (DLQ and treat-as-plaintext). The Spark restatement of the
+    reference's encrypted E2E (test_data_file_directories_encrypted.py)
+    with a real cipher (openmsistream_kafka_crypto.py:1-123)."""
+    from openmsistream_spark.functions import serde
+    from openmsistream_spark.functions.crypto import set_fernet_cipher
+    from openmsistream_spark.operators.assembly import assemble_files
+    from openmsistream_spark.operators.chunking import chunk_files
+    from openmsistream_spark.schemas import CODE_SUCCESSFULLY_RECONSTRUCTED
+
+    key = set_fernet_cipher()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    files = docs.select(
+        F.concat(F.lit("d/doc_"), "doc_id").alias("rel_path"),
+        F.concat(F.lit("doc_"), "doc_id").alias("filename"),
+        F.lit("d").alias("subdir_str"),
+        F.current_timestamp().alias("modification_time"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    chunks = chunk_files(files, chunk_size=100)
+    wire = encrypt_messages(
+        serde.serialize_chunks(chunks).select(F.col("msg_key").alias("key"), "value")
+    )
+
+    # a message encrypted under a DIFFERENT key — undecryptable here
+    from cryptography.fernet import Fernet
+
+    stranger = Fernet(Fernet.generate_key()).encrypt(b"not ours")
+    bad = spark.createDataFrame([(b"stranger", stranger)], "key binary, value binary")
+    topic = wire.unionByName(bad)
+
+    # consumer under the right key: the stranger row must land in the DLQ
+    set_fernet_cipher(key)
+    dec = decrypt_messages(topic)
+    undecryptable = dec.filter(F.col("decrypt_error").isNotNull())
+    assert [bytes(r.key) for r in undecryptable.collect()] == [b"stranger"]
+
+    decoded = serde.deserialize_chunks(dec.filter(F.col("decrypt_error").isNull()))
+    good, dlq = serde.dlq_split(decoded)
+    assert dlq.count() == 0
+    out = assemble_files(
+        good.withColumn(
+            "rel_path", F.concat_ws("/", "subdir_str", "filename")
+        )
+    ).collect()
+    assert len(out) == 8
+    assert all(r.status == CODE_SUCCESSFULLY_RECONSTRUCTED for r in out)
+
+    # the reference's treat_undecryptable_as_plaintext fallback instead
+    # passes the ciphertext through; deserialize then DLQs it (garbage
+    # msgpack), never crashing the stream (serialization.py:143-160)
+    dec2 = decrypt_messages(topic, treat_undecryptable_as_plaintext=True)
+    assert dec2.filter(F.col("decrypt_error").isNotNull()).count() == 0
+    _, dlq2 = serde.dlq_split(serde.deserialize_chunks(dec2))
+    assert [bytes(r.key) for r in dlq2.collect()] == [b"stranger"]
+
+
 def test_no_cipher_is_identity_unless_strict(spark):
     df = spark.createDataFrame([(b"v",)], "value binary")
     out = df.withColumn("enc", encrypt_column("value")).collect()[0]
