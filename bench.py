@@ -48,6 +48,39 @@ HEADLINE = [
 ]
 
 
+def _adversarial_assembly(n_chunks: int):
+    """A1 at adversarial chunk counts: ONE file of n_chunks×1 KiB chunks
+    reassembled end-to-end. Guards the linear-time byte concat — an
+    accidental O(n²) regression shows up here as a superlinear blowup of
+    the 5k entry vs the 100 entry, not just in a unit test."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from openmsistream_spark.operators.assembly import assemble_files
+        from openmsistream_spark.operators.chunking import chunk_binary_column
+
+        one = spark.range(1).select(
+            F.lit("big/file.bin").alias("rel_path"),
+            F.lit(1.0).alias("file_mtime"),
+            F.encode(F.expr(f"repeat('0123456789abcdef', {n_chunks * 64})"), "utf-8").alias(
+                "content"
+            ),  # n_chunks KiB
+        )
+        chunks = chunk_binary_column(
+            one, chunk_size=1024, keep=["rel_path", "file_mtime"]
+        ).repartition(8)
+        return assemble_files(chunks)
+
+    return run
+
+
+EXTRA = {
+    "assembly_100_chunks": _adversarial_assembly(100),
+    "assembly_5k_chunks": _adversarial_assembly(5000),
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -60,6 +93,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    for name, fn in EXTRA.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

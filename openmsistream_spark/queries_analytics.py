@@ -231,26 +231,48 @@ def cube_status_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hll_distinct_users_daily",
-    # No portable oracle: Spark's hll_sketch_agg (Apache DataSketches HLL)
-    # and DuckDB's approx_count_distinct (different HLL impl) give
-    # different estimates by design. The driver records a rows-only
-    # check; tests/test_queries assert the estimate is within 5% of the
-    # exact count at sf0.01.
-    None,
+    # The sketch ESTIMATE itself has no portable oracle (Spark's
+    # DataSketches HLL vs DuckDB's own impl give different estimates by
+    # design), so the oracle checks the claim instead of the value: the
+    # emitted approx_within_5pct boolean — computed from the sketch vs
+    # the exact count — must be TRUE for every group, which DuckDB can
+    # assert as a constant. Exact/byte-identical columns (exact_users,
+    # n_events) hash-match directly.
+    """
+    SELECT date_trunc('day', ts) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM {EV}
+    GROUP BY 1
+    """,
     doc="HyperLogLog sketch distinct users per day — the 100 TB path for "
     "COUNT(DISTINCT): mergeable fixed-size sketches instead of a "
-    "shuffle of every distinct key; partial-aggregates map-side",
+    "shuffle of every distinct key; partial-aggregates map-side. The "
+    "exact count rides along for the correctness harness only; the "
+    "oracle verifies the sketch's 5%-relative-error claim via the "
+    "boolean column",
     survey="scale extension: sketch aggregation (A8-style counters at scale)",
 )
 def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.to_date("ts").alias("day"))
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(
             F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias(
-                "approx_users"
+                "_approx"
             ),
+            F.count_distinct("user_id").cast("bigint").alias("exact_users"),
             F.count("*").alias("n_events"),
         )
-        .select("day", "approx_users", "n_events")
+        .select(
+            "day",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
+        )
     )

@@ -88,32 +88,138 @@ def kafka_chunk_sink(
     )
 
 
-def s3_object_sink(completed: DataFrame, bucket: str, prefix: str, checkpoint_dir: str):
-    """K4 — upload completed files to S3 under ``prefix/rel_path`` with a
-    read-back hash verify (reference: s3_transfer_stream_processor.py:52-90).
-    boto3 is optional; raises cleanly when absent."""
+def _boto3_client():  # pragma: no cover - env-dependent
+    try:
+        import boto3
+    except ImportError as exc:
+        raise RuntimeError("s3_object_sink requires boto3") from exc
+    return boto3.client("s3")
 
-    def _upload(batch_df: DataFrame, _epoch: int) -> None:
-        def _part(it):
+
+class FilesystemS3Client:
+    """boto3-shaped object-store client persisting under a local root —
+    the K4 test/local backend (same pattern as the Girder sink's
+    FilesystemGirderClient). Objects live at ``root/bucket/key`` with a
+    JSON sidecar holding object metadata and a put counter, so tests can
+    assert replay idempotence across the executor↔driver boundary."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, bucket: str, key: str) -> str:
+        base = os.path.abspath(os.path.join(self.root, bucket))
+        p = os.path.abspath(os.path.join(base, key.lstrip("/")))
+        if os.path.commonpath([base, p]) != base:
+            raise ValueError(f"unsafe object key escapes bucket root: {key!r}")
+        return p
+
+    def head_object(self, Bucket: str, Key: str) -> dict:  # noqa: N803 (boto3 API)
+        p = self._path(Bucket, Key)
+        if not os.path.exists(p):
+            raise FileNotFoundError(Key)
+        with open(p + ".s3meta.json") as fh:
+            import json
+
+            meta = json.load(fh)
+        return {"Metadata": meta["metadata"], "ContentLength": os.path.getsize(p)}
+
+    def put_object(self, Bucket: str, Key: str, Body: bytes, Metadata=None) -> dict:  # noqa: N803
+        import json
+
+        p = self._path(Bucket, Key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        n_puts = 1
+        if os.path.exists(p + ".s3meta.json"):
+            with open(p + ".s3meta.json") as fh:
+                n_puts = json.load(fh).get("n_puts", 0) + 1
+        tmp = p + ".inprogress"
+        with open(tmp, "wb") as fh:
+            fh.write(bytes(Body))
+        os.replace(tmp, p)
+        with open(p + ".s3meta.json", "w") as fh:
+            json.dump({"metadata": dict(Metadata or {}), "n_puts": n_puts}, fh)
+        return {}
+
+    def get_object(self, Bucket: str, Key: str) -> dict:  # noqa: N803
+        import io
+
+        with open(self._path(Bucket, Key), "rb") as fh:
+            return {"Body": io.BytesIO(fh.read())}
+
+
+def upload_batch_to_s3(
+    batch_df: DataFrame,
+    bucket: str,
+    prefix: str,
+    client_factory=None,
+    verify: bool = True,
+) -> None:
+    """K4 — upload one micro-batch of completed files to S3 under
+    ``prefix/rel_path``, with the reference's upload-then-read-back hash
+    compare (s3_buckets/s3_data_transfer.py:15-40, s3_service.py) and
+    Girder-style skip-if-same-checksum idempotence: an object whose
+    stored sha512 metadata already matches is not re-uploaded, so
+    checkpoint replays are no-ops.
+
+    Only successfully-reconstructed rows upload (streaming assembly also
+    emits IN_PROGRESS/CORRUPTION/HASH_MISMATCH rows with null or corrupt
+    bytes). ``client_factory`` builds the client per partition on the
+    executor (boto3 by default; tests inject a filesystem-backed fake).
+    """
+    if "status" in batch_df.columns:
+        from ..schemas import CODE_SUCCESSFULLY_RECONSTRUCTED
+
+        batch_df = batch_df.filter(
+            F.col("status") == CODE_SUCCESSFULLY_RECONSTRUCTED
+        )
+    rows = batch_df.select("rel_path", "file_bytes", "file_hash").filter(
+        F.col("file_bytes").isNotNull()
+    )
+    factory = client_factory or _boto3_client
+
+    def _part(it):
+        client = factory()
+        for row in it:
+            key = f"{prefix.rstrip('/')}/{row.rel_path.lstrip('/')}"
+            want = bytes(row.file_hash)
             try:
-                import boto3  # noqa: F401
-            except ImportError as exc:  # pragma: no cover - env-dependent
-                raise RuntimeError("s3_object_sink requires boto3") from exc
-            client = boto3.client("s3")
-            for row in it:
-                key = f"{prefix.rstrip('/')}/{row.rel_path}"
-                body = bytes(row.file_bytes)
-                client.put_object(Bucket=bucket, Key=key, Body=body)
+                head = client.head_object(Bucket=bucket, Key=key)
+            except Exception:  # missing object (boto3 raises ClientError)
+                head = None
+            if head is not None and head.get("Metadata", {}).get("sha512") == want.hex():
+                continue  # already uploaded — idempotent replay skip
+            client.put_object(
+                Bucket=bucket,
+                Key=key,
+                Body=bytes(row.file_bytes),
+                Metadata={"sha512": want.hex()},
+            )
+            if verify:
                 got = client.get_object(Bucket=bucket, Key=key)["Body"].read()
-                if hashlib.sha512(got).digest() != bytes(row.file_hash):
+                if hashlib.sha512(got).digest() != want:
                     raise IOError(f"S3 read-back hash mismatch for {key}")
 
-        batch_df.select("rel_path", "file_bytes", "file_hash").rdd.foreachPartition(_part)
+    rows.rdd.foreachPartition(_part)
 
+
+def s3_object_sink(
+    completed: DataFrame,
+    bucket: str,
+    prefix: str,
+    checkpoint_dir: str,
+    client_factory=None,
+    verify: bool = True,
+):
+    """K4 — attach the verified S3 upload as a foreachBatch sink on a
+    streaming DataFrame of completed files."""
     return (
         completed.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(_upload)
+        .foreachBatch(
+            lambda df, _epoch: upload_batch_to_s3(
+                df, bucket, prefix, client_factory, verify
+            )
+        )
     )
 
 

@@ -74,6 +74,67 @@ def test_upload_mirrors_hierarchy_with_checksums(spark, fake_root):
         assert json.load(fh)["KafkaTopic"] == "topic"
 
 
+def test_streaming_sink_checkpointed_replay(spark, fake_root, tmp_path):
+    """girder_sink as an actual writeStream (availableNow) over streaming
+    assembly output: only the hash-verified completed file uploads (the
+    IN_PROGRESS row has null bytes and must not crash the batch), a
+    restart on the same checkpoint replays nothing, and a fresh
+    checkpoint hits the same-checksum skip — no duplicate uploads."""
+    import hashlib as _hl
+
+    from openmsistream_spark.operators.chunking import chunk_binary_column
+    from openmsistream_spark.streaming.assembly import streaming_assemble
+    from openmsistream_spark.streaming.girder import girder_sink
+
+    payload = b"streaming girder payload " * 40
+    files = spark.createDataFrame(
+        [("sub/stream.bin", payload, 1.0), ("sub/partial.bin", b"x" * 96, 1.0)],
+        "rel_path string, content binary, file_mtime double",
+    )
+    chunks = chunk_binary_column(files, chunk_size=32, keep=["rel_path", "file_mtime"])
+    # drop one chunk of partial.bin so it stays IN_PROGRESS
+    chunks = chunks.filter(
+        ~((F.col("rel_path") == "sub/partial.bin") & (F.col("chunk_i") == 2))
+    )
+    in_dir = str(tmp_path / "chunks_in")
+    chunks.write.parquet(in_dir)
+
+    client = FakeGirderClient(fake_root)
+    root_id = ensure_root_folder(client, "coll", None, "topic")
+    factory = lambda: FakeGirderClient(fake_root)  # noqa: E731
+
+    def run(checkpoint):
+        schema = (
+            "rel_path string, file_mtime double, n_total_chunks bigint, "
+            "file_hash binary, chunk_i bigint, chunk_offset_write bigint, data binary"
+        )
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            girder_sink(streaming_assemble(src), factory, root_id, checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)
+    target = os.path.join(root_id, "sub/stream.bin.bin")
+    assert os.path.isfile(target)
+    with open(target, "rb") as fh:
+        assert fh.read() == payload
+    assert not os.path.exists(os.path.join(root_id, "sub/partial.bin.bin"))
+    _, item = client.find_item(os.path.join(root_id, "sub"), "stream.bin")
+    assert item["n_uploads"] == 1
+    assert item["meta"]["checksum"]["sha256"] == _hl.sha256(payload).hexdigest()
+
+    run(ckpt)  # restart, same checkpoint — source replays nothing
+    _, item = client.find_item(os.path.join(root_id, "sub"), "stream.bin")
+    assert item["n_uploads"] == 1
+    run(str(tmp_path / "ckpt2"))  # fresh checkpoint — checksum skip
+    _, item = client.find_item(os.path.join(root_id, "sub"), "stream.bin")
+    assert item["n_uploads"] == 1
+
+
 def test_replay_is_idempotent_and_replace_gated(spark, fake_root):
     client = FakeGirderClient(fake_root)
     root_id = ensure_root_folder(client, "coll", None, "topic")
