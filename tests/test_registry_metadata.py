@@ -11,10 +11,31 @@ def tmp(tmp_path):
     return str(tmp_path)
 
 
-def test_parquet_registry_upsert_lookup_delete(spark, tmp):
-    from openmsistream_spark.operators.registry import ParquetRegistry
+def _has_delta() -> bool:
+    try:
+        import delta  # noqa: F401
 
-    reg = ParquetRegistry(spark, f"{tmp}/reg", ["rel_path"])
+        return True
+    except ImportError:
+        return False
+
+
+# same contract on both backends; the Delta path runs wherever
+# delta-spark is installed (MERGE INTO instead of full-table rewrite)
+BACKENDS = [
+    "parquet",
+    pytest.param(
+        "delta",
+        marks=pytest.mark.skipif(not _has_delta(), reason="delta-spark not installed"),
+    ),
+]
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_registry_upsert_lookup_delete(spark, tmp, backend):
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, f"{tmp}/reg", ["rel_path"], backend=backend)
     reg.upsert(spark.createDataFrame(
         [("a", "in_progress", 3), ("b", "completed", 2)],
         "rel_path string, status string, n_chunks long",
@@ -30,6 +51,21 @@ def test_parquet_registry_upsert_lookup_delete(spark, tmp):
 
     reg.delete(spark.createDataFrame([("b",)], "rel_path string"))
     assert sorted(r.rel_path for r in reg.read().collect()) == ["a", "c"]
+
+
+def test_make_registry_auto_falls_back_to_parquet(spark, tmp):
+    from openmsistream_spark.operators.registry import (
+        DeltaRegistry,
+        ParquetRegistry,
+        make_registry,
+    )
+
+    reg = make_registry(spark, f"{tmp}/auto_reg", ["rel_path"])
+    expected = DeltaRegistry if _has_delta() else ParquetRegistry
+    assert type(reg) is expected
+    if not _has_delta():
+        with pytest.raises(ImportError):
+            make_registry(spark, f"{tmp}/d_reg", ["rel_path"], backend="delta")
 
 
 def test_parquet_registry_on_fs_uri(spark, tmp):
