@@ -1032,3 +1032,4 @@ from . import queries_tpch  # noqa: E402,F401  isort: skip
 from . import queries_ops  # noqa: E402,F401  isort: skip
 from . import queries_llm  # noqa: E402,F401  isort: skip
 from . import queries_analytics  # noqa: E402,F401  isort: skip
+from . import queries_curation  # noqa: E402,F401  isort: skip
