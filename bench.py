@@ -70,7 +70,10 @@ def _adversarial_assembly(n_chunks: int):
         chunks = chunk_binary_column(
             one, chunk_size=1024, keep=["rel_path", "file_mtime"]
         ).repartition(8)
-        return assemble_files(chunks)
+        # window strategy: the synthetic chunk generator is expensive to
+        # re-execute, so the one-pass path measures the assembly
+        # machinery itself (concat linearity), not generator rescans
+        return assemble_files(chunks, generation_strategy="window")
 
     return run
 

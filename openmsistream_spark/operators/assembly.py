@@ -53,6 +53,30 @@ def _join_byte_parts(parts: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(T.BinaryType())
+def _join_byte_parts_dedup(parts: pd.Series) -> pd.Series:
+    """Linear-time flatten over sorted (offset o, generation hash h,
+    data d) structs, skipping duplicate (o, h) deliveries in-stream — the
+    F4 offset-dedup fused into the concat so assembly needs no separate
+    dropDuplicates shuffle. Payloads at the same (generation, offset) are
+    identical by construction (chunk_hash re-verified upstream)."""
+
+    def one(ps):
+        if ps is None:
+            return None
+        out = []
+        prev = None
+        for p in ps:
+            k = (p["o"], bytes(p["h"]) if p["h"] is not None else None)
+            if k == prev:
+                continue  # duplicate delivery of the same chunk
+            prev = k
+            out.append(bytes(p["d"]))
+        return b"".join(out)
+
+    return parts.map(one)
+
+
 def dedup_chunks(chunks: DataFrame, key: list[str] | None = None) -> DataFrame:
     """F4 — drop chunks whose write offset was already recorded for this
     file generation. Deterministic: exact-duplicate rows collapse via
@@ -128,38 +152,87 @@ def assemble_files(
     Returns one row per file: key columns, n_total_chunks,
     n_chunks_received, file_bytes (null unless complete), status code in
     {IN_PROGRESS, SUCCESSFULLY_RECONSTRUCTED, HASH_MISMATCH, CORRUPTION}.
-    ``generation_strategy``: see ``pick_latest_generation`` — use
-    "window" when the chunk source is UDF-expensive to rescan.
 
     ``detect_corruption`` — the reference raises when one file_hash
     appears with two different n_total_chunks (download_data_file.py:
-    160-272); here those files get status CORRUPTION and null bytes. The
-    check is a window over the file key, so it reuses the shuffle the
-    assembly groupBy needs anyway — no extra scan of the chunk source.
+    160-272); here those files get status CORRUPTION and null bytes.
+
+    ``generation_strategy`` picks how the per-file metadata (corrupt
+    flag + winning generation) is computed:
+      - "join" (default): a metadata-only map-side-combinable aggregate
+        over pruned columns plus a broadcast join back — payload bytes
+        shuffle exactly ONCE (the assembly groupBy). Right when the
+        chunk source is a cheap columnar rescan.
+      - "window": windows over the file key — one pass, reusing the
+        assembly exchange. Right when the upstream is expensive to
+        re-execute (Python serde / decode stages).
+    Duplicate deliveries collapse inside the assembly aggregate itself
+    (distinct (generation, offset) count + in-stream skip during byte
+    concat) — no separate dropDuplicates shuffle.
     """
     key = key or FILE_KEY
+    corrupt_agg = (
+        F.size(F.collect_set(F.struct("file_hash", "n_total_chunks")))
+        > F.size(F.collect_set("file_hash"))
+    ).alias("_corrupt")
+    gen = F.struct(
+        F.col("n_total_chunks"),
+        F.coalesce(F.col("file_mtime"), F.lit(0.0)).alias("file_mtime"),
+        F.sha2(F.col("file_hash"), 256).alias("gen_tiebreak"),
+    )
+
     df = chunks
-    if detect_corruption:
+    if generation_strategy == "window":
+        # one-pass path for UDF-expensive upstreams: corrupt flag + winning
+        # generation from windows over the key — reuses the exchange the
+        # assembly groupBy needs, never re-executes the chunk source
         from pyspark.sql import Window
 
         w = Window.partitionBy(*key)
-        # corrupt ⇔ more distinct (hash, count) pairs than distinct hashes
         df = df.withColumn(
             "_corrupt",
-            F.size(F.collect_set(F.struct("file_hash", "n_total_chunks")).over(w))
-            > F.size(F.collect_set("file_hash").over(w)),
+            # corrupt ⇔ more distinct (hash, count) pairs than distinct hashes
+            (
+                F.size(F.collect_set(F.struct("file_hash", "n_total_chunks")).over(w))
+                > F.size(F.collect_set("file_hash").over(w))
+            )
+            if detect_corruption
+            else F.lit(False),
         )
-    if apply_generation_policy:
-        df = pick_latest_generation(df, key, strategy=generation_strategy)
-    df = dedup_chunks(df, key)
+        if apply_generation_policy:
+            df = (
+                df.withColumn("_gen", gen)
+                .withColumn("_win", F.max("_gen").over(w))
+                .filter(F.col("_gen") == F.col("_win"))
+                .drop("_gen", "_win")
+            )
+    else:
+        # two-scan path for cheap columnar sources: ONE map-side-combinable
+        # metadata aggregate (pruned columns only — payload bytes never
+        # enter this branch) computes the corrupt flag AND the winning
+        # generation, joined back on the file key; the payload then
+        # shuffles exactly once, in the assembly groupBy below
+        meta = chunks.groupBy(*key).agg(corrupt_agg, F.max(gen).alias("_win"))
+        sel = meta.select(
+            *key,
+            (F.col("_corrupt") if detect_corruption else F.lit(False)).alias(
+                "_corrupt"
+            ),
+            F.col("_win.n_total_chunks").alias("_win_n"),
+            F.col("_win.gen_tiebreak").alias("_win_tb"),
+        )
+        df = chunks.join(F.broadcast(sel), key, "inner")
+        if apply_generation_policy:
+            df = df.filter(
+                (F.col("n_total_chunks") == F.col("_win_n"))
+                & (F.sha2(F.col("file_hash"), 256) == F.col("_win_tb"))
+            )
+        df = df.drop("_win_n", "_win_tb")
 
-    corrupt_col = (
-        F.first("_corrupt") if detect_corruption else F.lit(False)
-    ).alias("_corrupt")
     assembled = (
         df.groupBy(*key)
         .agg(
-            corrupt_col,
+            F.first("_corrupt").alias("_corrupt"),  # constant per group
             # deterministic generation pick: after the generation policy a
             # group holds one (hash, count) pair, but with the policy off —
             # or for CORRUPTION groups with mixed pairs — first() would be
@@ -171,20 +244,33 @@ def assemble_files(
             .getField("file_hash")
             .alias("file_hash"),
             F.max("file_mtime").alias("file_mtime"),
-            F.count("*").alias("n_chunks_received"),
+            # distinct (generation, offset) — duplicate deliveries (F4)
+            # collapse here, in the same aggregate, instead of paying a
+            # separate dropDuplicates shuffle keyed differently
+            F.size(
+                F.collect_set(F.struct("file_hash", "chunk_offset_write"))
+            )
+            .cast("long")
+            .alias("n_chunks_received"),
             F.array_sort(
-                F.collect_list(F.struct("chunk_offset_write", "data"))
+                F.collect_list(
+                    F.struct(
+                        F.col("chunk_offset_write").alias("o"),
+                        F.col("file_hash").alias("h"),
+                        F.col("data").alias("d"),
+                    )
+                )
             ).alias("_parts"),
         )
         .withColumn(
             "file_bytes",
             # the when() gates the UDF's INPUT, so incomplete/corrupt
             # files never ship their chunk bytes through Arrow
-            _join_byte_parts(
+            _join_byte_parts_dedup(
                 F.when(
                     (F.col("n_chunks_received") == F.col("n_total_chunks"))
                     & ~F.col("_corrupt"),
-                    F.transform("_parts", lambda part: part.getField("data")),
+                    F.col("_parts"),
                 )
             ),
         )

@@ -318,12 +318,14 @@ def wire_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = serialize_chunks(chunks).select("value")
     decoded = deserialize_chunks(wire)
     good, _dlq = dlq_split(decoded)
-    # single generation by construction — skip the generation-policy
-    # join-back, which would re-execute the serde UDF subtree for the
-    # winner aggregation (self-joins duplicate non-cached subtrees)
+    # single generation by construction — skip the generation policy, and
+    # use the one-pass window strategy so the corruption check never
+    # re-executes the serde UDF subtree (the join strategy's metadata
+    # branch rescans the source, which here is Python serde)
     assembled = assemble_files(
         good.withColumn("rel_path", F.col("filename")),
         apply_generation_policy=False,
+        generation_strategy="window",
     )
     return assembled.groupBy("status").agg(
         F.count("*").alias("n_files"),
