@@ -90,6 +90,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard over a (id, shingle) table.
 
@@ -102,8 +103,19 @@ def jaccard_pairs(
     Jaccard is then computed over the capped shingle sets. For large
     corpora prefer MinHash-LSH below, which keeps the cap on by
     default.
+
+    ``persist_shingles`` — the shingle table feeds three plan branches
+    (sizes, both join sides). Off by default: AQE's runtime exchange
+    reuse already dedups the identical distinct-shuffle subtrees
+    (measured no-win at bench scale). Turn on (MEMORY_AND_DISK) when
+    the upstream is expensive to re-execute per branch — a UDF-decoded
+    or remote source AQE can't collapse.
     """
     shingles = cap_hot_shingles(shingles, max_shingle_df)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -189,15 +201,25 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Near-dup pipeline: shingle → minhash → band → candidate pairs →
     exact Jaccard verify on candidates only.
 
     Hot shingles are capped once, up front, so signatures, candidates and
     the verify join all see the same capped shingle set (a high-DF
-    shingle would otherwise be a quadratic hot key in the verify join)."""
+    shingle would otherwise be a quadratic hot key in the verify join).
+    The capped set feeds four plan branches (signatures, sizes, both
+    verify-join sides) — off by default because AQE's runtime exchange
+    reuse collapses the identical subtrees (measured no-win at bench
+    scale); turn ``persist_shingles`` on when the upstream is expensive
+    to re-execute (UDF-decoded or remote sources AQE can't collapse)."""
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sh = cap_hot_shingles(sh, max_shingle_df)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
     cand = minhash_lsh_candidates(sigs, rows_per_band=rows_per_band, id_col=id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
