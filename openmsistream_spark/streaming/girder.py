@@ -303,6 +303,12 @@ def upload_batch_to_girder(
         for row in it:
             payload = bytes(row.file_bytes)
             parts = row.rel_path.strip("/").split("/")
+            # rel_path comes off the wire — never let '..'/'.' segments
+            # climb the folder hierarchy (same guard as the disk sink)
+            if any(p in ("..", ".", "") for p in parts):
+                raise ValueError(
+                    f"unsafe rel_path escapes folder hierarchy: {row.rel_path!r}"
+                )
             filename, subdirs = parts[-1], parts[:-1]
             parent_id = root_folder_id
             for name in subdirs:

@@ -262,6 +262,42 @@ def test_streaming_corruption_same_hash_different_count(spark):
     assert list(out[0].status) == ["CORRUPTION"]
 
 
+def test_disk_reconstruction_sink_streaming_replay(spark, tmpdirs):
+    """K3 as a checkpointed writeStream over streaming assembly output:
+    bytes land once, a restart on the same checkpoint replays nothing,
+    and a fresh checkpoint hits the on-disk sha512 skip."""
+    from openmsistream_spark.streaming.sinks import reconstruction_sink
+
+    payload = os.urandom(4 * CS + 9)
+    chunks = _chunk_rows(spark, "sub/stream_k3.bin", payload, 1.0)
+    in_dir = f"{tmpdirs}/k3_in"
+    chunks.write.parquet(in_dir)
+    out_dir = f"{tmpdirs}/k3_out"
+
+    def run(ckpt):
+        schema = (
+            "rel_path string, file_mtime double, n_total_chunks bigint, "
+            "file_hash binary, chunk_i bigint, chunk_offset_write bigint, data binary"
+        )
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            reconstruction_sink(streaming_assemble(src), out_dir, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(f"{tmpdirs}/k3_ckpt")
+    target = os.path.join(out_dir, "sub/stream_k3.bin")
+    with open(target, "rb") as fh:
+        assert fh.read() == payload
+    first_mtime = os.stat(target).st_mtime_ns
+    run(f"{tmpdirs}/k3_ckpt")  # restart, same checkpoint
+    assert os.stat(target).st_mtime_ns == first_mtime
+    run(f"{tmpdirs}/k3_ckpt2")  # fresh checkpoint — hash skip
+    assert os.stat(target).st_mtime_ns == first_mtime
+
+
 def test_disk_reconstruction_sink(spark, tmpdirs):
     from openmsistream_spark.streaming.sinks import write_reconstructed_files
 
