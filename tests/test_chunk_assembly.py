@@ -52,6 +52,40 @@ def test_roundtrip_byte_equality(spark, files_df):
         assert hashlib.sha512(bytes(r.file_bytes)).digest() == bytes(r.file_hash)
 
 
+def test_join_and_window_strategies_agree(spark, files_df):
+    """The metadata-join path and the one-pass window path are two
+    physical plans for the same semantics — identical output on a
+    shuffled, duplicated, multi-generation input."""
+    chunks = chunk_files(files_df, chunk_size=CHUNK_SIZE)
+    # stale generation rows for one file + duplicates + shuffled order
+    stale = (
+        chunks.filter("chunk_i = 1")
+        .withColumn("n_total_chunks", F.lit(1).cast("long"))
+        .withColumn("file_hash", F.unhex(F.sha2(F.col("data"), 512)))
+    )
+    arrived = (
+        chunks.unionByName(stale)
+        .orderBy(F.rand(seed=11))
+        .union(chunks.filter("chunk_i % 2 = 0"))
+    )
+
+    def snap(df):
+        return sorted(
+            (
+                r.rel_path,
+                r.status,
+                r.n_total_chunks,
+                r.n_chunks_received,
+                None if r.file_bytes is None else bytes(r.file_bytes),
+            )
+            for r in df.collect()
+        )
+
+    a = snap(assemble_files(arrived, generation_strategy="join"))
+    b = snap(assemble_files(arrived, generation_strategy="window"))
+    assert a == b
+
+
 def test_incomplete_and_corrupt(spark, files_df):
     chunks = chunk_files(files_df, chunk_size=CHUNK_SIZE)
     multi = chunks.filter("n_total_chunks >= 3")
