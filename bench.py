@@ -45,6 +45,8 @@ HEADLINE = [
     "text_stats_docs",
     "token_count_bpe",
     "multimodal_decode_features",
+    "token_histogram",
+    "contamination_8gram",
 ]
 
 

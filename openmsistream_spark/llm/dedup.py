@@ -44,13 +44,29 @@ def _tokens(text_col: str = "text") -> F.Column:
 
 
 def word_shingles(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle) rows."""
+    """Distinct word n-gram shingles per document → (id, shingle) rows.
+
+    ``hashed`` replaces each shingle with the first 16 hex chars of its
+    md5 BEFORE the distinct, so the dedup shuffle and every downstream
+    shingle join move 16-byte keys instead of full n-gram text (an
+    8-gram easily runs 50+ bytes) — the join/count semantics are
+    preserved for any equality-based consumer (contamination scans,
+    candidate joins; not for readers of the shingle text itself).
+    Portable: md5 is identical in DuckDB, so oracles mirror it exactly.
+    """
     parts = ", ".join(f"element_at(_toks, CAST(i+{j} AS INT))" for j in range(n))
+    mk = f"concat_ws(' ', {parts})"
+    if hashed:
+        mk = f"substring(md5({mk}), 1, 16)"
     shingle_arr = F.expr(
         f"CASE WHEN size(_toks) >= {n} THEN "
-        f"transform(sequence(1, size(_toks)-{n - 1}), i -> concat_ws(' ', {parts})) "
+        f"transform(sequence(1, size(_toks)-{n - 1}), i -> {mk}) "
         f"ELSE array() END"
     )
     return (

@@ -30,16 +30,19 @@ from .queries import load, query
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
-# 8-gram shingles, the contamination-scan standard (DISTINCT per doc)
+# 8-gram shingles, the contamination-scan standard (DISTINCT per doc).
+# Shingles travel as 16-hex-char md5 keys — the Spark side hashes before
+# its distinct so shuffles/joins move 16-byte keys, not 50+-byte n-gram
+# text; md5 is portable so the oracle mirrors it exactly.
 _SHINGLE8_CTE = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(CASE WHEN len(ws) >= 8
-                      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      THEN [substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
                             ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
-                            ws[i+6] || ' ' || ws[i+7]
+                            ws[i+6] || ' ' || ws[i+7]), 1, 16)
                             for i in range(1, len(ws)-6)]
                       ELSE [] END) AS shingle
         FROM toks) t
@@ -174,7 +177,7 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def contamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = word_shingles(docs, n=8)
+    sh = word_shingles(docs, n=8, hashed=True)
     split = F.md5(F.col("doc_id").cast("string")).substr(1, 1)
     ev = sh.filter(split == "f").select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"
