@@ -39,6 +39,35 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exact dedup on a STREAM: emit each distinct normalized text once
+    (first arrival wins), keyed by content hash so state holds 16-byte
+    keys, never document text.
+
+    With ``event_time_col`` the dedup state is watermark-bounded
+    (``dropDuplicatesWithinWatermark``): duplicates arriving within
+    ``delay`` of the first copy are dropped and state older than the
+    watermark is evicted — the right shape for an unbounded ingest
+    stream, where unbounded dedup state is the classic slow leak.
+    Without it, ``dropDuplicates`` keeps state forever (only for
+    bounded backfills). Generalizes the reference's chunk-level
+    at-least-once dedup (F4, download_data_file.py:98-107) to corpus
+    ingest.
+    """
+    hashed = docs.withColumn("content_hash", F.md5(_normalized(text_col)))
+    if event_time_col is not None:
+        return hashed.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return hashed.dropDuplicates(["content_hash"])
+
+
 def _tokens(text_col: str = "text") -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 

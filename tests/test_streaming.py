@@ -262,6 +262,41 @@ def test_streaming_corruption_same_hash_different_count(spark):
     assert list(out[0].status) == ["CORRUPTION"]
 
 
+def test_streaming_exact_dedup_across_batches(spark, tmpdirs):
+    """Duplicates arriving in LATER micro-batches are dropped; the
+    watermark-bounded variant holds hash-only state."""
+    from openmsistream_spark.llm.dedup import streaming_exact_dedup
+
+    in_dir = f"{tmpdirs}/docs_in"
+    rows1 = [(1, "alpha beta gamma", "2024-01-01 00:00:00"),
+             (2, "delta epsilon", "2024-01-01 00:00:10")]
+    rows2 = [(3, "  ALPHA   beta GAMMA ", "2024-01-01 00:00:20"),  # dup of 1 (normalized)
+             (4, "zeta eta", "2024-01-01 00:00:30")]
+    schema = "doc_id long, text string, ts string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(in_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = streaming_exact_dedup(src, event_time_col="ts", delay="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", f"{tmpdirs}/dedup_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    assert 1 in got and 2 in got and 4 in got
+    assert 3 not in got  # cross-batch duplicate dropped
+
+
 def test_disk_reconstruction_sink_streaming_replay(spark, tmpdirs):
     """K3 as a checkpointed writeStream over streaming assembly output:
     bytes land once, a restart on the same checkpoint replays nothing,
