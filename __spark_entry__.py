@@ -61,13 +61,25 @@ def _query_source_files(name: str) -> list[str]:
     fn = QUERIES[name].fn
     mod = sys.modules.get(fn.__module__)
     mods = {mod} if mod is not None else set()
+    # modules that register their own catalog entries (queries.py pulls
+    # them in purely for registration) — following those edges would make
+    # every query depend on every query module, so one edit marks the
+    # whole catalog stale and a capped sweep starves never-verified names
+    registrars = {q.fn.__module__ for q in QUERIES.values()}
     if mod is not None:
         for obj in vars(mod).values():
             if isinstance(obj, types.ModuleType):
+                # registration imports are module objects — skip those;
+                # helper imports (load/query/davg …) are function symbols
+                # and still count via their defining module below
+                if obj.__name__ in registrars and obj is not mod:
+                    continue
                 dep = obj
             else:
                 dep = sys.modules.get(getattr(obj, "__module__", None) or "")
-            if dep is not None and (dep.__name__ or "").startswith("openmsistream_spark"):
+            if dep is not None and (dep.__name__ or "").startswith(
+                "openmsistream_spark"
+            ):
                 mods.add(dep)
     paths = set()
     for m in mods:

@@ -114,10 +114,17 @@ def pick_latest_generation(
         from pyspark.sql import Window
 
         w = Window.partitionBy(*key)
+        # a generation's identity is (n_total_chunks, hash) — mtime only
+        # orders generations, so match on the identity fields, not the
+        # full struct: rows of the winning generation that carry an older
+        # mtime must survive (keeps this path identical to "join")
         return (
             chunks.withColumn("_gen", gen)
             .withColumn("_win", F.max("_gen").over(w))
-            .filter(F.col("_gen") == F.col("_win"))
+            .filter(
+                (F.col("_gen.n_total_chunks") == F.col("_win.n_total_chunks"))
+                & (F.col("_gen.gen_tiebreak") == F.col("_win.gen_tiebreak"))
+            )
             .drop("_gen", "_win")
         )
     winners = (
@@ -200,10 +207,16 @@ def assemble_files(
             else F.lit(False),
         )
         if apply_generation_policy:
+            # match on generation identity (n, hash) only — mtime orders
+            # generations but must not drop same-generation rows whose
+            # chunks arrived with older mtimes (parity with "join")
             df = (
                 df.withColumn("_gen", gen)
                 .withColumn("_win", F.max("_gen").over(w))
-                .filter(F.col("_gen") == F.col("_win"))
+                .filter(
+                    (F.col("_gen.n_total_chunks") == F.col("_win.n_total_chunks"))
+                    & (F.col("_gen.gen_tiebreak") == F.col("_win.gen_tiebreak"))
+                )
                 .drop("_gen", "_win")
             )
     else:
@@ -212,7 +225,10 @@ def assemble_files(
         # enter this branch) computes the corrupt flag AND the winning
         # generation, joined back on the file key; the payload then
         # shuffles exactly once, in the assembly groupBy below
-        meta = chunks.groupBy(*key).agg(corrupt_agg, F.max(gen).alias("_win"))
+        meta_aggs = [F.max(gen).alias("_win")]
+        if detect_corruption:  # skip the collect_set state when unwanted
+            meta_aggs.append(corrupt_agg)
+        meta = chunks.groupBy(*key).agg(*meta_aggs)
         sel = meta.select(
             *key,
             (F.col("_corrupt") if detect_corruption else F.lit(False)).alias(
@@ -237,12 +253,7 @@ def assemble_files(
             # group holds one (hash, count) pair, but with the policy off —
             # or for CORRUPTION groups with mixed pairs — first() would be
             # run-dependent; max over the struct gives a stable answer
-            F.max(F.struct("n_total_chunks", "file_hash"))
-            .getField("n_total_chunks")
-            .alias("n_total_chunks"),
-            F.max(F.struct("n_total_chunks", "file_hash"))
-            .getField("file_hash")
-            .alias("file_hash"),
+            F.max(F.struct("n_total_chunks", "file_hash")).alias("_top"),
             F.max("file_mtime").alias("file_mtime"),
             # distinct (generation, offset) — duplicate deliveries (F4)
             # collapse here, in the same aggregate, instead of paying a
@@ -261,6 +272,15 @@ def assemble_files(
                     )
                 )
             ).alias("_parts"),
+        )
+        .select(
+            *key,
+            "_corrupt",
+            F.col("_top.n_total_chunks").alias("n_total_chunks"),
+            F.col("_top.file_hash").alias("file_hash"),
+            "file_mtime",
+            "n_chunks_received",
+            "_parts",
         )
         .withColumn(
             "file_bytes",

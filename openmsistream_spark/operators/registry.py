@@ -98,7 +98,11 @@ class ParquetRegistry:
             self.fs.delete(old)
 
     def upsert(self, updates: DataFrame) -> None:
-        """R2 — MERGE: replace rows whose key matches, append the rest."""
+        """R2 — MERGE: replace rows whose key matches, append the rest.
+        Duplicate-key rows in ``updates`` collapse to one (the table is
+        keyed); same semantics on the Delta backend, where duplicate
+        MERGE source rows would otherwise be a runtime error."""
+        updates = updates.dropDuplicates(self.key_cols)
         current = self.read()
         if current is None:
             self._overwrite(updates)
@@ -186,7 +190,10 @@ class DeltaRegistry(ParquetRegistry):
 
     def upsert(self, updates: DataFrame) -> None:
         """R2 — MERGE INTO: update matched keys, insert the rest;
-        unmatched existing rows are untouched (no rewrite)."""
+        unmatched existing rows are untouched (no rewrite). Duplicate-key
+        source rows collapse first — Delta raises on multiple source rows
+        matching one target (parquet-backend parity)."""
+        updates = updates.dropDuplicates(self.key_cols)
         if not self.exists():
             updates.write.format("delta").save(self.path)
             return
@@ -217,15 +224,37 @@ class DeltaRegistry(ParquetRegistry):
 def make_registry(
     spark: SparkSession, path: str, key_cols: list[str], backend: str = "auto"
 ) -> ParquetRegistry:
-    """Registry factory: ``backend`` = "auto" (Delta when delta-spark is
-    importable, else parquet), "delta", or "parquet"."""
-    if backend in ("auto", "delta"):
-        try:
-            return DeltaRegistry(spark, path, key_cols)
-        except ImportError:
-            if backend == "delta":
-                raise
-    return ParquetRegistry(spark, path, key_cols)
+    """Registry factory: ``backend`` = "parquet", "delta", or "auto".
+
+    "auto" picks Delta only when it would actually work: delta-spark
+    importable AND the session built with the Delta SQL extension AND
+    ``path`` is empty or already a Delta table (``_delta_log`` present).
+    An existing parquet-format registry therefore keeps its backend —
+    importability alone must not flip the on-disk format out from under
+    earlier writes.
+    """
+    if backend == "parquet":
+        return ParquetRegistry(spark, path, key_cols)
+    if backend == "delta":
+        reg = DeltaRegistry(spark, path, key_cols)  # ImportError surfaces
+        fs = reg.fs
+        if fs.exists(path) and not fs.exists(path.rstrip("/") + "/_delta_log"):
+            raise ValueError(
+                f"registry at {path} exists but is not a Delta table; "
+                "use backend='parquet' or migrate it first"
+            )
+        return reg
+    try:
+        import delta.tables  # noqa: F401
+    except ImportError:
+        return ParquetRegistry(spark, path, key_cols)
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    if "DeltaSparkSessionExtension" not in ext:
+        return ParquetRegistry(spark, path, key_cols)
+    fs = HadoopFS(spark, path)
+    if fs.exists(path) and not fs.exists(path.rstrip("/") + "/_delta_log"):
+        return ParquetRegistry(spark, path, key_cols)
+    return DeltaRegistry(spark, path, key_cols)
 
 
 def chunk_ledger(chunks: DataFrame, delivered: DataFrame, key: str = "rel_path") -> DataFrame:

@@ -302,10 +302,14 @@ def upload_batch_to_girder(
         folder_cache: dict[tuple[str, str], str] = {}
         for row in it:
             payload = bytes(row.file_bytes)
-            parts = row.rel_path.strip("/").split("/")
-            # rel_path comes off the wire — never let '..'/'.' segments
-            # climb the folder hierarchy (same guard as the disk sink)
-            if any(p in ("..", ".", "") for p in parts):
+            # rel_path comes off the wire: benign ''/'.' segments (double
+            # slashes, trailing '/') normalize away — same tolerance as
+            # the disk sink's os.path normalization — but '..' must never
+            # climb the folder hierarchy
+            parts = [
+                p for p in row.rel_path.strip("/").split("/") if p not in ("", ".")
+            ]
+            if not parts or any(p == ".." for p in parts):
                 raise ValueError(
                     f"unsafe rel_path escapes folder hierarchy: {row.rel_path!r}"
                 )

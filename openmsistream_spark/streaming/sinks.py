@@ -29,8 +29,23 @@ def write_reconstructed_files(batch_df: DataFrame, out_dir: str) -> int:
 
     Runs on executors via foreachPartition — the driver never holds file
     bytes.
+
+    Only successfully-reconstructed rows are written: streaming assembly
+    also emits IN_PROGRESS/CORRUPTION/COMPLETE_OFFSETS_ONLY rows with
+    null ``file_bytes`` (bytes(None) would poison the micro-batch) and
+    HASH_MISMATCH rows whose corrupt bytes must not land on disk — the
+    reference only writes hash-verified completed files
+    (data_file_download_directory.py:124-174).
     """
-    rows = batch_df.select("rel_path", "file_bytes", "file_hash")
+    if "status" in batch_df.columns:
+        from ..schemas import CODE_SUCCESSFULLY_RECONSTRUCTED
+
+        batch_df = batch_df.filter(
+            F.col("status") == CODE_SUCCESSFULLY_RECONSTRUCTED
+        )
+    rows = batch_df.select("rel_path", "file_bytes", "file_hash").filter(
+        F.col("file_bytes").isNotNull()
+    )
 
     def _write_partition(it):
         root = os.path.abspath(out_dir)

@@ -63,8 +63,15 @@ def test_join_and_window_strategies_agree(spark, files_df):
         .withColumn("n_total_chunks", F.lit(1).cast("long"))
         .withColumn("file_hash", F.unhex(F.sha2(F.col("data"), 512)))
     )
+    # re-send some chunks of the CURRENT generation with a newer mtime
+    # (same hash, same n_total): mtime orders generations but must not
+    # split one generation — both strategies must keep the older-mtime rows
+    resent = chunks.filter("chunk_i = 0").withColumn(
+        "file_mtime", F.col("file_mtime") + F.lit(100.0)
+    )
     arrived = (
         chunks.unionByName(stale)
+        .unionByName(resent)
         .orderBy(F.rand(seed=11))
         .union(chunks.filter("chunk_i % 2 = 0"))
     )
@@ -84,6 +91,19 @@ def test_join_and_window_strategies_agree(spark, files_df):
     a = snap(assemble_files(arrived, generation_strategy="join"))
     b = snap(assemble_files(arrived, generation_strategy="window"))
     assert a == b
+    # and the mixed-mtime generation still fully reconstructs
+    assert all(s == CODE_SUCCESSFULLY_RECONSTRUCTED for (_, s, *_rest) in a)
+
+    pa = snap_gen(pick_latest_generation(arrived, strategy="join"))
+    pb = snap_gen(pick_latest_generation(arrived, strategy="window"))
+    assert pa == pb
+
+
+def snap_gen(df):
+    return sorted(
+        (r.rel_path, r.chunk_i, r.n_total_chunks, bytes(r.file_hash))
+        for r in df.collect()
+    )
 
 
 def test_incomplete_and_corrupt(spark, files_df):

@@ -28,6 +28,33 @@ def test_every_query_resolves_source_files():
             assert os.path.isfile(os.path.join(REPO, rel)), (name, rel)
 
 
+def test_source_files_exclude_other_registrar_modules():
+    """queries.py imports every queries_* module purely to register them;
+    those edges must NOT count as dependencies, else one edit to any
+    query module marks the whole catalog stale and a capped driver sweep
+    starves never-verified names."""
+    agg = "openmsistream_spark.queries"
+    registrars = {q.fn.__module__ for q in QUERIES.values()}
+    for name, q in QUERIES.items():
+        own_mod = sys.modules[q.fn.__module__]
+        own_file = os.path.relpath(own_mod.__file__, REPO)
+        files = entry._query_source_files(name)
+        assert own_file in files, name
+        # the shared-helper edge (queries_*.py importing load/query from
+        # queries.py) is a real dependency and allowed; other registrar
+        # modules must never appear
+        for other in registrars - {q.fn.__module__, agg}:
+            other_file = os.path.relpath(sys.modules[other].__file__, REPO)
+            assert other_file not in files, (name, other_file)
+        if q.fn.__module__ == agg:
+            # queries.py queries must not depend on the submodules it
+            # imports purely for registration
+            assert files.count(own_file) == 1
+            for other in registrars - {agg}:
+                other_file = os.path.relpath(sys.modules[other].__file__, REPO)
+                assert other_file not in files, (name, other_file)
+
+
 def test_oracle_names_subset_and_aligned():
     q = entry.queries()
     o = entry.oracle_sql()

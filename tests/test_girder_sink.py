@@ -74,6 +74,27 @@ def test_upload_mirrors_hierarchy_with_checksums(spark, fake_root):
         assert json.load(fh)["KafkaTopic"] == "topic"
 
 
+def test_path_normalization_and_traversal_guard(spark, fake_root):
+    """Benign ''/'.' segments (double slashes, trailing '/') normalize
+    away — same tolerance as the disk sink — while '..' still raises."""
+    client = FakeGirderClient(fake_root)
+    root_id = ensure_root_folder(client, "coll", None, "topic")
+    payload = b"double slash ok"
+    benign = spark.createDataFrame(
+        [("sub//./d.bin/", payload, hashlib.sha512(payload).digest())],
+        "rel_path string, file_bytes binary, file_hash binary",
+    )
+    upload_batch_to_girder(benign, lambda: FakeGirderClient(fake_root), root_id)
+    assert os.path.isfile(os.path.join(root_id, "sub/d.bin.bin"))
+
+    evil = spark.createDataFrame(
+        [("../escape.bin", payload, hashlib.sha512(payload).digest())],
+        "rel_path string, file_bytes binary, file_hash binary",
+    )
+    with pytest.raises(Exception, match="unsafe rel_path"):
+        upload_batch_to_girder(evil, lambda: FakeGirderClient(fake_root), root_id)
+
+
 def test_streaming_sink_checkpointed_replay(spark, fake_root, tmp_path):
     """girder_sink as an actual writeStream (availableNow) over streaming
     assembly output: only the hash-verified completed file uploads (the

@@ -61,11 +61,47 @@ def test_make_registry_auto_falls_back_to_parquet(spark, tmp):
     )
 
     reg = make_registry(spark, f"{tmp}/auto_reg", ["rel_path"])
-    expected = DeltaRegistry if _has_delta() else ParquetRegistry
+    delta_usable = _has_delta() and "DeltaSparkSessionExtension" in (
+        spark.conf.get("spark.sql.extensions", "") or ""
+    )
+    expected = DeltaRegistry if delta_usable else ParquetRegistry
     assert type(reg) is expected
     if not _has_delta():
         with pytest.raises(ImportError):
             make_registry(spark, f"{tmp}/d_reg", ["rel_path"], backend="delta")
+
+
+def test_make_registry_auto_keeps_existing_parquet_backend(spark, tmp):
+    """auto must never flip an existing parquet-format registry to Delta
+    just because delta-spark became importable — no _delta_log, no Delta."""
+    from openmsistream_spark.operators.registry import ParquetRegistry, make_registry
+
+    path = f"{tmp}/existing_pq"
+    seed = ParquetRegistry(spark, path, ["rel_path"])
+    seed.upsert(spark.createDataFrame([("a", 1)], "rel_path string, n_chunks long"))
+    reg = make_registry(spark, path, ["rel_path"], backend="auto")
+    assert type(reg) is ParquetRegistry
+    assert {r.rel_path for r in reg.read().collect()} == {"a"}
+
+
+def test_upsert_collapses_duplicate_key_rows(spark, tmp):
+    """Duplicate-key rows in one updates batch collapse to a single row —
+    uniform across backends (Delta MERGE would otherwise raise on
+    multiple source rows matching one target)."""
+    from openmsistream_spark.operators.registry import ParquetRegistry
+
+    reg = ParquetRegistry(spark, f"{tmp}/dup_reg", ["rel_path"])
+    reg.upsert(spark.createDataFrame(
+        [("a", "in_progress"), ("a", "completed"), ("b", "completed")],
+        "rel_path string, status string",
+    ))
+    rows = reg.read().collect()
+    assert sorted(r.rel_path for r in rows) == ["a", "b"]
+    reg.upsert(spark.createDataFrame(
+        [("a", "completed"), ("a", "completed")], "rel_path string, status string",
+    ))
+    rows = {r.rel_path: r.status for r in reg.read().collect()}
+    assert rows["a"] == "completed" and len(rows) == 2
 
 
 def test_parquet_registry_on_fs_uri(spark, tmp):

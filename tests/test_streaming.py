@@ -333,6 +333,40 @@ def test_disk_reconstruction_sink_streaming_replay(spark, tmpdirs):
     assert os.stat(target).st_mtime_ns == first_mtime
 
 
+def test_disk_sink_skips_non_success_rows(spark, tmpdirs):
+    """A mixed-status batch (the raw shape streaming_assemble emits) must
+    not poison the sink: IN_PROGRESS/CORRUPTION rows carry null bytes
+    (bytes(None) would TypeError the whole micro-batch) and HASH_MISMATCH
+    bytes must never land on disk."""
+    from openmsistream_spark.schemas import (
+        CODE_CORRUPTION,
+        CODE_HASH_MISMATCH,
+        CODE_IN_PROGRESS,
+        CODE_SUCCESSFULLY_RECONSTRUCTED,
+    )
+    from openmsistream_spark.streaming.sinks import write_reconstructed_files
+
+    good = os.urandom(64)
+    batch = spark.createDataFrame(
+        [
+            ("ok.bin", good, hashlib.sha512(good).digest(),
+             CODE_SUCCESSFULLY_RECONSTRUCTED),
+            ("partial.bin", None, hashlib.sha512(b"x").digest(),
+             CODE_IN_PROGRESS),
+            ("corrupt.bin", None, hashlib.sha512(b"y").digest(),
+             CODE_CORRUPTION),
+            ("mismatch.bin", b"WRONG BYTES", hashlib.sha512(b"z").digest(),
+             CODE_HASH_MISMATCH),
+        ],
+        "rel_path string, file_bytes binary, file_hash binary, status string",
+    )
+    out_dir = f"{tmpdirs}/mixed_out"
+    write_reconstructed_files(batch, out_dir)
+    assert sorted(os.listdir(out_dir)) == ["ok.bin"]
+    with open(os.path.join(out_dir, "ok.bin"), "rb") as fh:
+        assert fh.read() == good
+
+
 def test_disk_reconstruction_sink(spark, tmpdirs):
     from openmsistream_spark.streaming.sinks import write_reconstructed_files
 
