@@ -47,6 +47,9 @@ HEADLINE = [
     "multimodal_decode_features",
     "token_histogram",
     "contamination_8gram",
+    "simhash_band_neardup",
+    "repetition_signals_docs",
+    "pii_redaction_scan",
 ]
 
 

@@ -16,9 +16,16 @@ from .dedup import (
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     simhash,
+    simhash_band_pairs,
 )
 from .similarity import cosine_topk, cosine_topk_lsh
-from .textstats import text_stats, language_id, doc_fingerprint
+from .textstats import (
+    text_stats,
+    language_id,
+    doc_fingerprint,
+    pii_redact,
+    repetition_signals,
+)
 
 __all__ = [
     "exact_dedup",
@@ -28,9 +35,12 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "simhash",
+    "simhash_band_pairs",
     "cosine_topk",
     "cosine_topk_lsh",
     "text_stats",
     "language_id",
     "doc_fingerprint",
+    "pii_redact",
+    "repetition_signals",
 ]

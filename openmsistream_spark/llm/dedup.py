@@ -394,3 +394,71 @@ def simhash(
         term = F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed + term
     return votes.select(id_col, packed.alias("simhash"))
+
+
+def simhash_band_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs via banded candidate generation.
+
+    The scale path for SimHash dedup (the fingerprint alone only helps
+    if you never compare all pairs): split each ``bits``-bit fingerprint
+    into ``bands`` equal bit-ranges; by pigeonhole, two fingerprints
+    within hamming distance < ``bands`` agree exactly on at least one
+    band, so an equi-join on (band, band_value) generates every such
+    pair as a candidate — never all-pairs. Candidates are then verified
+    exactly with ``bit_count(a ^ b) <= max_hamming``.
+
+    For a guaranteed-complete sweep keep ``max_hamming < bands``
+    (default 3 < 4); a larger ``max_hamming`` still works but becomes
+    best-effort recall, like any LSH.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, one row per pair.
+    Scale shape: fingerprint (two map-side-combinable shuffles), then a
+    band equi-join whose fan-out is bounded by bucket sizes — skewed
+    buckets (many docs sharing a band value) are the one hotspot; AQE
+    skew-join handles moderate skew, and tightening bands/bits shrinks
+    buckets geometrically.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select(id_col, "simhash", "_bk.band", "_bk.band_val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair matching k bands appears k times — collapse in the same
+        # aggregate that carries the (identical per pair) hamming value
+        .groupBy("id_a", "id_b")
+        .agg(F.min(F.expr("bit_count(sh_a ^ sh_b)")).cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

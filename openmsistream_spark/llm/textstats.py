@@ -86,6 +86,98 @@ def quality_filter(
     return out.withColumn("keep", keep)
 
 
+# (name, regex, replacement) — minimal portable patterns: no lookaround
+# or backreferences, so Java regex (Spark) and RE2 (DuckDB oracle) agree
+# on every match; real deployments extend this table.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    patterns: list[tuple[str, str, str]] = PII_PATTERNS,
+) -> DataFrame:
+    """PII scrubbing: replace each pattern with its placeholder token and
+    count the hits per document (``n_<name>`` columns, BIGINT).
+
+    Patterns apply in table order, each matching the text as already
+    redacted by earlier patterns — so the email rule consumes
+    ``user@host.com`` before the IPv4 rule can see digit runs inside it,
+    and counts never double-book one span. Pure column expressions
+    (regexp_count + regexp_replace chain, whole-stage codegen); the
+    projection chain collapses to a single pass over the column.
+    """
+    cur = F.col(text_col)
+    out = docs
+    for name, rx, token in patterns:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(rx)).cast("bigint"))
+        cur = F.regexp_replace(cur, rx, token)
+    return out.withColumn(out_col, cur)
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``top_token_frac``: share of tokens taken by the single most
+      frequent token;
+    - ``dup_token_mass``: share of tokens whose token occurs more than
+      once (1 - distinct mass);
+    - ``top_bigram_frac``: share of bigrams taken by the most frequent
+      bigram.
+
+    Boilerplate, keyword-stuffed, and template pages score high on these
+    and get dropped by pretraining quality filters. Unlike the per-row
+    array approach, each signal is explode → count → per-doc aggregate —
+    two map-side-combinable shuffles each, safe for documents of any
+    length (a 10M-token document never materializes an O(distinct×len)
+    per-row comparison).
+    """
+    base = docs.select(id_col, _tokens(text_col).alias("_ws"))
+    uni = (
+        base.select(id_col, F.explode("_ws").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tok"),
+            F.max("cnt").alias("top_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_mass"),
+        )
+    )
+    # guard: Spark's sequence(1, 0) counts DOWN — emit [] for <2 tokens
+    bigrams = F.when(
+        F.size("_ws") >= 2,
+        F.expr("transform(sequence(1, size(_ws)-1), i -> concat(_ws[i-1], ' ', _ws[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        base.select(id_col, F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("top_bg"), F.sum("cnt").alias("n_bg"))
+    )
+    return (
+        uni.join(bi, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(F.col("top_cnt") / F.col("n_tok"), 4).alias("top_token_frac"),
+            F.round(F.col("dup_mass") / F.col("n_tok"), 4).alias("dup_token_mass"),
+            F.round(
+                F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", kgram: int = 8
 ) -> DataFrame:

@@ -64,6 +64,27 @@ def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     return df.orderBy(*order_by).limit(k)
 
 
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Deterministic stratified sample: up to ``k`` rows per stratum,
+    chosen by ranking each stratum on md5(key) — a pure function of the
+    data, so any engine, rerun, or worker draws the identical sample
+    (no rand() coordination). Adds ``sample_rank`` (1-based, BIGINT).
+
+    Plan: one shuffle on the stratum + an in-partition row_number. A
+    single hot stratum serializes into one task; for that shape switch
+    to the hash-threshold variant (keep rows whose key-hash falls below
+    k/|stratum|, |stratum| from a broadcast count table) — same
+    determinism, no window."""
+    hash_key = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(hash_key, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def latest_per_key(
     df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]
 ) -> DataFrame:

@@ -831,9 +831,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "simhash_docs",
-    f"""
+# 32-bit SimHash as a reusable oracle CTE (ends with sh32(doc_id,
+# simhash)) — shared by simhash_docs and the banded-pairs query in
+# queries_curation.py so the fingerprint definition exists once.
+SIMHASH32_CTE = f"""
     WITH tok AS (
       SELECT doc_id, unnest({_TOKS}) AS token FROM documents
     ),
@@ -848,11 +849,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / pow(2, g.j % 4)) AS BIGINT) % 2) - 1)) AS vote
       FROM tc, generate_series(0, 31) g(j)
       GROUP BY 1, 2
+    ),
+    sh32 AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
+"""
+
+
+@query(
+    "simhash_docs",
+    SIMHASH32_CTE + "SELECT doc_id, simhash FROM sh32",
     doc="32-bit frequency-weighted SimHash fingerprint",
     survey="LLM near-dup fingerprinting",
 )

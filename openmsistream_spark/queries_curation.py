@@ -25,8 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .llm.dedup import dedup_clusters, jaccard_pairs, word_shingles
-from .queries import load, query
+from .llm.dedup import dedup_clusters, jaccard_pairs, simhash_band_pairs, word_shingles
+from .llm.textstats import PII_PATTERNS, pii_redact, repetition_signals
+from .operators.relational import stratified_sample
+from .queries import SIMHASH32_CTE, load, query
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -187,4 +189,150 @@ def contamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(tr, "shingle")
         .groupBy("eval_doc_id")
         .agg(F.count_distinct("train_id").cast("bigint").alias("n_contaminated"))
+    )
+
+
+@query(
+    "simhash_band_neardup",
+    SIMHASH32_CTE
+    + """
+    , bands AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS band_val
+      FROM sh32, generate_series(0, 3) b(band)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(min(bit_count(xor(a.simhash, b.simhash))) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                              AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING min(bit_count(xor(a.simhash, b.simhash))) <= 3
+    """,
+    doc="SimHash near-dup pairs via banded candidates: 32-bit "
+    "fingerprint split into 4×8-bit bands, equi-join on (band, value), "
+    "exact hamming verify ≤ 3 — pigeonhole-complete at hamming < bands, "
+    "never all-pairs",
+    survey="LLM near-dup at scale: SimHash banding",
+)
+def simhash_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_band_pairs(
+        load(spark, sf_dir, "documents"), bits=32, bands=4, max_hamming=3
+    )
+
+
+# The corpus is synthetic word soup with no PII, so the scan plants
+# deterministic doc_id-derived PII on BOTH sides first — the point is to
+# verify the redactor's match/replace/count semantics end-to-end, which
+# a 0-match corpus never would.
+_PII_ORACLE = """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com tel +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+             CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+      FROM documents),
+    r1 AS (SELECT doc_id, t, regexp_replace(t, '{email}', '<EMAIL>', 'g') AS t1 FROM aug),
+    r2 AS (SELECT *, regexp_replace(t1, '{phone}', '<PHONE>', 'g') AS t2 FROM r1),
+    r3 AS (SELECT *, regexp_replace(t2, '{ip}', '<IP>', 'g') AS t3 FROM r2)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{email}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t1, '{phone}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t2, '{ip}')) AS BIGINT) AS n_ipv4,
+           CAST(length(t3) AS BIGINT) AS redacted_len,
+           md5(t3) AS redacted_md5
+    FROM r3
+""".replace("{email}", PII_PATTERNS[0][1]).replace(
+    "{phone}", PII_PATTERNS[1][1]
+).replace("{ip}", PII_PATTERNS[2][1])
+
+
+@query(
+    "pii_redaction_scan",
+    _PII_ORACLE,
+    doc="PII redaction over the corpus: emails, phone numbers, and IPv4 "
+    "addresses replaced with placeholder tokens, per-doc hit counts — "
+    "pure regexp_count/regexp_replace chain (codegen, no Python); "
+    "deterministic planted PII makes the zero-PII test corpus exercise "
+    "every rule",
+    survey="LLM curation: PII redaction",
+)
+def pii_redaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    red = pii_redact(planted, text_col="text")
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.length("redacted").cast("bigint").alias("redacted_len"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+@query(
+    "repetition_signals_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    tc AS (SELECT doc_id, token, count(*) AS cnt FROM (
+             SELECT doc_id, unnest(ws) AS token FROM toks) t
+           WHERE token <> '' GROUP BY 1, 2),
+    uni AS (SELECT doc_id, sum(cnt) AS n_tok, max(cnt) AS top_cnt,
+                   sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_mass
+            FROM tc GROUP BY 1),
+    bgc AS (SELECT doc_id, bg, count(*) AS cnt FROM (
+              SELECT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+              FROM toks) t GROUP BY 1, 2),
+    bt AS (SELECT doc_id, max(cnt) AS top_bg, sum(cnt) AS n_bg FROM bgc GROUP BY 1)
+    SELECT u.doc_id,
+           CAST(u.n_tok AS BIGINT) AS n_tokens,
+           round(u.top_cnt / u.n_tok, 4) AS top_token_frac,
+           round(u.dup_mass / u.n_tok, 4) AS dup_token_mass,
+           round(coalesce(b.top_bg / b.n_bg, 0), 4) AS top_bigram_frac
+    FROM uni u LEFT JOIN bt b ON u.doc_id = b.doc_id
+    """,
+    doc="Gopher-style repetition quality signals: top-token share, "
+    "duplicate-token mass, top-bigram share — explode→count→aggregate "
+    "(map-side combinable), safe for documents of any length",
+    survey="LLM curation: repetition quality signals",
+)
+def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "stratified_sample_sources",
+    """
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS sample_rank
+      FROM documents) t
+    WHERE sample_rank <= 3
+    """,
+    doc="deterministic stratified sample: up to 3 docs per source, "
+    "ranked by key hash — identical sample on any engine/rerun/worker; "
+    "hash-threshold variant documented for hot strata",
+    survey="LLM curation: stratified sampling",
+)
+def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", "doc_id", 3).select(
+        "doc_id", "source", "sample_rank"
     )

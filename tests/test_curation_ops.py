@@ -1,0 +1,107 @@
+"""Unit tests for the round-3 curation operators: PII redaction,
+repetition signals, SimHash banded pairs, stratified sampling.
+
+The catalog-level tests (oracle sweep, plan audit) already run these
+queries against DuckDB at sf0.01; here each operator also gets crafted
+inputs that exercise the edge semantics the synthetic corpus can't —
+real PII strings, degenerate repetition, hamming-completeness of the
+banding, and sample determinism.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmsistream_spark.llm.dedup import simhash, simhash_band_pairs
+from openmsistream_spark.llm.textstats import pii_redact, repetition_signals
+from openmsistream_spark.operators.relational import stratified_sample
+
+
+def test_pii_redact_real_strings(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@lab.example.org then +1-410-5550 done"),
+            (2, "hosts 10.0.0.1 and 192.168.255.254; none at x.y"),
+            (3, "no pii here at all"),
+            # the email's digits must be consumed by the email rule, not
+            # double-booked by the IP rule afterwards
+            (4, "u123@h456.example.com"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1 and out[1].n_ipv4 == 0
+    assert out[1].redacted == "mail <EMAIL> then <PHONE> done"
+    assert out[2].n_ipv4 == 2 and out[2].n_email == 0
+    assert out[2].redacted == "hosts <IP> and <IP>; none at x.y"
+    assert out[3].redacted == "no pii here at all"
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+    assert out[4].redacted == "<EMAIL>" and out[4].n_ipv4 == 0
+
+
+def test_repetition_signals_degenerate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # one token owns everything
+            (2, "a b c d"),  # all distinct
+            (3, "one"),  # <2 tokens: no bigrams
+            (4, "x y x y x y"),  # bigram 'x y' dominates
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert out[1].top_token_frac == 1.0 and out[1].dup_token_mass == 1.0
+    assert out[1].top_bigram_frac == 1.0
+    assert out[2].top_token_frac == 0.25 and out[2].dup_token_mass == 0.0
+    assert out[3].n_tokens == 1 and out[3].top_bigram_frac == 0.0
+    # 5 bigrams: 'x y'×3, 'y x'×2
+    assert out[4].top_bigram_frac == 0.6
+    assert out[4].dup_token_mass == 1.0
+
+
+def test_simhash_band_pairs_complete_under_bands(spark, sf_dir):
+    """Pigeonhole guarantee: with hamming < bands, the banded join must
+    find EXACTLY the pairs a brute-force hamming scan finds."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(120)
+        .select("doc_id", "text")
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_band_pairs(docs, bits=32, bands=4, max_hamming=3).collect()
+    }
+    sh = simhash(docs, bits=32)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").cast("bigint").alias("hamming")
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_simhash_band_pairs_rejects_bad_bands(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not divisible"):
+        simhash_band_pairs(docs, bits=32, bands=5)
+
+
+def test_stratified_sample_bounds_and_determinism(spark):
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    s1 = stratified_sample(df, "source", "doc_id", 5)
+    s2 = stratified_sample(df, "source", "doc_id", 5)
+    got1 = sorted((r.source, r.sample_rank, r.doc_id) for r in s1.collect())
+    got2 = sorted((r.source, r.sample_rank, r.doc_id) for r in s2.collect())
+    assert got1 == got2  # pure function of the data
+    per = {}
+    for src, rank, _ in got1:
+        per.setdefault(src, []).append(rank)
+    assert set(per) == {"s0", "s1", "s2"}
+    for ranks in per.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
