@@ -403,6 +403,7 @@ def simhash_band_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_fingerprints: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded candidate generation.
 
@@ -430,6 +431,16 @@ def simhash_band_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     sh = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
+    if persist_fingerprints:
+        # both self-join branches hang off the fingerprint table and
+        # Spark's exchange reuse does NOT fire across them (verified on
+        # the executed plan) — without this the corpus-wide token-count
+        # shuffle runs twice. Fingerprints are one long per doc, so the
+        # persist is ~16 bytes/doc; default ON, unlike persist_shingles
+        # (shingle tables are corpus-sized). Caller may unpersist.
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sh.select(
         id_col,
         "simhash",
