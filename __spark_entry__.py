@@ -156,8 +156,18 @@ def _ordered_names() -> list[str]:
         }
     except Exception:
         fresh = set(latest)
-    # stable partition: unverified/stale first, original order within each
-    return [n for n in names if n not in fresh] + [n for n in names if n in fresh]
+    # Three tiers so a capped driver sweep converges the catalog instead of
+    # starving it (round-3 failure: one needs-verification partition kept
+    # catalog order, so freshly-staled round-1 names consumed every slot):
+    #   1. never driver-verified (no green row in any round), catalog order
+    #   2. stale, oldest green round first (their signal is most out of date)
+    #   3. fresh (current code already has a green driver row), catalog order
+    never = [n for n in names if n not in latest]
+    stale = sorted(
+        (n for n in names if n in latest and n not in fresh),
+        key=lambda n: (latest[n], names.index(n)),
+    )
+    return never + stale + [n for n in names if n in fresh]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -66,7 +66,14 @@ def _adversarial_assembly(n_chunks: int):
         from openmsistream_spark.operators.chunking import chunk_binary_column
 
         one = spark.range(1).select(
-            F.lit("big/file.bin").alias("rel_path"),
+            # rel_path must derive from a COLUMN: a literal gets constant-
+            # folded out of Window.partitionBy downstream, silently turning
+            # the measured plan into an unpartitioned window (and emitting
+            # the "No Partition Defined" warning we want to stay a real
+            # regression signal, not fixture noise)
+            F.concat(F.lit("big/file-"), F.col("id").cast("string"), F.lit(".bin")).alias(
+                "rel_path"
+            ),
             F.lit(1.0).alias("file_mtime"),
             F.encode(F.expr(f"repeat('0123456789abcdef', {n_chunks * 64})"), "utf-8").alias(
                 "content"
@@ -98,16 +105,24 @@ def main() -> None:
     # queries, not session bring-up
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # best-of-N per query (default 2): a loaded machine inflates every
+    # wall-time uniformly, faking a regression round-over-round; the min
+    # of two runs is a far more stable estimator of the plan's true cost
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
+
+    def best_of(fn) -> float:
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = best_of(QUERIES[name].fn)
     for name, fn in EXTRA.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = best_of(fn)
 
     total = round(sum(timings.values()), 3)
     print(
