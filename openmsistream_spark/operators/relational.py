@@ -73,15 +73,67 @@ def stratified_sample(
     (no rand() coordination). Adds ``sample_rank`` (1-based, BIGINT).
 
     Plan: one shuffle on the stratum + an in-partition row_number. A
-    single hot stratum serializes into one task; for that shape switch
-    to the hash-threshold variant (keep rows whose key-hash falls below
-    k/|stratum|, |stratum| from a broadcast count table) — same
-    determinism, no window."""
+    single hot stratum serializes into one task; for that shape use
+    ``stratified_sample_hash`` — same determinism and identical output,
+    no full-stratum window."""
     hash_key = F.md5(F.col(key_col).cast("string"))
     w = Window.partitionBy(strata_col).orderBy(hash_key, F.col(key_col))
     return (
         df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    k: int,
+    oversample: float = 4.0,
+    slack: int = 64,
+) -> DataFrame:
+    """Hot-stratum-safe deterministic stratified sample — same output as
+    ``stratified_sample`` (up to ``k`` rows per stratum, ranked by
+    md5(key)), different physical plan.
+
+    ``stratified_sample`` windows over EVERY row of a stratum, so one
+    dominant stratum (a 100 TB corpus where one ``source`` holds 90% of
+    docs) serializes into a single task. Here the window only ever sees
+    pre-filtered survivors:
+
+      1. per-stratum counts — one map-side-combinable groupBy producing
+         |strata| rows, broadcast back;
+      2. hash-threshold filter — keep rows whose uniform score
+         (first 15 hex chars of md5(key), as a fraction of 16^15) falls
+         below ``(k*oversample + slack) / |stratum|``. Fully parallel,
+         no shuffle of the big side beyond the scan; survivors per
+         stratum ≈ k*oversample + slack regardless of stratum size;
+      3. exact-k trim — row_number window per stratum over survivors
+         only (≈ strata × (4k+64) rows total, never corpus-sized).
+
+    The trim orders by the same md5 the threshold filters on, so ranks
+    among survivors equal ranks in the full stratum as long as every
+    top-k row survives step 2 — the k-th smallest of |stratum| uniform
+    scores concentrates at k/|stratum|, so a 4x+64 margin puts the miss
+    probability below exp(-k-slack) (Chernoff); the margin is config if
+    a caller wants it wider. Deterministic: the sample is a pure
+    function of the data, identical on any engine/rerun/worker.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_stratum_n"))
+    hash_key = F.md5(F.col(key_col).cast("string"))
+    # 15 hex chars = 60 bits — fits a BIGINT; /16^15 → uniform in [0,1)
+    frac = F.conv(F.substring(hash_key, 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    survivors = (
+        df.join(F.broadcast(counts), strata_col)
+        .filter(frac * F.col("_stratum_n") < F.lit(k * oversample + slack))
+    )
+    w = Window.partitionBy(strata_col).orderBy(hash_key, F.col(key_col))
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_stratum_n")
     )
 
 

@@ -54,13 +54,19 @@ TABLES = [
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros
-        # (integer division — going through double would lose precision
-        # above 2^53 ns). The oracle mirrors with CAST(ts AS TIMESTAMP).
+        # events.ts has shipped in two physical forms across testdata
+        # generations: TIMESTAMP(NANOS) parquet (which Spark's vectorized
+        # reader rejects — read nanos as long, integer-truncate to micros;
+        # going through double would lose precision above 2^53 ns) and
+        # plain timestamp[us] (read as TIMESTAMP_NTZ). Detect which form
+        # this file uses and normalize both to session-tz TimestampType so
+        # downstream queries and the DuckDB oracle (CAST(ts AS TIMESTAMP),
+        # UTC session) agree bit-for-bit.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -783,10 +789,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, threshold=0.12, max_shingle_df=DEFAULT_MAX_SHINGLE_DF)
 
 
-@query(
-    "minhash_lsh_pairs",
-    _SHINGLE_CTE
-    + """
+# The full MinHash-LSH pair pipeline as oracle SQL (shingle → 8-hash
+# signatures → 2-row bands → bucket-join candidates → exact Jaccard on
+# candidates), ending with lsh_scored(id_a, id_b, jaccard). An EXACT
+# SQL mirror of minhash_lsh_dedup — no recall assumption between Spark
+# and oracle. Shared by minhash_lsh_pairs and queries_curation's
+# dedup_keep_canonical_lsh so the pipeline definition exists once.
+LSH_SCORED_CTE = _SHINGLE_CTE + """
     , sig AS (
       SELECT doc_id, g.h,
              min(md5(CAST(g.h AS VARCHAR) || '|' || shingle)) AS minhash
@@ -810,14 +819,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sh sa ON sa.doc_id = c.id_a
       JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
       GROUP BY 1, 2
+    ),
+    lsh_scored AS (
+      SELECT id_a, id_b,
+             round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
     )
-    SELECT id_a, id_b,
-           round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.1
-    """,
+"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    LSH_SCORED_CTE
+    + "SELECT id_a, id_b, jaccard FROM lsh_scored WHERE jaccard >= 0.1",
     doc="MinHash+LSH near-dup: shingle→minhash→band→bucket-join→verify",
     survey="LLM near-dup at scale",
 )

@@ -25,10 +25,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .llm.dedup import dedup_clusters, jaccard_pairs, simhash_band_pairs, word_shingles
+from .llm.dedup import (
+    dedup_clusters,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash_band_pairs,
+    word_shingles,
+)
 from .llm.textstats import PII_PATTERNS, pii_redact, repetition_signals
-from .operators.relational import stratified_sample
-from .queries import SIMHASH32_CTE, load, query
+from .operators.relational import stratified_sample, stratified_sample_hash
+from .queries import LSH_SCORED_CTE, SIMHASH32_CTE, load, query
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -104,6 +110,42 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact pairs (the oracle is exact); at corpus scale pass
     # max_shingle_df and/or swap in minhash_lsh_dedup's banded pairs
     pairs = jaccard_pairs(sh, threshold=0.12)
+    clusters = dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    return clusters.groupBy(F.col("cluster").alias("representative_id")).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+
+
+@query(
+    "dedup_keep_canonical_lsh",
+    LSH_SCORED_CTE
+    + """
+    , pairs AS (SELECT id_a, id_b FROM lsh_scored WHERE jaccard >= 0.12),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    walk AS (
+      WITH RECURSIVE w(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.dst, w.root FROM w JOIN sym s ON s.src = w.node
+      ) SELECT node, min(root) AS cluster FROM w GROUP BY node)
+    SELECT cluster AS representative_id,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM walk GROUP BY 1
+    """,
+    doc="the 100 TB-shaped canonical dedup: MinHash-LSH banded candidate "
+    "pairs (never all-pairs; hot shingles capped) → connected components "
+    "→ one representative per cluster. Same output contract as "
+    "dedup_keep_canonical; the oracle mirrors the LSH pipeline exactly "
+    "(no recall assumption) — this is the variant to copy at corpus "
+    "scale",
+    survey="LLM dedup: canonical selection via LSH at scale",
+)
+def dedup_keep_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.12
+    )
     clusters = dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
     return clusters.groupBy(F.col("cluster").alias("representative_id")).agg(
         F.count("*").cast("bigint").alias("n_members")
@@ -334,5 +376,38 @@ def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return stratified_sample(docs, "source", "doc_id", 3).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+@query(
+    "stratified_sample_hot",
+    """
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    surv AS (
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN counts c USING (source)
+      WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+             / 1152921504606846976.0) * c.n < 76.0
+    )
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS sample_rank
+      FROM surv) t
+    WHERE sample_rank <= 3
+    """,
+    doc="hot-stratum-safe stratified sample: per-stratum counts "
+    "(broadcast) + hash-threshold filter + exact-k trim over survivors "
+    "only — identical output to stratified_sample_sources, but a "
+    "dominant stratum never serializes into one window task (the trim "
+    "window sees ~76 rows per stratum, not the stratum). 16^15 = "
+    "1152921504606846976; threshold 76 = k*oversample + slack = 3*4+64",
+    survey="LLM curation: stratified sampling at scale (hot strata)",
+)
+def stratified_sample_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample_hash(docs, "source", "doc_id", 3).select(
         "doc_id", "source", "sample_rank"
     )

@@ -105,3 +105,40 @@ def test_stratified_sample_bounds_and_determinism(spark):
     assert set(per) == {"s0", "s1", "s2"}
     for ranks in per.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_stratified_sample_hash_matches_window_on_hot_stratum(spark):
+    """The hash-threshold variant must produce the IDENTICAL sample to
+    the window variant — including on the shape it exists for: one
+    stratum holding 90% of the rows."""
+    from openmsistream_spark.operators.relational import stratified_sample_hash
+
+    rows = [(i, "hot" if i % 10 != 0 else f"cold{i % 50}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    k = 7
+    want = sorted(
+        (r.source, r.sample_rank, r.doc_id)
+        for r in stratified_sample(df, "source", "doc_id", k).collect()
+    )
+    got = sorted(
+        (r.source, r.sample_rank, r.doc_id)
+        for r in stratified_sample_hash(df, "source", "doc_id", k).collect()
+    )
+    assert got == want
+    # the hot stratum has 1800 rows but still yields exactly k
+    hot_ranks = sorted(rank for src, rank, _ in got if src == "hot")
+    assert hot_ranks == list(range(1, k + 1))
+
+
+def test_stratified_sample_hash_small_strata(spark):
+    """Strata smaller than k return all their rows, ranked."""
+    from openmsistream_spark.operators.relational import stratified_sample_hash
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    out = stratified_sample_hash(df, "source", "doc_id", 5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r.sample_rank)
+    assert sorted(per["a"]) == [1, 2] and per["b"] == [1]
