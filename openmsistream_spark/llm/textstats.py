@@ -18,13 +18,20 @@ def _tokens(text_col: str = "text") -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
-def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def text_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough_cols: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
     """Per-document stats: char/token counts, distinct-token ratio, mean
     token length, non-alphanumeric density — the standard quality-filter
-    features of a pretraining pipeline."""
+    features of a pretraining pipeline. ``passthrough_cols`` are carried
+    through unchanged (pure projection, stateless/streaming-safe)."""
     toks = _tokens(text_col)
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
         F.length(text_col).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
@@ -62,13 +69,21 @@ def quality_filter(
     max_mean_token_len: float = 12.0,
     min_distinct_ratio: float = 0.3,
     max_punct_ratio: float = 0.2,
+    passthrough_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """The keep/drop decision a pretraining pipeline runs over every
     document (Gopher/C4-style heuristic rules composed from text_stats):
     too-short, degenerate token lengths, low lexical diversity, and
     punctuation-heavy documents are dropped. Emits the per-rule verdicts
-    so filter rates are auditable per rule."""
-    stats = text_stats(docs, id_col=id_col, text_col=text_col)
+    so filter rates are auditable per rule.
+
+    ``passthrough_cols`` — extra input columns carried into the output
+    unchanged (e.g. the text itself for a downstream redaction stage);
+    pure projection, so the whole operator stays stateless and
+    streaming-safe."""
+    stats = text_stats(
+        docs, id_col=id_col, text_col=text_col, passthrough_cols=passthrough_cols
+    )
     rules = {
         "ok_len": F.col("n_tokens") >= min_tokens,
         "ok_token_len": F.col("mean_token_len").between(
@@ -78,7 +93,10 @@ def quality_filter(
         "ok_punct": (F.col("n_punct") / F.col("n_chars")) <= max_punct_ratio,
     }
     out = stats.select(
-        id_col, "n_tokens", *[expr.alias(name) for name, expr in rules.items()]
+        id_col,
+        *passthrough_cols,
+        "n_tokens",
+        *[expr.alias(name) for name, expr in rules.items()],
     )
     keep = None
     for name in rules:

@@ -1,0 +1,107 @@
+"""Streaming corpus curation — the batch curation layer's streaming twin.
+
+The batch operators (llm/dedup.py, llm/textstats.py) run the standard
+pretraining pass over a landed corpus; a live ingest stream needs the
+same pass applied continuously with exactly-once output:
+
+  - exact dedup across micro-batches (stateful:
+    ``llm.dedup.streaming_exact_dedup`` — 16-byte content-hash keys,
+    watermark-bounded state when an event-time column exists);
+  - quality filtering (Gopher/C4-style rules — pure column expressions,
+    stateless);
+  - PII redaction (regexp chain — stateless);
+  - idempotent sink: ``foreachBatch`` writing each micro-batch to its
+    own ``batch=<id>`` partition with overwrite, so a replay after
+    restart rewrites the identical partition instead of duplicating
+    rows (the same recipe as the disk reconstruction sink's
+    exactly-once contract, streaming/sinks.py).
+
+The reference's whole identity is streaming-with-state (its consumer
+reconstructs files continuously, data_file_stream_processor.py:104-256);
+this module applies that shape to corpus curation, which the reference
+has no analog for.
+
+Scale notes: dedup state is bounded (hash keys only + watermark
+eviction); quality/redaction are whole-stage-codegen projections; the
+sink writes partition-parallel parquet. No collects, no windows over
+unbounded keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+from ..llm.dedup import streaming_exact_dedup
+from ..llm.textstats import pii_redact, quality_filter
+
+
+def curate_document_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    dedup_delay: str = "10 minutes",
+    quality_thresholds: dict[str, Any] | None = None,
+) -> DataFrame:
+    """The curation transform chain on a (streaming) document frame:
+    cross-batch exact dedup → quality keep/drop → PII redaction.
+
+    Returns a streaming DataFrame of the documents that survive
+    curation: (id, [event_time], content_hash, n_tokens, per-rule
+    verdicts, n_email/n_phone/n_ipv4, redacted). The raw text column is
+    replaced by its redacted form — downstream consumers never see
+    unredacted text.
+
+    Pass ``event_time_col`` on unbounded streams so dedup state is
+    watermark-evicted after ``dedup_delay`` (without it,
+    ``dropDuplicates`` state grows forever — acceptable only for
+    bounded backfills)."""
+    deduped = streaming_exact_dedup(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        event_time_col=event_time_col,
+        delay=dedup_delay,
+    )
+    passthrough = [text_col, "content_hash"]
+    if event_time_col is not None:
+        passthrough.append(event_time_col)
+    kept = quality_filter(
+        deduped,
+        id_col=id_col,
+        text_col=text_col,
+        passthrough_cols=passthrough,
+        **(quality_thresholds or {}),
+    ).filter("keep")
+    return pii_redact(kept, text_col=text_col).drop(text_col, "keep")
+
+
+def curation_sink(
+    curated: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """Exactly-once parquet sink for a curated stream: each micro-batch
+    lands in ``{out_dir}/batch=<batch_id>`` with overwrite semantics.
+
+    Batch ids are stable across restarts from the same checkpoint, so a
+    replayed micro-batch overwrites its own partition with identical
+    content instead of appending duplicates — idempotence without a
+    commit log. Read the result with
+    ``spark.read.parquet(out_dir)`` (partition discovery surfaces
+    ``batch`` as a column; drop it for the pure corpus).
+
+    Returns the configured ``DataStreamWriter`` — caller picks the
+    trigger and calls ``.start()``."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        curated.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -1,0 +1,100 @@
+"""Streaming curation pipeline E2E: cross-batch dedup + quality filter +
+PII redaction with an exactly-once (replay-idempotent) sink.
+
+Mirrors the disk reconstruction sink's replay discipline: rerunning from
+the same checkpoint — with or without new input — must never duplicate
+or drop output rows, and dedup state must survive restarts.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+
+from openmsistream_spark.streaming.curation import (
+    curate_document_stream,
+    curation_sink,
+)
+
+SCHEMA = "doc_id long, text string"
+
+GOOD_1 = (
+    "the quick brown fox jumps over a lazy dog while seven wizards "
+    "brew potent elixirs under ancient oak trees near quiet rivers "
+    "and contact alice@example.com for further archive details today"
+)
+# whitespace/case variant of GOOD_1 — identical normalized content hash
+GOOD_1_DUP = "  " + GOOD_1.upper().replace(" ", "   ") + "  "
+GOOD_2 = (
+    "independent observers recorded unusual aurora displays across "
+    "northern territories last winter prompting renewed interest in "
+    "solar weather forecasting among amateur radio operators worldwide"
+)
+BAD_SPAM = "spam spam spam spam spam spam spam spam spam spam"
+
+
+@pytest.fixture()
+def dirs():
+    d = tempfile.mkdtemp(prefix="oms_curate_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(spark, in_dir, out_dir, ckpt):
+    src = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    curated = curate_document_stream(src)
+    q = curation_sink(curated, out_dir, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+
+def _read_out(spark, out_dir):
+    rows = spark.read.parquet(out_dir).collect()
+    return sorted((r.doc_id, r.redacted, r.n_email) for r in rows)
+
+
+def test_streaming_curation_replay_idempotent(spark, dirs):
+    in_dir, out_dir, ckpt = f"{dirs}/in", f"{dirs}/out", f"{dirs}/ckpt"
+
+    # batch 0: one good doc (with an email to redact), one spam doc
+    spark.createDataFrame(
+        [(1, GOOD_1), (2, BAD_SPAM)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _run(spark, in_dir, out_dir, ckpt)
+    out1 = _read_out(spark, out_dir)
+    assert [doc_id for doc_id, _, _ in out1] == [1]  # spam dropped
+    assert out1[0][2] == 1  # one email found
+    assert "alice@example.com" not in out1[0][1]
+    assert "<EMAIL>" in out1[0][1]
+
+    # replay with the SAME checkpoint and no new input: output unchanged
+    _run(spark, in_dir, out_dir, ckpt)
+    assert _read_out(spark, out_dir) == out1
+
+    # batch 1: a normalized duplicate of doc 1 plus a genuinely new doc —
+    # dedup state must survive the restart, the new doc lands exactly once
+    spark.createDataFrame(
+        [(3, GOOD_1_DUP), (4, GOOD_2)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _run(spark, in_dir, out_dir, ckpt)
+    out2 = _read_out(spark, out_dir)
+    assert [doc_id for doc_id, _, _ in out2] == [1, 4]
+    assert out2[:1] == out1  # earlier output byte-identical
+
+    # replay again: still exactly-once
+    _run(spark, in_dir, out_dir, ckpt)
+    assert _read_out(spark, out_dir) == out2
+
+
+def test_curate_stream_batch_semantics(spark):
+    """The same transform chain is valid on a batch frame (backfill) —
+    dedup keeps one copy per content hash, redaction replaces PII."""
+    docs = spark.createDataFrame(
+        [(1, GOOD_1), (2, GOOD_1_DUP), (3, BAD_SPAM), (4, GOOD_2)], SCHEMA
+    )
+    out = curate_document_stream(docs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) <= {1, 2, 4} and len(by_id) == 2  # one of the dups + GOOD_2
+    kept_dup = 1 if 1 in by_id else 2
+    assert by_id[kept_dup].n_email == 1
+    assert "<EMAIL>" in by_id[kept_dup].redacted
+    assert 4 in by_id and by_id[4].n_email == 0
