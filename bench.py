@@ -50,6 +50,10 @@ HEADLINE = [
     "simhash_band_neardup",
     "repetition_signals_docs",
     "pii_redaction_scan",
+    "stratified_sample_hot",
+    "token_budget_shards",
+    "mixture_sample_sources",
+    "dedup_keep_canonical_lsh",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Corpus packing / mixing operators: token-budget sharding and
+weighted mixture sampling — the steps between a curated corpus and the
+training shards an LLM data loader reads.
+
+Both are pure functions of the data (every random choice derives from
+md5 of the document key), so any engine, any rerun, and any worker
+produce the identical shard layout / mixture — reproducibility without
+coordinated RNG state, and the exactness the DuckDB oracle validates.
+
+Scale design:
+  - sharding packs independently inside hash buckets, so the cumsum
+    window parallelizes across buckets (a single global packing order
+    would serialize the corpus into one task);
+  - mixture sampling is projection + explode only — zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16^15 — the denominator turning a 15-hex-char (60-bit) md5 prefix into
+# a uniform fraction in [0, 1)
+_HEX15_SPAN = float(16**15)
+
+
+def _hash_u60(col: Column, salt: str = "") -> Column:
+    """First 60 bits of md5(salt|key) as a BIGINT — portable (DuckDB:
+    ('0x' || substr(md5(...), 1, 15))::UBIGINT)."""
+    keyed = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
+
+
+def shard_by_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy token-budget sharding: assign each document to a training
+    shard such that consecutive documents (in a deterministic
+    hash-shuffled order) accumulate ~``budget_tokens`` per shard.
+
+    Two-level for scale: documents hash into ``n_buckets`` independent
+    packing streams, and the greedy cumsum runs per bucket — the window
+    parallelizes across buckets instead of serializing the corpus into
+    one global task. Shard identity is (bucket, shard_in_bucket).
+    A document larger than the budget gets a shard of its own (the
+    greedy rule places it where the running total stood; the next doc
+    starts a new shard).
+
+    Token counts use the same whitespace tokenization as
+    ``token_histogram`` so corpus stats and shard budgets agree.
+
+    Returns (id, n_tokens, bucket, shard) — the manifest a shard writer
+    partitions by. At 100 TB: one shuffle (the per-bucket sort); set
+    ``n_buckets`` to a small multiple of cluster parallelism.
+    """
+    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("bigint")
+    bucket = (_hash_u60(F.col(id_col)) % n_buckets).cast("bigint")
+    order_key = F.md5(F.col(id_col).cast("string"))
+    base = docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        bucket.alias("bucket"),
+        order_key.alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("_ord"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return base.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.floor(prev / budget_tokens).cast("bigint").alias("shard"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted mixture sampling: emit each document ``weight`` times in
+    expectation — the data-mixing step of an LLM training recipe, where
+    high-quality sources run multiple epochs (weight > 1) and bulk
+    sources are subsampled (weight < 1).
+
+    ``weight`` is a Column (join a broadcast weights table, or derive
+    from source metadata). floor(weight) full copies are always emitted;
+    the fractional remainder becomes one extra copy iff the document's
+    salted hash fraction falls below it. Pure projection + explode —
+    zero shuffles, deterministic, and exact in distribution per
+    document (no sampling variance across the integer part).
+
+    Returns the input rows with (copy BIGINT, n_copies BIGINT) added,
+    one row per emitted copy (documents with 0 copies drop out).
+    """
+    frac = F.col("_w") - F.floor(F.col("_w"))
+    extra = (
+        (_hash_u60(F.col(id_col), salt="mix|") / F.lit(_HEX15_SPAN)) < frac
+    ).cast("long")
+    n_copies = (F.floor(F.col("_w")) + extra).cast("bigint")
+    return (
+        docs.withColumn("_w", weight)
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies")))
+        )
+        .drop("_w")
+    )

@@ -32,6 +32,7 @@ from .llm.dedup import (
     simhash_band_pairs,
     word_shingles,
 )
+from .llm.packing import mixture_sample, shard_by_token_budget
 from .llm.textstats import PII_PATTERNS, pii_redact, repetition_signals
 from .operators.relational import stratified_sample, stratified_sample_hash
 from .queries import LSH_SCORED_CTE, SIMHASH32_CTE, load, query
@@ -378,6 +379,67 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", "doc_id", 3).select(
         "doc_id", "source", "sample_rank"
     )
+
+
+@query(
+    "token_budget_shards",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 8
+                  AS BIGINT) AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents)
+    SELECT doc_id, n_tokens, bucket,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY ord, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+             AS BIGINT) AS shard
+    FROM base
+    """,
+    doc="token-budget training-shard assignment: greedy ~2000-token "
+    "packing in a deterministic hash-shuffled order, run independently "
+    "inside 8 hash buckets so the cumsum window parallelizes across "
+    "buckets instead of serializing the corpus — the manifest a shard "
+    "writer partitions by",
+    survey="LLM curation: sequence packing / shard layout",
+)
+def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return shard_by_token_budget(docs, budget_tokens=2000, n_buckets=8)
+
+
+@query(
+    "mixture_sample_sources",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             0.5 + (length(source) % 3) AS wt,
+             ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+               / 1152921504606846976.0 AS hf
+      FROM documents),
+    c AS (
+      SELECT doc_id, source,
+             CAST(floor(wt) + CASE WHEN hf < wt - floor(wt) THEN 1 ELSE 0 END
+               AS BIGINT) AS n_copies
+      FROM w)
+    SELECT doc_id, source, n_copies,
+           unnest(range(1, n_copies + 1)) AS copy
+    FROM c WHERE n_copies > 0
+    """,
+    doc="weighted mixture sampling (data-mixing): each document emitted "
+    "weight-many times in expectation — floor(weight) full epochs plus a "
+    "hash-determined fractional copy; weights here derive from source "
+    "metadata (0.5/1.5/2.5) standing in for a broadcast recipe table. "
+    "Projection + explode only, zero shuffles",
+    survey="LLM curation: mixture weighting / multi-epoch sampling",
+)
+def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    weight = F.lit(0.5) + (F.length("source") % 3)
+    out = mixture_sample(docs, weight)
+    return out.select("doc_id", "source", "n_copies", F.col("copy").cast("bigint"))
 
 
 @query(

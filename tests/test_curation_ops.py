@@ -142,3 +142,67 @@ def test_stratified_sample_hash_small_strata(spark):
     for r in out:
         per.setdefault(r.source, []).append(r.sample_rank)
     assert sorted(per["a"]) == [1, 2] and per["b"] == [1]
+
+
+def test_shard_by_token_budget_greedy_invariants(spark):
+    from openmsistream_spark.llm.packing import shard_by_token_budget
+
+    # texts of 1..40 tokens, one oversize doc bigger than the budget
+    rows = [(i, " ".join(["w"] * (1 + i % 40))) for i in range(300)]
+    rows.append((1000, " ".join(["big"] * 500)))  # > budget alone
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shard_by_token_budget(df, budget_tokens=100, n_buckets=4).collect()
+    assert len(out) == len(rows)
+    # rebuild each bucket's packing order and check the greedy rule:
+    # shard = floor(preceding-cumsum / budget), shards contiguous from 0
+    import hashlib
+
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(by_bucket) > 1  # hashing actually spreads buckets
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id))
+        prev = 0
+        shards = []
+        for r in rs:
+            assert r.shard == prev // 100, (r, prev)
+            shards.append(r.shard)
+            prev += r.n_tokens
+        assert shards == sorted(shards)
+        assert shards[0] == 0
+
+
+def test_mixture_sample_copy_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from openmsistream_spark.llm.packing import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, ["drop", "whole", "frac", "mixed"][i % 4]) for i in range(400)],
+        "doc_id long, source string",
+    )
+    w = (
+        F.when(F.col("source") == "drop", F.lit(0.0))
+        .when(F.col("source") == "whole", F.lit(2.0))
+        .when(F.col("source") == "frac", F.lit(0.5))
+        .otherwise(F.lit(1.5))
+    )
+    out = mixture_sample(df, w).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, {}).setdefault(r.doc_id, []).append(r.copy)
+    assert "drop" not in per  # weight 0 → gone
+    assert all(sorted(c) == [1, 2] for c in per["whole"].values())  # exact 2 epochs
+    # fractional: between 0 and all, each kept doc exactly once
+    assert 0 < len(per["frac"]) < 100
+    assert all(c == [1] for c in per["frac"].values())
+    # mixed 1.5: every doc at least once, some twice
+    assert len(per["mixed"]) == 100
+    n_twice = sum(1 for c in per["mixed"].values() if sorted(c) == [1, 2])
+    assert 0 < n_twice < 100
+    # determinism: the identical sample on a rerun
+    again = mixture_sample(df, w).collect()
+    assert sorted((r.doc_id, r.copy) for r in again) == sorted(
+        (r.doc_id, r.copy) for r in out
+    )
