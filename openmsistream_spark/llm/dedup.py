@@ -360,6 +360,62 @@ def dedup_clusters(
     return result
 
 
+def drop_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_df: int = 30,
+) -> DataFrame:
+    """Line-level dedup (CCNet/RefinedWeb-style boilerplate removal):
+    drop every line whose normalized form appears in more than
+    ``max_line_df`` distinct documents — nav bars, cookie banners,
+    signatures, licence footers — and rebuild each document from its
+    surviving lines in original order.
+
+    Scale shape: explode to (doc, line_idx, line); count line document
+    frequency on 16-hex md5 keys (one map-side-combinable groupBy — the
+    shuffle moves 16-byte hashes, never line text); the hot set is tiny
+    by construction (only lines above the cap) so membership is a
+    broadcast left join; one final groupBy rebuilds documents
+    (array_sort on (idx, line) structs restores order). Empty lines are
+    never counted as boilerplate.
+
+    Returns (id, cleaned, n_lines, n_lines_dropped).
+    """
+    norm = F.lower(F.trim(F.col("line")))
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    ).withColumn("lh", F.substring(F.md5(norm), 1, 16))
+    hot = (
+        lines.filter(norm != "")
+        .groupBy("lh")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_line_df)
+        .select("lh", F.lit(True).alias("_hot"))
+    )
+    flagged = lines.join(F.broadcast(hot), "lh", "left").withColumn(
+        "_drop", F.col("_hot").isNotNull()
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_drop"), F.struct("line_idx", "line"))
+                    )
+                ),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("cleaned"),
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("_drop"), 1).otherwise(0)).cast("bigint").alias(
+            "n_lines_dropped"
+        ),
+    )
+
+
 def simhash(
     docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from .llm.dedup import (
     dedup_clusters,
+    drop_boilerplate_lines,
     jaccard_pairs,
     minhash_lsh_dedup,
     simhash_band_pairs,
@@ -378,6 +379,77 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return stratified_sample(docs, "source", "doc_id", 3).select(
         "doc_id", "source", "sample_rank"
+    )
+
+
+# The synthetic corpus is single-line word soup, so (like the PII scan)
+# the boilerplate query plants a deterministic multi-line structure on
+# BOTH sides: two content lines per doc, a corpus-wide boilerplate line
+# (df=all -> dropped), an every-other-doc licence line (df=half ->
+# dropped), and a ref line shared by ~1/40 of docs (df under the cap ->
+# kept) — exercising drop/keep across the threshold and order-preserving
+# rebuild.
+_BOILERPLATE_ORACLE = """
+    WITH aug AS (
+      SELECT doc_id,
+             substr(text, 1, 100) || chr(10) ||
+             'subscribe to our newsletter' || chr(10) ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'all rights reserved' || chr(10) ELSE '' END ||
+             'ref section ' || CAST(doc_id % 40 AS VARCHAR) || chr(10) ||
+             substr(text, 101) AS t
+      FROM documents),
+    lines AS (
+      SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM aug),
+    hot AS (
+      SELECT substr(md5(lower(trim(line))), 1, 16) AS lh
+      FROM lines WHERE lower(trim(line)) <> ''
+      GROUP BY 1 HAVING count(DISTINCT doc_id) > 30),
+    hotl AS (SELECT coalesce(list(lh), []) AS hl FROM hot)
+    SELECT doc_id,
+           md5(array_to_string(list_filter(string_split(t, chr(10)),
+               x -> NOT list_contains(hl, substr(md5(lower(trim(x))), 1, 16))),
+               chr(10))) AS cleaned_md5,
+           CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(string_split(t, chr(10)))
+                - len(list_filter(string_split(t, chr(10)),
+                  x -> NOT list_contains(hl, substr(md5(lower(trim(x))), 1, 16))))
+             AS BIGINT) AS n_lines_dropped
+    FROM aug, hotl
+"""
+
+
+@query(
+    "boilerplate_line_dedup",
+    _BOILERPLATE_ORACLE,
+    doc="line-level boilerplate removal (CCNet/RefinedWeb-style): lines "
+    "appearing in > 30 distinct docs are dropped, documents rebuilt in "
+    "original line order — DF counts shuffle 16-byte line hashes, hot "
+    "set is a broadcast join, never line text",
+    survey="LLM curation: line-level dedup / boilerplate removal",
+)
+def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 100),
+            F.lit("\nsubscribe to our newsletter\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("all rights reserved\n")
+            ).otherwise(F.lit("")),
+            F.lit("ref section "),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("\n"),
+            F.expr("substring(text, 101)"),
+        ).alias("text"),
+    )
+    out = drop_boilerplate_lines(planted, max_line_df=30)
+    return out.select(
+        "doc_id",
+        F.md5("cleaned").alias("cleaned_md5"),
+        "n_lines",
+        "n_lines_dropped",
     )
 
 

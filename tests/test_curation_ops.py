@@ -206,3 +206,32 @@ def test_mixture_sample_copy_semantics(spark):
     assert sorted((r.doc_id, r.copy) for r in again) == sorted(
         (r.doc_id, r.copy) for r in out
     )
+
+
+def test_drop_boilerplate_lines_order_and_thresholds(spark):
+    from openmsistream_spark.llm.dedup import drop_boilerplate_lines
+
+    # 5 docs share "COOKIE notice" (normalized); "rare line" in only 2;
+    # empty lines are never counted as boilerplate
+    rows = [
+        (i, f"unique head {i}\ncookie NOTICE\n\nbody text {i}\n"
+            + ("rare line\n" if i < 2 else "")
+            + f"tail {i}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in drop_boilerplate_lines(df, max_line_df=3).collect()}
+    # the shared line is gone, order preserved, empty line kept
+    assert out[0].cleaned == "unique head 0\n\nbody text 0\nrare line\ntail 0"
+    assert out[0].n_lines_dropped == 1
+    assert out[4].cleaned == "unique head 4\n\nbody text 4\ntail 4"
+    # rare line (df=2 <= 3) survives
+    assert "rare line" in out[1].cleaned
+    # df exactly at the cap is kept: cap=4 keeps a df-5 line? no — lower
+    # the cap to 4: the 5-doc line is df=5 > 4 -> still dropped
+    out4 = {r.doc_id: r for r in drop_boilerplate_lines(df, max_line_df=4).collect()}
+    assert "cookie" not in out4[2].cleaned.lower()
+    # cap >= df keeps everything
+    out5 = {r.doc_id: r for r in drop_boilerplate_lines(df, max_line_df=5).collect()}
+    assert "cookie NOTICE" in out5[2].cleaned
+    assert out5[2].n_lines_dropped == 0
