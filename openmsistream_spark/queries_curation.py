@@ -34,7 +34,12 @@ from .llm.dedup import (
     word_shingles,
 )
 from .llm.packing import mixture_sample, shard_by_token_budget
-from .llm.textstats import PII_PATTERNS, pii_redact, repetition_signals
+from .llm.textstats import (
+    PII_PATTERNS,
+    pii_redact,
+    quality_filter,
+    repetition_signals,
+)
 from .operators.relational import stratified_sample, stratified_sample_hash
 from .queries import LSH_SCORED_CTE, SIMHASH32_CTE, load, query
 
@@ -379,6 +384,102 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return stratified_sample(docs, "source", "doc_id", 3).select(
         "doc_id", "source", "sample_rank"
+    )
+
+
+@query(
+    "curation_report_by_source",
+    f"""
+    WITH s AS (
+      SELECT source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             round(list_sum(list_transform({_TOKS}, w -> length(w))) * 1.0
+                   / len({_TOKS}), 4) AS mean_token_len,
+             round(len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}), 4)
+               AS distinct_ratio,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM documents),
+    v AS (
+      SELECT source, n_tokens,
+             (n_tokens >= 20) AS ok_len,
+             (mean_token_len BETWEEN 3.0 AND 12.0) AS ok_token_len,
+             (distinct_ratio >= 0.3) AS ok_diversity,
+             (n_punct * 1.0 / n_chars <= 0.2) AS ok_punct
+      FROM s)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok_len AND ok_token_len AND ok_diversity
+                         AND ok_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(sum(CASE WHEN ok_len THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS rate_ok_len,
+           round(sum(CASE WHEN ok_token_len THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS rate_ok_token_len,
+           round(sum(CASE WHEN ok_diversity THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS rate_ok_diversity,
+           round(sum(CASE WHEN ok_punct THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS rate_ok_punct,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM v GROUP BY source
+    """,
+    doc="per-source curation dashboard: doc counts, composite keep "
+    "count, per-rule pass rates, total tokens — the audit a data team "
+    "reads before shipping a mixture; one map-side-combinable "
+    "aggregation over the quality verdicts",
+    survey="LLM curation: per-source audit report",
+)
+def curation_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    q = quality_filter(docs, passthrough_cols=["source"])
+
+    def rate(col: str) -> F.Column:
+        return F.round(
+            F.sum(F.col(col).cast("int")) / F.count("*"), 4
+        ).alias(f"rate_{col}")
+
+    return q.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+        rate("ok_len"),
+        rate("ok_token_len"),
+        rate("ok_diversity"),
+        rate("ok_punct"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
+    "token_percentiles_by_source",
+    f"""
+    WITH t AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents)
+    SELECT source,
+           round(quantile_cont(n, 0.25), 4) AS p25,
+           round(quantile_cont(n, 0.50), 4) AS p50,
+           round(quantile_cont(n, 0.75), 4) AS p75,
+           round(quantile_cont(n, 0.95), 4) AS p95,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM t GROUP BY source
+    """,
+    doc="per-source token-length percentiles (exact, interpolated) — "
+    "corpus shape stats for packing/curriculum decisions. Exact "
+    "percentile buffers each group's values, fine for bounded groups; "
+    "for corpus-wide percentiles at 100 TB swap in approx_percentile "
+    "(t-digest, mergeable, no buffering) — same plan shape",
+    survey="LLM curation: corpus distribution statistics",
+)
+def token_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint")
+    return (
+        docs.select("source", n.alias("n"))
+        .groupBy("source")
+        .agg(
+            F.round(F.expr("percentile(n, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(n, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(n, 0.95)"), 4).alias("p95"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
     )
 
 

@@ -105,3 +105,39 @@ def test_heartbeat_stream_windowed_agg(spark, tmp_path):
     beat = json.loads(rows[0].value)
     assert beat["n_messages_read"] == 20
     assert beat["n_bytes_read"] == 200
+
+
+def test_stratified_sample_hash_plan_shape(spark):
+    """The hot-stratum variant's plan must broadcast the counts and get
+    the rank-limit pushdown (WindowGroupLimit) on the trim window — the
+    two properties that make it safe under a dominant stratum."""
+    plan = plan_of(spark, "stratified_sample_hot")
+    assert "BroadcastHashJoin" in plan  # counts table broadcast, not shuffled
+    assert "WindowGroupLimit" in plan  # top-k pushdown on the trim
+    # the threshold filter must run in (or before) the join, ahead of the
+    # window exchange — i.e. no full-stratum rows reach the sort
+    assert plan.index("BroadcastHashJoin") > plan.index("WindowGroupLimit") or (
+        "Condition" in plan
+    )
+
+
+def test_boilerplate_hot_set_broadcasts(spark):
+    plan = plan_of(spark, "boilerplate_line_dedup")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan  # the hot-line set ships broadcast
+
+
+def test_mixture_sample_zero_shuffles(spark):
+    """Mixture sampling is projection + explode — the plan must contain
+    no Exchange at all (AQE leaves scans unshuffled)."""
+    plan = plan_of(spark, "mixture_sample_sources")
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_token_budget_shards_single_shuffle(spark):
+    """Packing shuffles once: the per-bucket sort for the cumsum window."""
+    plan = plan_of(spark, "token_budget_shards")
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, plan
