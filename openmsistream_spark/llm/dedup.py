@@ -308,13 +308,34 @@ def dedup_clusters(
     shuffle (join + min-agg) — the standard distributed-CC shape.
 
     Returns (id, cluster, is_representative) for every node.
+
+    Only nodes that appear in a pair participate in propagation: a
+    singleton's cluster is itself by definition, so it joins the result
+    directly. Near-dup graphs are sparse — at corpus scale this runs
+    the iteration over the duplicate set (|V(pairs)|), not the corpus,
+    which is the difference between O(rounds x corpus) and
+    O(rounds x duplicates) shuffled bytes.
     """
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     sym = sym.cache()
 
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    # the active set IS the pair endpoints (every endpoint is a node by
+    # construction) — no corpus-side semi-join needed to find it
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .cache()
+    )
+    # ONE materialization pins both caches: computing the initial label
+    # set scans sym, persisting it en route. Without this, round 0's job
+    # would reference sym from two subtrees (labels + the push join) and
+    # re-execute the full upstream pair pipeline (for LSH input: the
+    # whole shingle->minhash->band->verify chain) once per subtree.
+    labels.count()
     to_unpersist: list[DataFrame] = [sym]
     changed = 1
     for _ in range(max_iterations):
@@ -347,10 +368,14 @@ def dedup_clusters(
             "(a component's diameter exceeds the bound) — raise max_iterations"
         )
 
-    result = labels.select(
+    # fold singletons back with ONE left join: a node without a pair is
+    # its own cluster. The label map is duplicate-set-sized (tiny next
+    # to the corpus) and cached/materialized, so AQE plans this as a
+    # broadcast join — the corpus side never shuffles.
+    result = all_nodes.join(labels, "id", "left").select(
         F.col("id").alias(id_col),
-        F.col("label").alias("cluster"),
-        (F.col("id") == F.col("label")).alias("is_representative"),
+        F.coalesce("label", "id").alias("cluster"),
+        (F.col("id") == F.coalesce("label", "id")).alias("is_representative"),
     )
     # materialize before releasing the iteration caches the plan rests on
     result = result.cache()

@@ -104,6 +104,75 @@ def cosine_topk(
     return _topk_per_query(scored, k)
 
 
+def quantize_int8(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale =
+    max|v|/127, q[i] = floor(v[i]/scale + 0.5) — 4x smaller vectors, so
+    an ANN scan moves a quarter of the bytes (at 100 TB of embeddings
+    the scan is bandwidth-bound; this is the standard serving trick
+    before PQ). floor(x+0.5) instead of round() because engines differ
+    on round-half-to-even; floor is identical everywhere, making the
+    quantized vectors oracle-exact. Zero vectors quantize to zeros.
+
+    Returns (id, qvec array<int>, scale double) — dequantize as
+    q[i]*scale; cosine needs no dequantization at all (scales cancel).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    qv = F.when(
+        scale == 0, F.transform(v, lambda x: F.lit(0).cast("int"))
+    ).otherwise(F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")))
+    return embeddings.select(
+        F.col(id_col), qv.alias("qvec"), scale.alias("scale")
+    )
+
+
+def cosine_topk_sq8(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors: identical
+    plan shape to the exact brute force (broadcast queries, two-phase
+    bounded top-k) but the corpus scan reads int8 arrays — the
+    per-vector scale cancels out of cosine, so scoring is pure integer
+    dot products normalized by quantized norms. Accuracy loss is the
+    quantization error (~1e-2 on cosine); ranking ties are broken by
+    neighbor id, deterministically."""
+    qz = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+    nrm = F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    corpus = qz.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("c_vec"),
+        nrm.alias("c_norm"),
+    ).filter(F.col("c_norm") > 0)
+    queries = (
+        qz.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("qvec").alias("q_vec"),
+            nrm.alias("q_norm"),
+        )
+        .filter(F.col("q_norm") > 0)
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _topk_per_query(scored, k)
+
+
 def lsh_bucket(vec_col: F.Column, n_bits: int = 4) -> F.Column:
     """Projection-sign bucket id: bit i = sign(vec[i]).
 

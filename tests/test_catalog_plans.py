@@ -18,6 +18,7 @@ PYTHON_ALLOWED = {
     # corpus (llm/similarity.py — sanctioned scale design, Arrow-batched)
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    "cosine_topk_sq8",
     "ann_ivf_topk",
 }
 

@@ -90,3 +90,30 @@ def test_two_phase_topk_matches_bruteforce_window(spark):
         expect = [(-i, c) for c, i in sims]
         got = [(r.neighbor_id, r.cosine) for r in sorted(rows, key=lambda r: r.rank)]
         assert got == expect
+
+
+def test_int8_quantized_topk_recall(spark, sf_dir):
+    """int8 scalar quantization must preserve most of the exact top-k
+    (the whole point: 4x less scan bandwidth for ~the same neighbors),
+    and quantization must be deterministic."""
+    from openmsistream_spark.llm.similarity import (
+        cosine_topk,
+        cosine_topk_sq8,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = cosine_topk(emb, qids, k=10).collect()
+    approx = cosine_topk_sq8(emb, qids, k=10).collect()
+    per_q = {}
+    for r in exact:
+        per_q.setdefault(r.query_id, [set(), set()])[0].add(r.neighbor_id)
+    for r in approx:
+        per_q.setdefault(r.query_id, [set(), set()])[1].add(r.neighbor_id)
+    recalls = [len(a & b) / len(a) for a, b in per_q.values() if a]
+    assert recalls and min(recalls) >= 0.7, recalls
+    # deterministic quantization: identical qvecs on a rerun
+    q1 = sorted(map(str, quantize_int8(emb).limit(50).collect()))
+    q2 = sorted(map(str, quantize_int8(emb).limit(50).collect()))
+    assert q1 == q2
