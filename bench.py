@@ -54,6 +54,8 @@ HEADLINE = [
     "token_budget_shards",
     "mixture_sample_sources",
     "dedup_keep_canonical_lsh",
+    "cosine_topk_sq8",
+    "curated_corpus",
 ]
 
 

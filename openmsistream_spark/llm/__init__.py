@@ -9,26 +9,34 @@ small sides, no driver-side loops.
 """
 
 from .dedup import (
+    dedup_clusters,
+    drop_boilerplate_lines,
     exact_dedup,
-    word_shingles,
     jaccard_pairs,
-    minhash_signatures,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
+    minhash_signatures,
     simhash,
     simhash_band_pairs,
+    streaming_exact_dedup,
+    word_shingles,
 )
-from .similarity import cosine_topk, cosine_topk_lsh
+from .packing import mixture_sample, shard_by_token_budget
+from .similarity import cosine_topk, cosine_topk_lsh, cosine_topk_sq8, quantize_int8
 from .textstats import (
-    text_stats,
-    language_id,
     doc_fingerprint,
+    language_id,
     pii_redact,
+    quality_filter,
     repetition_signals,
+    text_stats,
 )
 
 __all__ = [
+    "dedup_clusters",
+    "drop_boilerplate_lines",
     "exact_dedup",
+    "streaming_exact_dedup",
     "word_shingles",
     "jaccard_pairs",
     "minhash_signatures",
@@ -36,11 +44,16 @@ __all__ = [
     "minhash_lsh_dedup",
     "simhash",
     "simhash_band_pairs",
+    "mixture_sample",
+    "shard_by_token_budget",
     "cosine_topk",
     "cosine_topk_lsh",
+    "cosine_topk_sq8",
+    "quantize_int8",
     "text_stats",
     "language_id",
     "doc_fingerprint",
     "pii_redact",
+    "quality_filter",
     "repetition_signals",
 ]

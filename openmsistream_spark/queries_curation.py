@@ -387,6 +387,92 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# end-to-end batch curation: exact dedup (min doc_id per normalized
+# content) -> quality keep -> PII redaction (with planted PII so the
+# redactor has work, as in pii_redaction_scan). The batch twin of
+# streaming/curation.curate_document_stream, with a full oracle.
+_CURATED_ORACLE = """
+    WITH hashed AS (
+      SELECT doc_id, source, text,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+      FROM documents),
+    reps AS (
+      SELECT content_hash, min(doc_id) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_duplicates
+      FROM hashed GROUP BY 1),
+    kept AS (
+      SELECT h.doc_id, h.text, r.content_hash, r.n_duplicates
+      FROM hashed h JOIN reps r
+        ON r.content_hash = h.content_hash AND r.doc_id = h.doc_id),
+    s AS (
+      SELECT doc_id, text, content_hash, n_duplicates,
+             CAST(len({toks}) AS BIGINT) AS n_tokens,
+             round(list_sum(list_transform({toks}, w -> length(w))) * 1.0
+                   / len({toks}), 4) AS mean_token_len,
+             round(len(list_distinct({toks})) * 1.0 / len({toks}), 4)
+               AS distinct_ratio,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM kept),
+    q AS (
+      SELECT doc_id, content_hash, n_duplicates, n_tokens,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' AS t
+      FROM s
+      WHERE n_tokens >= 20 AND mean_token_len BETWEEN 3.0 AND 12.0
+        AND distinct_ratio >= 0.3 AND n_punct * 1.0 / n_chars <= 0.2)
+    SELECT doc_id, content_hash, n_duplicates, n_tokens,
+           CAST(len(regexp_extract_all(t, '{email}')) AS BIGINT) AS n_email,
+           md5(regexp_replace(t, '{email}', '<EMAIL>', 'g')) AS redacted_md5
+    FROM q
+""".replace("{toks}", _TOKS).replace("{email}", PII_PATTERNS[0][1])
+
+
+@query(
+    "curated_corpus",
+    _CURATED_ORACLE,
+    doc="the batch curation pipeline end-to-end: exact dedup (canonical "
+    "= min doc_id per normalized content hash) -> quality keep/drop -> "
+    "PII redaction over planted emails — the batch twin of the "
+    "streaming curation pipeline, as one oracle-checked query",
+    survey="LLM curation: end-to-end batch pass",
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.dedup import exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    reps = exact_dedup(docs).select(
+        "content_hash",
+        F.col("representative_id").alias("doc_id"),
+        F.col("n_duplicates").cast("bigint").alias("n_duplicates"),
+    )
+    hashed = docs.withColumn(
+        "content_hash",
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))),
+    )
+    kept = hashed.join(reps, ["content_hash", "doc_id"])
+    quality = quality_filter(
+        kept, passthrough_cols=["text", "content_hash", "n_duplicates"]
+    ).filter("keep")
+    planted = quality.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    )
+    red = pii_redact(planted, patterns=PII_PATTERNS[:1])
+    return red.select(
+        "doc_id",
+        "content_hash",
+        "n_duplicates",
+        "n_tokens",
+        "n_email",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
 @query(
     "curation_report_by_source",
     f"""

@@ -1,9 +1,13 @@
-from .assembly import streaming_assemble
+from .assembly import streaming_assemble, tws_available
+from .curation import curate_document_stream, curation_sink
+from .sinks import reconstruction_sink, write_reconstructed_files
 from .sources import file_chunk_stream, kafka_chunk_stream
-from .sinks import write_reconstructed_files, reconstruction_sink
 
 __all__ = [
     "streaming_assemble",
+    "tws_available",
+    "curate_document_stream",
+    "curation_sink",
     "file_chunk_stream",
     "kafka_chunk_stream",
     "write_reconstructed_files",
