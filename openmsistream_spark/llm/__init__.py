@@ -21,7 +21,7 @@ from .dedup import (
     streaming_exact_dedup,
     word_shingles,
 )
-from .packing import mixture_sample, shard_by_token_budget
+from .packing import mixture_sample, shard_by_token_budget, write_training_shards
 from .similarity import cosine_topk, cosine_topk_lsh, cosine_topk_sq8, quantize_int8
 from .textstats import (
     doc_fingerprint,
@@ -46,6 +46,7 @@ __all__ = [
     "simhash_band_pairs",
     "mixture_sample",
     "shard_by_token_budget",
+    "write_training_shards",
     "cosine_topk",
     "cosine_topk_lsh",
     "cosine_topk_sq8",

@@ -37,6 +37,7 @@ def shard_by_token_budget(
     n_buckets: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Greedy token-budget sharding: assign each document to a training
     shard such that consecutive documents (in a deterministic
@@ -53,15 +54,18 @@ def shard_by_token_budget(
     Token counts use the same whitespace tokenization as
     ``token_histogram`` so corpus stats and shard budgets agree.
 
-    Returns (id, n_tokens, bucket, shard) — the manifest a shard writer
-    partitions by. At 100 TB: one shuffle (the per-bucket sort); set
-    ``n_buckets`` to a small multiple of cluster parallelism.
+    Returns (id, [keep_cols...], n_tokens, bucket, shard) — the
+    manifest a shard writer partitions by (``keep_cols`` ride through
+    unchanged so a writer needs no join back to the corpus). At 100 TB:
+    one shuffle (the per-bucket sort); set ``n_buckets`` to a small
+    multiple of cluster parallelism.
     """
     n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("bigint")
     bucket = (_hash_u60(F.col(id_col)) % n_buckets).cast("bigint")
     order_key = F.md5(F.col(id_col).cast("string"))
     base = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_tok.alias("n_tokens"),
         bucket.alias("bucket"),
         order_key.alias("_ord"),
@@ -74,10 +78,45 @@ def shard_by_token_budget(
     prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
     return base.select(
         id_col,
+        *keep_cols,
         "n_tokens",
         "bucket",
         F.floor(prev / budget_tokens).cast("bigint").alias("shard"),
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    budget_tokens: int,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize the packed corpus as training shards:
+    ``{out_dir}/bucket=B/shard=S/*.parquet`` — the layout a data loader
+    streams sequentially, one shard ≈ ``budget_tokens`` tokens.
+
+    The document text rides through the packing projection
+    (``keep_cols``), so the write is scan → one per-bucket sort → write:
+    no join back to the corpus. Deterministic: the same corpus always
+    produces byte-identical shard membership, so re-running a failed
+    write converges (mode='overwrite').
+
+    Returns the manifest (id, n_tokens, bucket, shard) for registry/
+    bookkeeping use.
+    """
+    packed = shard_by_token_budget(
+        docs,
+        budget_tokens,
+        n_buckets=n_buckets,
+        id_col=id_col,
+        text_col=text_col,
+        keep_cols=[c for c in docs.columns if c != id_col],
+    )
+    packed.write.mode(mode).partitionBy("bucket", "shard").parquet(out_dir)
+    return packed.select(id_col, "n_tokens", "bucket", "shard")
 
 
 def mixture_sample(

@@ -235,3 +235,38 @@ def test_drop_boilerplate_lines_order_and_thresholds(spark):
     out5 = {r.doc_id: r for r in drop_boilerplate_lines(df, max_line_df=5).collect()}
     assert "cookie NOTICE" in out5[2].cleaned
     assert out5[2].n_lines_dropped == 0
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from openmsistream_spark.llm.packing import write_training_shards
+
+    rows = [(i, f"s{i%3}", " ".join(["tok"] * (5 + i % 30))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(df, out, budget_tokens=150, n_buckets=4)
+    assert manifest.count() == 200
+    back = spark.read.parquet(out)
+    # every doc present exactly once, text + extra cols intact, layout partitioned
+    assert back.count() == 200
+    assert {"doc_id", "source", "text", "n_tokens", "bucket", "shard"} <= set(back.columns)
+    got = {r.doc_id: r for r in back.collect()}
+    assert got[7].text == rows[7][2] and got[7].source == "s1"
+    # shard token sums stay near budget: every non-final shard of a bucket
+    # holds < budget + max_doc_tokens
+    sums = {}
+    for r in back.collect():
+        sums.setdefault((r.bucket, r.shard), 0)
+        sums[(r.bucket, r.shard)] += r.n_tokens
+    max_doc = 34
+    last_shard = {}
+    for (b, s) in sums:
+        last_shard[b] = max(last_shard.get(b, -1), s)
+    for (b, s), tot in sums.items():
+        if s < last_shard[b]:
+            assert tot >= 150 - max_doc, ((b, s), tot)
+        assert tot < 150 + max_doc, ((b, s), tot)
+    # determinism: rewriting produces the identical membership
+    manifest2 = write_training_shards(df, out, budget_tokens=150, n_buckets=4)
+    m1 = sorted(map(str, manifest.collect()))
+    m2 = sorted(map(str, manifest2.collect()))
+    assert m1 == m2
