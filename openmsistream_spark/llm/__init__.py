@@ -12,6 +12,7 @@ from .dedup import (
     dedup_clusters,
     drop_boilerplate_lines,
     exact_dedup,
+    incremental_exact_dedup,
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
@@ -36,6 +37,7 @@ __all__ = [
     "dedup_clusters",
     "drop_boilerplate_lines",
     "exact_dedup",
+    "incremental_exact_dedup",
     "streaming_exact_dedup",
     "word_shingles",
     "jaccard_pairs",

@@ -68,6 +68,59 @@ def streaming_exact_dedup(
     return hashed.dropDuplicates(["content_hash"])
 
 
+def incremental_exact_dedup(
+    docs: DataFrame,
+    registry,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-run exact dedup against a durable content-hash ledger — the
+    batch loop of continuous corpus building: each ingest run keeps only
+    documents whose normalized content has never been seen by ANY prior
+    run, then records the new hashes.
+
+    ``registry`` is a ``make_registry(...)`` instance keyed on
+    ``content_hash`` (operators/registry.py — parquet atomic-rename or
+    Delta MERGE backend). The ledger holds 32-hex hashes + the canonical
+    id, never text: at 100 TB of corpus the ledger is ~50 bytes/doc. The
+    batch-vs-ledger check is an anti-join on the hash (the ledger side
+    is a hash-keyed table scan — Delta's MERGE path keeps it
+    incremental); within-batch duplicates collapse to min id first, so
+    exactly one row per new hash lands in the ledger.
+
+    The streaming twin is ``streaming_exact_dedup`` (state-store-bounded
+    within one query); this form is for scheduled batch ingests, where
+    state must be durable across runs and inspectable as a table.
+
+    Returns the surviving rows of ``docs`` (one per never-seen hash)
+    with ``content_hash`` added. Generalizes the reference's
+    registry-driven rerun filter F5 (stream_handler_registries.py:84-97)
+    from file keys to content identity.
+    """
+    hashed = docs.withColumn("content_hash", F.md5(_normalized(text_col)))
+    seen = registry.read()
+    if seen is not None:
+        hashed = hashed.join(
+            seen.select("content_hash"), "content_hash", "left_anti"
+        )
+    # within-batch collapse: smallest id per hash is canonical
+    w_first = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    fresh = hashed.join(w_first, ["content_hash", id_col])
+    # materialize BEFORE the upsert, via localCheckpoint rather than
+    # cache: (a) the plan reads the ledger (the anti-join side) and
+    # upsert atomically replaces those files — a lazy result would
+    # re-scan the ledger post-rewrite; (b) cache() registers by LOGICAL
+    # PLAN, so a later run over the same batch would silently reuse this
+    # run's cached rows instead of re-reading the grown ledger.
+    # localCheckpoint is eager, truncates lineage, and never matches by
+    # plan.
+    fresh = fresh.localCheckpoint(eager=True)
+    registry.upsert(
+        fresh.select("content_hash", F.col(id_col).alias("canonical_id"))
+    )
+    return fresh
+
+
 def _tokens(text_col: str = "text") -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 

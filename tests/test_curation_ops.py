@@ -270,3 +270,35 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     m1 = sorted(map(str, manifest.collect()))
     m2 = sorted(map(str, manifest2.collect()))
     assert m1 == m2
+
+
+def test_incremental_exact_dedup_across_runs(spark, tmp_path):
+    """Cross-run dedup: a second ingest batch drops documents whose
+    content any PRIOR run recorded, the ledger grows by new hashes only,
+    and replaying a batch is a no-op."""
+    from openmsistream_spark.llm.dedup import incremental_exact_dedup
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, str(tmp_path / "ledger"), ["content_hash"])
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "  ALPHA  beta GAMMA ")],
+        "doc_id long, text string",
+    )
+    out1 = incremental_exact_dedup(b1, reg).collect()
+    # 3 normalizes to 1's content: batch keeps ids 1 and 2
+    assert sorted(r.doc_id for r in out1) == [1, 2]
+    assert reg.read().count() == 2
+
+    b2 = spark.createDataFrame(
+        [(4, "ALPHA beta gamma"), (5, "zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out2 = incremental_exact_dedup(b2, reg).collect()
+    assert [r.doc_id for r in out2] == [5]  # 4 seen in run 1 -> dropped
+    assert reg.read().count() == 3
+
+    # replay of batch 2: nothing new, ledger unchanged
+    assert incremental_exact_dedup(b2, reg).collect() == []
+    assert reg.read().count() == 3
+    led = {r.content_hash: r.canonical_id for r in reg.read().collect()}
+    assert set(led.values()) == {1, 2, 5}
