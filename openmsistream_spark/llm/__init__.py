@@ -13,6 +13,7 @@ from .dedup import (
     drop_boilerplate_lines,
     exact_dedup,
     incremental_exact_dedup,
+    incremental_minhash_dedup,
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
@@ -38,6 +39,7 @@ __all__ = [
     "drop_boilerplate_lines",
     "exact_dedup",
     "incremental_exact_dedup",
+    "incremental_minhash_dedup",
     "streaming_exact_dedup",
     "word_shingles",
     "jaccard_pairs",

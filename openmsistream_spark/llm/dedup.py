@@ -343,6 +343,118 @@ def minhash_lsh_dedup(
     )
 
 
+def incremental_minhash_dedup(
+    docs: DataFrame,
+    registry,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Cross-run NEAR-dup against a durable LSH ledger — the incremental
+    companion of ``incremental_exact_dedup`` for continuous corpus
+    building: each ingest run drops documents that are near-duplicates
+    of anything ANY prior run admitted, then persists the survivors'
+    band buckets.
+
+    Ledger layout (``make_registry`` keyed [band, band_sig, doc_id]):
+    one row per (document, band) holding the 16-hex band signature plus
+    the document's full minhash signature (comma-joined) — ~bands rows
+    x ~200 bytes per admitted doc, never text. New-batch bands equi-join
+    the ledger's band buckets (16-byte keys) to produce candidates;
+    candidates verify by signature agreement, the standard unbiased
+    estimator of Jaccard (agreeing minhash fraction), so verification
+    needs no access to prior runs' shingles. Within-batch near-dups are
+    NOT collapsed here — run the batch-level ``minhash_lsh_dedup`` +
+    ``dedup_clusters`` pass first if the batch itself may contain dups.
+
+    Replay-idempotent: a replayed batch's surviving documents collide
+    with their own ledger rows (same signature -> agreement 1.0) and
+    drop out, so re-ingesting a processed batch admits nothing new.
+
+    Returns the admitted rows of ``docs``.
+    """
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sh = cap_hot_shingles(sh, max_shingle_df)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"_mh{h}")
+        for h in range(num_hashes)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    sig = F.concat_ws(",", *[F.col(f"_mh{h}") for h in range(num_hashes)])
+    n_bands = num_hashes // rows_per_band
+    band_sig = [
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"_mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ),
+            1,
+            16,
+        ).alias(f"_b{b}")
+        for b in range(n_bands)
+    ]
+    banded = wide.select(
+        F.col(id_col), sig.alias("sig"), *band_sig
+    ).select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.col(f"_b{b}").alias("band_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select(id_col, "sig", "_bk.band", "_bk.band_sig")
+
+    seen = registry.read()
+    if seen is not None and seen.count() > 0:
+        cand = (
+            banded.select(F.col(id_col), "band", "band_sig", F.col("sig").alias("new_sig"))
+            .join(
+                seen.select("band", "band_sig", F.col("sig").alias("old_sig")),
+                ["band", "band_sig"],
+            )
+            .select(id_col, "new_sig", "old_sig")
+            .distinct()
+        )
+        # signature agreement >= the Jaccard threshold -> near-dup
+        agree = F.size(
+            F.filter(
+                F.zip_with(
+                    F.split("new_sig", ","),
+                    F.split("old_sig", ","),
+                    lambda a, b: a == b,
+                ),
+                lambda x: x,
+            )
+        ) / F.lit(float(num_hashes))
+        dups = cand.filter(agree >= threshold).select(id_col).distinct()
+        admitted_ids = docs.select(id_col).join(dups, id_col, "left_anti")
+    else:
+        admitted_ids = docs.select(id_col)
+
+    admitted = docs.join(admitted_ids, id_col, "left_semi").localCheckpoint(eager=True)
+    new_rows = banded.join(
+        admitted.select(id_col), id_col, "left_semi"
+    ).localCheckpoint(eager=True)
+    registry.upsert(new_rows.select("band", "band_sig", id_col, "sig"))
+    return admitted
+
+
 def dedup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -302,3 +302,31 @@ def test_incremental_exact_dedup_across_runs(spark, tmp_path):
     assert reg.read().count() == 3
     led = {r.content_hash: r.canonical_id for r in reg.read().collect()}
     assert set(led.values()) == {1, 2, 5}
+
+
+def test_incremental_minhash_dedup_across_runs(spark, tmp_path):
+    """Cross-run near-dup: run 2 drops a lightly-edited copy of a run-1
+    doc (signature agreement over the Jaccard threshold), keeps novel
+    content, and replaying run 2 admits nothing new."""
+    from openmsistream_spark.llm.dedup import incremental_minhash_dedup
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, str(tmp_path / "lsh_ledger"), ["band", "band_sig", "doc_id"])
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew potent elixirs under ancient oak trees")
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    out1 = incremental_minhash_dedup(b1, reg, threshold=0.5)
+    assert [r.doc_id for r in out1.collect()] == [1]
+
+    near = base.replace("lazy dog", "sleepy dog")  # light edit: near-dup
+    novel = ("completely unrelated sentences describing aurora displays "
+             "across northern territories during solar maximum events")
+    b2 = spark.createDataFrame(
+        [(2, near), (3, novel)], "doc_id long, text string"
+    )
+    out2 = sorted(r.doc_id for r in incremental_minhash_dedup(b2, reg, threshold=0.5).collect())
+    assert out2 == [3], out2  # near-dup of run-1 doc dropped, novel kept
+
+    # replay: survivors collide with their own ledger rows -> no-op
+    out3 = incremental_minhash_dedup(b2, reg, threshold=0.5).collect()
+    assert out3 == [], out3
