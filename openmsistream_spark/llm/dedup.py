@@ -73,6 +73,7 @@ def incremental_exact_dedup(
     registry,
     id_col: str = "doc_id",
     text_col: str = "text",
+    run_id: str | None = None,
 ) -> DataFrame:
     """Cross-run exact dedup against a durable content-hash ledger — the
     batch loop of continuous corpus building: each ingest run keeps only
@@ -82,43 +83,56 @@ def incremental_exact_dedup(
     ``registry`` is a ``make_registry(...)`` instance keyed on
     ``content_hash`` (operators/registry.py — parquet atomic-rename or
     Delta MERGE backend). The ledger holds 32-hex hashes + the canonical
-    id, never text: at 100 TB of corpus the ledger is ~50 bytes/doc. The
-    batch-vs-ledger check is an anti-join on the hash (the ledger side
-    is a hash-keyed table scan — Delta's MERGE path keeps it
-    incremental); within-batch duplicates collapse to min id first, so
-    exactly one row per new hash lands in the ledger.
+    id + the admitting ``run_id``, never text: at 100 TB of corpus the
+    ledger is ~60 bytes/doc. The batch-vs-ledger check is an anti-join
+    on the hash (the ledger side is a hash-keyed table scan — Delta's
+    MERGE path keeps it incremental); within-batch duplicates collapse
+    to min id first, so exactly one row per new hash lands in the
+    ledger.
 
-    The streaming twin is ``streaming_exact_dedup`` (state-store-bounded
-    within one query); this form is for scheduled batch ingests, where
-    state must be durable across runs and inspectable as a table.
+    Recovery story: the ledger upsert is the ONLY materialization — the
+    returned frame's plan reads the (already-committed) post-upsert
+    ledger plus ``docs``, so an executor loss at any point simply
+    recomputes from durable storage; there is no driver-/executor-pinned
+    intermediate (an earlier design used ``localCheckpoint``, whose
+    blocks die with their executor). If the driver dies mid-upsert the
+    registry's atomic swap leaves the old OR new table, never a partial
+    one, and re-running the batch converges either way.
+
+    ``run_id`` tags this run's ledger rows. Re-running with the SAME
+    ``run_id`` (e.g. a streaming micro-batch id after a restart) returns
+    the identical admitted set instead of an empty one — exactly-once
+    replay. With the default (a fresh uuid per call) a replayed batch
+    admits nothing, the conservative batch semantics.
 
     Returns the surviving rows of ``docs`` (one per never-seen hash)
     with ``content_hash`` added. Generalizes the reference's
     registry-driven rerun filter F5 (stream_handler_registries.py:84-97)
     from file keys to content identity.
     """
+    import uuid
+
+    run_id = run_id if run_id is not None else uuid.uuid4().hex
     hashed = docs.withColumn("content_hash", F.md5(_normalized(text_col)))
+    new = hashed
     seen = registry.read()
     if seen is not None:
-        hashed = hashed.join(
-            seen.select("content_hash"), "content_hash", "left_anti"
-        )
+        new = new.join(seen.select("content_hash"), "content_hash", "left_anti")
     # within-batch collapse: smallest id per hash is canonical
-    w_first = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
-    fresh = hashed.join(w_first, ["content_hash", id_col])
-    # materialize BEFORE the upsert, via localCheckpoint rather than
-    # cache: (a) the plan reads the ledger (the anti-join side) and
-    # upsert atomically replaces those files — a lazy result would
-    # re-scan the ledger post-rewrite; (b) cache() registers by LOGICAL
-    # PLAN, so a later run over the same batch would silently reuse this
-    # run's cached rows instead of re-reading the grown ledger.
-    # localCheckpoint is eager, truncates lineage, and never matches by
-    # plan.
-    fresh = fresh.localCheckpoint(eager=True)
+    w_first = new.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
     registry.upsert(
-        fresh.select("content_hash", F.col(id_col).alias("canonical_id"))
+        w_first.select(
+            "content_hash", "canonical_id", F.lit(run_id).alias("run_id")
+        )
     )
-    return fresh
+    # re-derive the admitted rows FROM the committed ledger (durable) —
+    # the one place this run's admissions are recorded
+    mine = (
+        registry.read()
+        .filter(F.col("run_id") == run_id)
+        .select("content_hash", F.col("canonical_id").alias(id_col))
+    )
+    return hashed.join(mine, ["content_hash", id_col])
 
 
 def _tokens(text_col: str = "text") -> F.Column:
@@ -353,6 +367,7 @@ def incremental_minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    run_id: str | None = None,
 ) -> DataFrame:
     """Cross-run NEAR-dup against a durable LSH ledger — the incremental
     companion of ``incremental_exact_dedup`` for continuous corpus
@@ -362,21 +377,41 @@ def incremental_minhash_dedup(
 
     Ledger layout (``make_registry`` keyed [band, band_sig, doc_id]):
     one row per (document, band) holding the 16-hex band signature plus
-    the document's full minhash signature (comma-joined) — ~bands rows
-    x ~200 bytes per admitted doc, never text. New-batch bands equi-join
-    the ledger's band buckets (16-byte keys) to produce candidates;
-    candidates verify by signature agreement, the standard unbiased
-    estimator of Jaccard (agreeing minhash fraction), so verification
-    needs no access to prior runs' shingles. Within-batch near-dups are
-    NOT collapsed here — run the batch-level ``minhash_lsh_dedup`` +
-    ``dedup_clusters`` pass first if the batch itself may contain dups.
+    the document's full minhash signature (comma-joined) and the
+    admitting ``run_id`` — ~bands rows x ~200 bytes per admitted doc,
+    never text. New-batch bands equi-join the ledger's band buckets
+    (16-byte keys) to produce candidates; candidates verify by signature
+    agreement, the standard unbiased estimator of Jaccard (agreeing
+    minhash fraction), so verification needs no access to prior runs'
+    shingles. Within-batch near-dups are NOT collapsed here — run the
+    batch-level ``minhash_lsh_dedup`` + ``dedup_clusters`` pass first if
+    the batch itself may contain dups.
+
+    Documents that yield NO shingles (shorter than ``n`` tokens, or all
+    shingles dropped by the hot-shingle cap) still get a ledger row: a
+    synthetic band ``-1`` whose signature is the md5 of the normalized
+    text. For those documents near-dup detection degrades to exact
+    normalized-text identity (there is nothing to minhash), but they are
+    recorded, so a replayed batch re-admits nothing and an identical
+    short doc in a later run is dropped.
 
     Replay-idempotent: a replayed batch's surviving documents collide
     with their own ledger rows (same signature -> agreement 1.0) and
     drop out, so re-ingesting a processed batch admits nothing new.
+    Passing the SAME ``run_id`` as the original run instead returns the
+    identical admitted set (exactly-once replay for streaming
+    micro-batches, mirroring the reference's registry restart contract,
+    data_file_stream_processor.py:85-95); the default is a fresh uuid
+    per call.
+
+    Recovery story: no executor-pinned state — the returned frame reads
+    the committed post-upsert ledger plus ``docs``, so executor loss
+    recomputes from durable storage, and a driver crash mid-upsert
+    leaves the old or new ledger atomically (re-run converges).
 
     Returns the admitted rows of ``docs``.
     """
+    import uuid
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sh = cap_hot_shingles(sh, max_shingle_df)
     aggs = [
@@ -420,8 +455,26 @@ def incremental_minhash_dedup(
         ).alias("_bk"),
     ).select(id_col, "sig", "_bk.band", "_bk.band_sig")
 
+    # fallback row for shingle-less docs (< n tokens, or fully capped):
+    # one synthetic band keyed by the normalized-text hash, so every
+    # document is ledgered and replay-idempotence holds corpus-wide
+    norm_hash = F.md5(_normalized(text_col))
+    fallback = (
+        docs.join(banded.select(id_col).distinct(), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            norm_hash.alias("sig"),
+            F.lit(-1).cast("int").alias("band"),
+            F.substring(norm_hash, 1, 16).alias("band_sig"),
+        )
+    )
+    banded = banded.unionByName(fallback.select(id_col, "sig", "band", "band_sig"))
+
+    run_id = run_id if run_id is not None else uuid.uuid4().hex
     seen = registry.read()
-    if seen is not None and seen.count() > 0:
+    # no emptiness probe: the band join against an empty ledger is
+    # already a no-op, so `seen is not None` is the only gate needed
+    if seen is not None:
         cand = (
             banded.select(F.col(id_col), "band", "band_sig", F.col("sig").alias("new_sig"))
             .join(
@@ -431,7 +484,11 @@ def incremental_minhash_dedup(
             .select(id_col, "new_sig", "old_sig")
             .distinct()
         )
-        # signature agreement >= the Jaccard threshold -> near-dup
+        # signature agreement >= the Jaccard threshold -> near-dup.
+        # Denominator = the longer signature: real sigs have num_hashes
+        # positions, fallback sigs one; a real-vs-fallback collision can
+        # then agree on at most 1/num_hashes (never a false positive),
+        # while fallback-vs-fallback identity scores 1/1 = 1.0.
         agree = F.size(
             F.filter(
                 F.zip_with(
@@ -441,18 +498,29 @@ def incremental_minhash_dedup(
                 ),
                 lambda x: x,
             )
-        ) / F.lit(float(num_hashes))
+        ) / F.greatest(
+            F.size(F.split("new_sig", ",")), F.size(F.split("old_sig", ","))
+        )
         dups = cand.filter(agree >= threshold).select(id_col).distinct()
         admitted_ids = docs.select(id_col).join(dups, id_col, "left_anti")
     else:
         admitted_ids = docs.select(id_col)
 
-    admitted = docs.join(admitted_ids, id_col, "left_semi").localCheckpoint(eager=True)
-    new_rows = banded.join(
-        admitted.select(id_col), id_col, "left_semi"
-    ).localCheckpoint(eager=True)
-    registry.upsert(new_rows.select("band", "band_sig", id_col, "sig"))
-    return admitted
+    new_rows = banded.join(admitted_ids, id_col, "left_semi")
+    registry.upsert(
+        new_rows.select(
+            "band", "band_sig", id_col, "sig", F.lit(run_id).alias("run_id")
+        )
+    )
+    # re-derive admissions FROM the committed ledger — durable, and
+    # identical on a same-run_id replay (exactly-once restarts)
+    mine = (
+        registry.read()
+        .filter(F.col("run_id") == run_id)
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(mine, id_col, "left_semi")
 
 
 def dedup_clusters(
@@ -460,17 +528,43 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    hops_per_round: int = 2,
 ) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters.
 
     The step after candidate-pair generation in every large-scale dedup:
     pairs (a~b, b~c) must collapse to one cluster so exactly one
     representative survives. Min-label propagation: every node starts
-    labeled with itself; each round, labels flow across edges and each
-    node keeps the minimum seen; fixpoint in O(diameter) rounds (near-dup
-    clusters are shallow — a handful of rounds in practice; the loop
-    stops early at convergence via a cheap count). Each round is one
-    shuffle (join + min-agg) — the standard distributed-CC shape.
+    labeled with itself; labels flow across edges and each node keeps
+    the minimum seen; fixpoint in O(diameter) hops (near-dup clusters
+    are shallow — a handful of hops in practice).
+
+    Three scale levers on the classic loop:
+
+    - **multi-hop rounds** (``hops_per_round``): each Spark action
+      carries a fixed scheduling cost (~0.5-1 s of driver/stage overhead
+      locally, worse on a busy cluster), so the loop chains
+      ``hops_per_round`` propagation steps lazily into ONE job before
+      each convergence probe — halving (or better) the number of
+      driver-synchronized rounds for the same hop count.
+    - **frontier pruning**: only nodes whose label changed in the last
+      hop push in the next one (a node with an unchanged label already
+      pushed that label). The per-hop join shrinks with the frontier,
+      which collapses after the first hops — propagation cost tracks
+      label churn, not cluster size.
+    - **per-round lineage truncation** (``localCheckpoint``): caching
+      alone does NOT stop the logical plan doubling every round (each
+      hop references the prior labels from several subtrees), and
+      Catalyst re-analyzes the full tree per job — on a 10-hop graph the
+      driver spends minutes PLANNING while executors idle. Checkpointing
+      the round's label frame resets the plan to a leaf, the standard
+      idiom for iterative Spark algorithms (GraphFrames' connected
+      components checkpoints the same way). This is iteration-internal
+      state, not cross-run durability: if an executor holding checkpoint
+      blocks dies, the job fails and the operator simply re-runs — no
+      ledger/registry state depends on it (contrast
+      ``incremental_*_dedup``, whose recovery derives from the committed
+      registry, never from executor memory).
 
     Returns (id, cluster, is_representative) for every node.
 
@@ -481,6 +575,10 @@ def dedup_clusters(
     which is the difference between O(rounds x corpus) and
     O(rounds x duplicates) shuffled bytes.
     """
+    # pairs feeds the union twice — cache it so an expensive upstream
+    # pair generator (LSH verify, cosine join) executes once, not twice,
+    # when sym materializes
+    pairs = pairs.cache()
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -501,36 +599,53 @@ def dedup_clusters(
     # re-execute the full upstream pair pipeline (for LSH input: the
     # whole shingle->minhash->band->verify chain) once per subtree.
     labels.count()
-    to_unpersist: list[DataFrame] = [sym]
-    changed = 1
+    to_unpersist: list[DataFrame] = [sym, labels, pairs]
+    # frontier = nodes whose label changed in the previous hop; round 0
+    # everyone pushes their own id
+    frontier = labels
+    converged = False
     for _ in range(max_iterations):
-        labels = labels.cache()
-        to_unpersist.append(labels)
-        # labels neighbors would push to me this round
-        pushed = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(pushed, "id", "left")
-            .select(
+        cur = labels
+        stepped = cur
+        for _hop in range(hops_per_round):
+            pushed = (
+                sym.join(
+                    frontier.withColumnRenamed("id", "src"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            stepped = cur.join(pushed, "id", "left").select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
                     "new_label"
                 ),
-                "label",
+                F.col("label").alias("old_label"),
             )
-        ).cache()
-        to_unpersist.append(new_labels)
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
-        labels = new_labels.select("id", F.col("new_label").alias("label"))
-        if changed == 0:
+            frontier = stepped.filter(
+                F.col("new_label") != F.col("old_label")
+            ).select("id", F.col("new_label").alias("label"))
+            cur = stepped.select("id", F.col("new_label").alias("label"))
+        # ONE materialization per round (covering hops_per_round hops),
+        # which also TRUNCATES the plan — without this the logical tree
+        # doubles per round and Catalyst analysis time explodes (see
+        # docstring); after it, the frontier probe is a scan of the
+        # materialized blocks
+        stepped = stepped.localCheckpoint(eager=True)
+        frontier = stepped.filter(F.col("new_label") != F.col("old_label")).select(
+            "id", F.col("new_label").alias("label")
+        )
+        labels = stepped.select("id", F.col("new_label").alias("label"))
+        if frontier.count() == 0:
+            # empty frontier is a fixpoint: propagation only proceeds
+            # from changed nodes, and nothing changed in the last hop
+            converged = True
             break
-    if changed != 0:
+    if not converged:
         raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iterations} iterations "
-            "(a component's diameter exceeds the bound) — raise max_iterations"
+            f"dedup_clusters did not converge in {max_iterations} rounds "
+            f"({max_iterations * hops_per_round} hops; a component's diameter "
+            "exceeds the bound) — raise max_iterations"
         )
 
     # fold singletons back with ONE left join: a node without a pair is
@@ -542,9 +657,12 @@ def dedup_clusters(
         F.coalesce("label", "id").alias("cluster"),
         (F.col("id") == F.coalesce("label", "id")).alias("is_representative"),
     )
-    # materialize before releasing the iteration caches the plan rests on
-    result = result.cache()
-    result.count()
+    # Every explicit cache can be released: the returned plan reads only
+    # the corpus scan and the final checkpointed label frame (a
+    # materialized leaf, duplicate-set sized, freed by the context
+    # cleaner when the frame is garbage-collected). No extra job is
+    # spent materializing the corpus-sized result — the caller's first
+    # action consumes the lazy fold-back join directly.
     for df in to_unpersist:
         df.unpersist()
     return result

@@ -60,6 +60,14 @@ def shard_by_token_budget(
     one shuffle (the per-bucket sort); set ``n_buckets`` to a small
     multiple of cluster parallelism.
     """
+    reserved = {"n_tokens", "bucket", "shard", "_ord"}
+    clash = reserved.intersection(keep_cols) | (reserved & {id_col})
+    if clash:
+        raise ValueError(
+            f"shard_by_token_budget: column(s) {sorted(clash)} collide with "
+            "the operator's output columns (n_tokens, bucket, shard, _ord) — "
+            "rename or drop them before packing"
+        )
     n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("bigint")
     bucket = (_hash_u60(F.col(id_col)) % n_buckets).cast("bigint")
     order_key = F.md5(F.col(id_col).cast("string"))
@@ -106,6 +114,11 @@ def write_training_shards(
 
     Returns the manifest (id, n_tokens, bucket, shard) for registry/
     bookkeeping use.
+
+    Every non-id input column rides through as a ``keep_col``, so the
+    input must not already contain the packing output names (n_tokens,
+    bucket, shard, _ord) — ``shard_by_token_budget`` raises a clear
+    error on collision rather than producing ambiguous columns.
     """
     packed = shard_by_token_budget(
         docs,

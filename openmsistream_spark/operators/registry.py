@@ -110,7 +110,9 @@ class ParquetRegistry:
         kept = current.join(
             updates.select(*self.key_cols).distinct(), on=self.key_cols, how="left_anti"
         )
-        self._overwrite(kept.unionByName(updates))
+        # allowMissingColumns: a ledger schema may grow a column over
+        # time (e.g. the dedup ledgers' run_id); old rows null-fill
+        self._overwrite(kept.unionByName(updates, allowMissingColumns=True))
 
     def delete(self, keys: DataFrame) -> None:
         """R2 — keyed delete."""
@@ -141,14 +143,24 @@ class ParquetRegistry:
         merged = shards[0]
         for s in shards[1:]:
             merged = merged.unionByName(s)
-        merged = merged.dropDuplicates(self.key_cols)
-        expected = merged.count()
-        self.upsert(merged)
-        got = (
-            self.read()
-            .join(merged.select(*self.key_cols).distinct(), self.key_cols, "left_semi")
-            .count()
-        )
+        # cache: `merged` feeds three actions (count, the upsert's write,
+        # and the verify semi-join) — uncached, each would re-scan every
+        # shard
+        merged = merged.dropDuplicates(self.key_cols).cache()
+        try:
+            expected = merged.count()
+            self.upsert(merged)
+            got = (
+                self.read()
+                .join(
+                    merged.select(*self.key_cols).distinct(),
+                    self.key_cols,
+                    "left_semi",
+                )
+                .count()
+            )
+        finally:
+            merged.unpersist()
         if got != expected:
             raise IOError(
                 f"registry compaction lost rows: expected {expected}, found {got}"

@@ -108,10 +108,24 @@ _JACCARD3_CTE = f"""
     """,
     doc="near-dup removal output: one canonical representative per "
     "jaccard cluster with its member count — the corpus that survives "
-    "dedup",
+    "dedup. WARNING: exact all-pairs Jaccard — the oracle-exact twin "
+    "for validation at test scale ONLY; NEVER run this variant at "
+    "corpus scale (pair generation is quadratic in shared-shingle "
+    "document groups). Use dedup_keep_canonical_lsh, the banded "
+    "LSH variant with identical output contract, for real corpora",
     survey="LLM dedup: canonical selection after cluster formation",
 )
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact canonical dedup — validation twin of
+    ``dedup_keep_canonical_lsh``.
+
+    NEVER run this at corpus scale: ``jaccard_pairs`` with no shingle
+    cap is exact all-pairs through shared shingles, which is quadratic
+    in every shared-shingle group. It exists so the LSH variant's
+    recall can be judged against exact truth at small SF. At scale use
+    ``dedup_keep_canonical_lsh`` (same output contract, banded LSH
+    candidates, hot-shingle caps).
+    """
     docs = load(spark, sf_dir, "documents")
     sh = word_shingles(docs, n=3)
     # exact pairs (the oracle is exact); at corpus scale pass

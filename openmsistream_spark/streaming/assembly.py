@@ -506,6 +506,19 @@ def streaming_assemble(
         engine = "tws" if tws_available() else "apply_in_pandas"
     if engine == "tws":
         spark = chunks.sparkSession
+        # transformWithStateInPandas requires the RocksDB state store.
+        # Setting providerClass is SESSION-WIDE — every streaming query
+        # in this session inherits it. Fail loudly if a different
+        # provider was configured deliberately rather than silently
+        # switching the whole session's state backend.
+        current = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        if current and current != ROCKSDB_PROVIDER:
+            raise RuntimeError(
+                "assemble_stream(engine='tws') needs the RocksDB state "
+                f"store, but this session pins providerClass={current}. "
+                "Unset it, use a separate session, or pass "
+                "engine='apply_in_pandas' (HDFS-backed state) instead."
+            )
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
         return keyed.transformWithStateInPandas(
             statefulProcessor=_AssemblyProcessor(partial_timeout_ms, buffer_bytes),

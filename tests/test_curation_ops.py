@@ -330,3 +330,134 @@ def test_incremental_minhash_dedup_across_runs(spark, tmp_path):
     # replay: survivors collide with their own ledger rows -> no-op
     out3 = incremental_minhash_dedup(b2, reg, threshold=0.5).collect()
     assert out3 == [], out3
+
+
+def test_incremental_minhash_shingleless_docs_ledgered(spark, tmp_path):
+    """A document too short to shingle (fewer than n tokens) must still
+    land in the LSH ledger via its synthetic fallback band, so a replay
+    re-admits nothing and an identical short doc in a later run is
+    dropped (ADVICE r5: shingle-less docs used to bypass the ledger)."""
+    from openmsistream_spark.llm.dedup import incremental_minhash_dedup
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, str(tmp_path / "lsh"), ["band", "band_sig", "doc_id"])
+    b1 = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+    assert [r.doc_id for r in incremental_minhash_dedup(b1, reg).collect()] == [1]
+    led = reg.read().collect()
+    assert len(led) == 1 and led[0].band == -1  # fallback band recorded
+
+    # replay: the fallback row collides with itself -> nothing admitted
+    assert incremental_minhash_dedup(b1, reg).collect() == []
+    # identical short text under a NEW id in a later run -> dropped
+    b2 = spark.createDataFrame(
+        [(2, "  TINY   doc "), (3, "another short one")],
+        "doc_id long, text string",
+    )
+    out = sorted(r.doc_id for r in incremental_minhash_dedup(b2, reg).collect())
+    assert out == [3], out
+    # a real (shingled) doc must never collide with a fallback row
+    b3 = spark.createDataFrame(
+        [(4, "tiny doc grows into a longer sentence with many more words")],
+        "doc_id long, text string",
+    )
+    assert [r.doc_id for r in incremental_minhash_dedup(b3, reg).collect()] == [4]
+
+
+def test_incremental_dedup_run_id_replay_exactly_once(spark, tmp_path):
+    """Replaying an ingest with the SAME run_id returns the identical
+    admitted set (exactly-once restart semantics); the default fresh
+    run_id keeps the conservative admit-nothing replay."""
+    from openmsistream_spark.llm.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+    )
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, str(tmp_path / "exact"), ["content_hash"])
+    b = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    first = sorted(
+        r.doc_id for r in incremental_exact_dedup(b, reg, run_id="batch-7").collect()
+    )
+    assert first == [1, 2]
+    replay = sorted(
+        r.doc_id for r in incremental_exact_dedup(b, reg, run_id="batch-7").collect()
+    )
+    assert replay == [1, 2]  # same run_id -> same admissions
+    assert reg.read().count() == 2  # ledger did not grow
+    assert incremental_exact_dedup(b, reg).collect() == []  # fresh run_id
+
+    lsh = make_registry(spark, str(tmp_path / "lsh"), ["band", "band_sig", "doc_id"])
+    text = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew potent elixirs under ancient oak trees")
+    bb = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    assert [
+        r.doc_id for r in incremental_minhash_dedup(bb, lsh, run_id="m-3").collect()
+    ] == [9]
+    assert [
+        r.doc_id for r in incremental_minhash_dedup(bb, lsh, run_id="m-3").collect()
+    ] == [9]
+    assert incremental_minhash_dedup(bb, lsh).collect() == []
+
+
+def test_shard_packing_rejects_reserved_columns(spark, tmp_path):
+    """Input columns colliding with the packing outputs raise a clear
+    error instead of producing ambiguous/duplicated columns."""
+    from openmsistream_spark.llm.packing import write_training_shards
+
+    df = spark.createDataFrame(
+        [(1, "some text here", 5)], "doc_id long, text string, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="n_tokens"):
+        write_training_shards(df, str(tmp_path / "shards"), budget_tokens=100)
+
+
+def test_dedup_clusters_deep_chain_converges_fast():
+    """A long path graph (diameter ~24) exercises the multi-round loop:
+    per-round lineage truncation must keep planning time flat (this
+    shape used to take minutes of driver-side Catalyst analysis) and the
+    labels must still collapse to the single path minimum."""
+    import time
+
+    from pyspark.sql import SparkSession
+
+    from openmsistream_spark.llm.dedup import dedup_clusters
+
+    spark = SparkSession.getActiveSession()
+    n = 25
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    nodes = spark.range(1, n + 1).withColumnRenamed("id", "doc_id")
+    t0 = time.time()
+    out = dedup_clusters(nodes, pairs, id_col="doc_id", max_iterations=30)
+    rows = {r.doc_id: r.cluster for r in out.collect()}
+    elapsed = time.time() - t0
+    assert rows == {i: 1 for i in range(1, n + 1)}
+    assert elapsed < 60, f"deep-chain CC took {elapsed:.0f}s — lineage blow-up?"
+
+
+def test_tws_engine_refuses_conflicting_state_provider(spark):
+    """engine='tws' must fail loudly when the session pins a non-RocksDB
+    state store provider instead of silently flipping the session-wide
+    conf under other streaming queries (ADVICE r5)."""
+    from openmsistream_spark.streaming.assembly import streaming_assemble
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    try:
+        chunks = spark.createDataFrame(
+            [("f", 1, "h", 0, 0, b"x")],
+            "rel_path string, n_total_chunks int, file_hash string, "
+            "file_mtime long, chunk_offset_write long, data binary",
+        )
+        with pytest.raises(RuntimeError, match="RocksDB"):
+            streaming_assemble(chunks, engine="tws")
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)

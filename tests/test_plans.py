@@ -114,16 +114,21 @@ def test_stratified_sample_hash_plan_shape(spark):
     plan = plan_of(spark, "stratified_sample_hot")
     assert "BroadcastHashJoin" in plan  # counts table broadcast, not shuffled
     assert "WindowGroupLimit" in plan  # top-k pushdown on the trim
-    # the threshold filter must run in (or before) the join, ahead of the
-    # window exchange — i.e. no full-stratum rows reach the sort
-    assert plan.index("BroadcastHashJoin") > plan.index("WindowGroupLimit") or (
-        "Condition" in plan
-    )
+    # the hash-fraction threshold must be evaluated INSIDE the broadcast
+    # join (Catalyst folds it into the join condition), so full-stratum
+    # rows are dropped before the window exchange ever sees them
+    assert "Join condition" in plan and "_stratum_n" in plan, plan
+    # in the formatted tree, deeper = earlier execution: the join node
+    # must sit strictly below the window-limit nodes (filter before sort)
+    assert plan.index("BroadcastHashJoin") > plan.index("WindowGroupLimit"), plan
 
 
 def test_boilerplate_hot_set_broadcasts(spark):
     plan = plan_of(spark, "boilerplate_line_dedup")
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # the hot-line set join must be a broadcast HASH join — a nested-loop
+    # fallback would re-scan the corpus per hot line
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastExchange" in plan  # the hot-line set ships broadcast
 
 
