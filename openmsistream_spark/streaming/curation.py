@@ -34,7 +34,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
 
-from ..llm.dedup import streaming_exact_dedup
+from ..llm.dedup import incremental_minhash_dedup, streaming_exact_dedup
 from ..llm.textstats import pii_redact, quality_filter
 
 
@@ -83,6 +83,9 @@ def curation_sink(
     curated: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    neardup_registry=None,
+    neardup_text_col: str = "redacted",
+    neardup_conf: dict[str, Any] | None = None,
 ) -> DataStreamWriter:
     """Exactly-once parquet sink for a curated stream: each micro-batch
     lands in ``{out_dir}/batch=<batch_id>`` with overwrite semantics.
@@ -94,11 +97,42 @@ def curation_sink(
     ``spark.read.parquet(out_dir)`` (partition discovery surfaces
     ``batch`` as a column; drop it for the pure corpus).
 
+    ``neardup_registry`` (a ``make_registry(spark, path, ["band",
+    "band_sig", "doc_id"])`` instance) turns on cross-batch NEAR-dup
+    removal on top of the chain's exact dedup: every micro-batch is run
+    through ``incremental_minhash_dedup`` against the durable LSH ledger
+    before writing, so a lightly-edited copy of anything ANY earlier
+    batch admitted — including batches before a restart — is dropped.
+    The ledger is keyed by the micro-batch id (``run_id=batch-<id>``),
+    which preserves the exactly-once contract: a replayed batch
+    re-derives the identical admitted set from the ledger (committed
+    state, not checkpoint-local) and overwrites its own partition with
+    the same rows. This mirrors the reference's restart discipline,
+    where the registry — not the consumer — owns progress truth
+    (data_file_stream_processor.py:85-95). Near-dups WITHIN one
+    micro-batch are not collapsed (both are new to the ledger); at
+    micro-batch granularity that window is seconds wide, and a
+    batch-level ``minhash_lsh_dedup`` pass can be added upstream if it
+    matters. ``neardup_conf`` passes through tuning kwargs (``n``,
+    ``num_hashes``, ``rows_per_band``, ``threshold``,
+    ``max_shingle_df``); ``neardup_text_col`` defaults to the redacted
+    text because ``curate_document_stream`` never lets unredacted text
+    past the transform chain.
+
     Returns the configured ``DataStreamWriter`` — caller picks the
     trigger and calls ``.start()``."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        out = batch_df
+        if neardup_registry is not None:
+            out = incremental_minhash_dedup(
+                out,
+                neardup_registry,
+                text_col=neardup_text_col,
+                run_id=f"batch-{batch_id}",
+                **(neardup_conf or {}),
+            )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     return (
         curated.writeStream.foreachBatch(_write)

@@ -98,3 +98,58 @@ def test_curate_stream_batch_semantics(spark):
     assert by_id[kept_dup].n_email == 1
     assert "<EMAIL>" in by_id[kept_dup].redacted
     assert 4 in by_id and by_id[4].n_email == 0
+
+
+# light edit of GOOD_1 (one word changed): passes the exact-dedup stage
+# (different content hash) but is a near-duplicate by MinHash signature
+GOOD_1_NEAR = GOOD_1.replace("lazy dog", "sleepy dog")
+
+
+def test_streaming_curation_neardup_across_restart(spark, dirs):
+    """With a durable LSH ledger wired into the sink, the stream drops
+    near-duplicates — not just exact ones — across micro-batches AND
+    restarts, and replays stay exactly-once (the replayed batch
+    re-derives its admitted set from the ledger via its batch run_id)."""
+    from openmsistream_spark.operators.registry import make_registry
+
+    in_dir, out_dir, ckpt = f"{dirs}/in", f"{dirs}/out", f"{dirs}/ckpt"
+    reg = make_registry(
+        spark, f"{dirs}/lsh_ledger", ["band", "band_sig", "doc_id"]
+    )
+
+    def run():
+        src = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        curated = curate_document_stream(src)
+        q = (
+            curation_sink(curated, out_dir, ckpt, neardup_registry=reg)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 0: one good doc
+    spark.createDataFrame([(1, GOOD_1)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run()
+    out1 = _read_out(spark, out_dir)
+    assert [doc_id for doc_id, _, _ in out1] == [1]
+
+    # restart + batch 1: a near-dup of the batch-0 doc and a novel doc.
+    # The near-dup must be dropped by the LEDGER (exact dedup can't see
+    # it: different content hash), proving near-dup state survives the
+    # restart in durable storage rather than the state store.
+    spark.createDataFrame(
+        [(5, GOOD_1_NEAR), (6, GOOD_2)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    out2 = _read_out(spark, out_dir)
+    assert [doc_id for doc_id, _, _ in out2] == [1, 6], out2
+
+    # replay from the same checkpoint with no new input: exactly-once
+    run()
+    assert _read_out(spark, out_dir) == out2
+    # the ledger recorded only admitted docs (1 and 6), never the dup
+    assert set(
+        r.doc_id for r in reg.read().select("doc_id").distinct().collect()
+    ) == {1, 6}
