@@ -1,0 +1,213 @@
+"""Command-line entry points — the reference's console-script surface.
+
+The reference installs its flagship programs as console scripts
+(pyproject.toml:22-31: ``UploadDataFile``, ``DataFileUploadDirectory``,
+``DataFileDownloadDirectory``, plus the DLQ reproduction tool under
+tools/undecryptable_messages) with argparse-driven options
+(utilities/argument_parsing.py:99-260). This module mirrors that first
+touch for a Spark deployment: the same verbs, kebab-cased, each a thin
+argparse wrapper over ``pipelines.py`` — all heavy lifting stays in the
+library so programmatic users and the CLI share one code path.
+
+    python -m openmsistream_spark.cli upload-directory  WATCH_DIR --topic URI
+    python -m openmsistream_spark.cli upload-file       FILE      --topic URI
+    python -m openmsistream_spark.cli download-directory OUT_DIR  --topic URI
+    python -m openmsistream_spark.cli reproduce-dlq     DLQ_DIR   --topic URI
+
+Topic URIs: ``kafka://hosts/topic`` for a live broker, anything else is
+a parquet-directory topic (the brokerless staging transport — see
+pipelines.py module docstring). Installed console scripts (pyproject):
+``oms-upload-file``, ``oms-upload-directory``, ``oms-download-directory``,
+``oms-reproduce-dlq``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+from collections.abc import Sequence
+
+from .schemas import DEFAULT_CHUNK_SIZE
+from .streaming.sources import DEFAULT_UPLOAD_REGEX
+
+
+def _session(args: argparse.Namespace):
+    from .session import get_spark
+
+    return get_spark(
+        app_name=f"oms-{args.command}",
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--topic",
+        required=True,
+        help="topic URI: kafka://hosts/topic, or a parquet directory path",
+    )
+    p.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="spark.sql.shuffle.partitions override (default: session default)",
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="openmsistream-spark",
+        description=__doc__.split("\n\n")[0],
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    up = sub.add_parser(
+        "upload-directory",
+        help="chunk + serialize every eligible file under a directory "
+        "to a topic (reference: DataFileUploadDirectory)",
+    )
+    up.add_argument("watch_dir", help="directory of files to upload")
+    _add_common(up)
+    up.add_argument(
+        "--chunk-size", type=int, default=DEFAULT_CHUNK_SIZE,
+        help=f"bytes per chunk (default {DEFAULT_CHUNK_SIZE})",
+    )
+    up.add_argument(
+        "--upload-regex", default=DEFAULT_UPLOAD_REGEX,
+        help="only files whose relative path matches are uploaded",
+    )
+    up.add_argument(
+        "--registry-dir", default=None,
+        help="optional producer ledger directory (R4: records completed files)",
+    )
+
+    uf = sub.add_parser(
+        "upload-file",
+        help="chunk + serialize ONE file to a topic (reference: UploadDataFile)",
+    )
+    uf.add_argument("file", help="path of the file to upload")
+    _add_common(uf)
+    uf.add_argument("--chunk-size", type=int, default=DEFAULT_CHUNK_SIZE)
+    uf.add_argument("--registry-dir", default=None)
+
+    dl = sub.add_parser(
+        "download-directory",
+        help="consume a topic and reconstruct complete files under a "
+        "directory (reference: DataFileDownloadDirectory)",
+    )
+    dl.add_argument("out_dir", help="directory to reconstruct files into")
+    _add_common(dl)
+    dl.add_argument(
+        "--key-regex", default=None,
+        help="only consume messages whose key matches (F1)",
+    )
+    dl.add_argument(
+        "--filepath-regex", default=None,
+        help="only reconstruct files whose relative path matches (F2)",
+    )
+    dl.add_argument(
+        "--dlq-dir", default=None,
+        help="directory to append undeserializable messages to (K6)",
+    )
+
+    rd = sub.add_parser(
+        "reproduce-dlq",
+        help="re-produce dead-lettered messages to a topic (reference: "
+        "tools/undecryptable_messages)",
+    )
+    rd.add_argument("dlq_dir", help="DLQ parquet directory to re-produce from")
+    _add_common(rd)
+
+    return ap
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = _session(args)
+
+    if args.command == "upload-directory":
+        from .pipelines import upload_directory
+
+        n = upload_directory(
+            spark,
+            args.watch_dir,
+            args.topic,
+            chunk_size=args.chunk_size,
+            upload_regex=args.upload_regex,
+            registry_dir=args.registry_dir,
+        )
+        print(f"uploaded {n} chunks from {args.watch_dir} to {args.topic}")
+        return 0
+
+    if args.command == "upload-file":
+        from .pipelines import upload_directory
+
+        path = os.path.abspath(args.file)
+        if not os.path.isfile(path):
+            print(f"no such file: {args.file}", file=sys.stderr)
+            return 2
+        # one file == the directory pipeline scoped to exactly that
+        # relative path (the reference's UploadDataFile is the same
+        # produce path with a single-file source,
+        # upload_data_file.py:18-77)
+        n = upload_directory(
+            spark,
+            os.path.dirname(path),
+            args.topic,
+            chunk_size=args.chunk_size,
+            upload_regex=f"^{re.escape(os.path.basename(path))}$",
+            registry_dir=args.registry_dir,
+        )
+        print(f"uploaded {n} chunks from {path} to {args.topic}")
+        return 0
+
+    if args.command == "download-directory":
+        from .pipelines import download_directory
+        from .schemas import CODE_SUCCESSFULLY_RECONSTRUCTED
+
+        status = download_directory(
+            spark,
+            args.topic,
+            args.out_dir,
+            key_regex=args.key_regex,
+            filepath_regex=args.filepath_regex,
+            dlq_dir=args.dlq_dir,
+        )
+        rows = status.collect()
+        ok = sum(1 for r in rows if r.status == CODE_SUCCESSFULLY_RECONSTRUCTED)
+        print(
+            f"reconstructed {ok}/{len(rows)} files from {args.topic} "
+            f"into {args.out_dir}"
+        )
+        return 0 if ok == len(rows) else 1
+
+    if args.command == "reproduce-dlq":
+        from .pipelines import reproduce_dlq
+
+        n = reproduce_dlq(spark, args.dlq_dir, args.topic)
+        print(f"re-produced {n} messages from {args.dlq_dir} to {args.topic}")
+        return 0
+
+    raise AssertionError(f"unhandled command {args.command!r}")
+
+
+def upload_file_main() -> int:
+    return main(["upload-file", *sys.argv[1:]])
+
+
+def upload_directory_main() -> int:
+    return main(["upload-directory", *sys.argv[1:]])
+
+
+def download_directory_main() -> int:
+    return main(["download-directory", *sys.argv[1:]])
+
+
+def reproduce_dlq_main() -> int:
+    return main(["reproduce-dlq", *sys.argv[1:]])
+
+
+if __name__ == "__main__":
+    sys.exit(main())
