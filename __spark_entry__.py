@@ -147,6 +147,28 @@ def _is_stale(name: str, correctness_path: str) -> bool:
     return False
 
 
+def _bench_cost() -> dict[str, float]:
+    """Newest benched wall-time per query (BENCH_r*.json), 0.0 if never
+    benched. Used only as a sort tiebreak."""
+    import glob
+    import json
+
+    cost: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # driver rounds wrap bench.py's JSON line under "parsed"
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        for name, sec in (data.get("queries") or {}).items():
+            if isinstance(sec, (int, float)):
+                cost[name] = float(sec)  # later rounds overwrite
+    return cost
+
+
 def _ordered_names() -> list[str]:
     latest = _last_green_round()
     names = list(QUERIES)
@@ -160,12 +182,17 @@ def _ordered_names() -> list[str]:
     # starving it (round-3 failure: one needs-verification partition kept
     # catalog order, so freshly-staled round-1 names consumed every slot):
     #   1. never driver-verified (no green row in any round), catalog order
-    #   2. stale, oldest green round first (their signal is most out of date)
+    #   2. stale, oldest green round first (their signal is most out of
+    #      date); within the same round, most expensive benched pipeline
+    #      first — when a shared-module edit stales more names than one
+    #      sweep can re-verify, the heaviest pipelines carry the most
+    #      changed code, so their fresh signal is worth the most
     #   3. fresh (current code already has a green driver row), catalog order
     never = [n for n in names if n not in latest]
+    cost = _bench_cost()
     stale = sorted(
         (n for n in names if n in latest and n not in fresh),
-        key=lambda n: (latest[n], names.index(n)),
+        key=lambda n: (latest[n], -cost.get(n, 0.0), names.index(n)),
     )
     return never + stale + [n for n in names if n in fresh]
 
