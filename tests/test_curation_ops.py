@@ -414,18 +414,14 @@ def test_shard_packing_rejects_reserved_columns(spark, tmp_path):
         write_training_shards(df, str(tmp_path / "shards"), budget_tokens=100)
 
 
-def test_dedup_clusters_deep_chain_converges_fast():
+def test_dedup_clusters_deep_chain_converges_fast(spark):
     """A long path graph (diameter ~24) exercises the multi-round loop:
     per-round lineage truncation must keep planning time flat (this
     shape used to take minutes of driver-side Catalyst analysis) and the
     labels must still collapse to the single path minimum."""
     import time
 
-    from pyspark.sql import SparkSession
-
     from openmsistream_spark.llm.dedup import dedup_clusters
-
-    spark = SparkSession.getActiveSession()
     n = 25
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
@@ -461,3 +457,46 @@ def test_tws_engine_refuses_conflicting_state_provider(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, before)
+
+
+def test_dedup_clusters_matches_union_find_on_random_graphs(spark):
+    """Property check of the multi-hop/frontier CC against a plain
+    union-find computed driver-side: on arbitrary sparse graphs the
+    cluster labels must equal each component's minimum node id."""
+    import random
+
+    from openmsistream_spark.llm.dedup import dedup_clusters
+    rng = random.Random(20260813)
+    for trial in range(3):
+        n = rng.randint(8, 60)
+        m = rng.randint(0, n * 2)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(1, n + 1), 2)))
+                for _ in range(m)
+            }
+        )
+        # reference: union-find over the same edges
+        parent = list(range(n + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expect = {}
+        for v in range(1, n + 1):
+            root = find(v)
+            expect[v] = min(u for u in range(1, n + 1) if find(u) == root)
+
+        nodes = spark.range(1, n + 1).withColumnRenamed("id", "doc_id")
+        if edges:
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        else:
+            pairs = spark.createDataFrame([], "id_a long, id_b long")
+        out = dedup_clusters(nodes, pairs, id_col="doc_id", max_iterations=40)
+        got = {r.doc_id: r.cluster for r in out.collect()}
+        assert got == expect, f"trial {trial}: n={n} edges={edges}"
