@@ -34,7 +34,12 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
 
-from ..llm.dedup import incremental_minhash_dedup, streaming_exact_dedup
+from ..llm.dedup import (
+    dedup_clusters,
+    incremental_minhash_dedup,
+    minhash_lsh_dedup,
+    streaming_exact_dedup,
+)
 from ..llm.textstats import pii_redact, quality_filter
 
 
@@ -86,6 +91,7 @@ def curation_sink(
     neardup_registry=None,
     neardup_text_col: str = "redacted",
     neardup_conf: dict[str, Any] | None = None,
+    collapse_batch_neardups: bool = False,
 ) -> DataStreamWriter:
     """Exactly-once parquet sink for a curated stream: each micro-batch
     lands in ``{out_dir}/batch=<batch_id>`` with overwrite semantics.
@@ -110,10 +116,14 @@ def curation_sink(
     the same rows. This mirrors the reference's restart discipline,
     where the registry — not the consumer — owns progress truth
     (data_file_stream_processor.py:85-95). Near-dups WITHIN one
-    micro-batch are not collapsed (both are new to the ledger); at
-    micro-batch granularity that window is seconds wide, and a
-    batch-level ``minhash_lsh_dedup`` pass can be added upstream if it
-    matters. ``neardup_conf`` passes through tuning kwargs (``n``,
+    micro-batch are both new to the ledger, so by default both are
+    admitted (the window is seconds wide); set
+    ``collapse_batch_neardups=True`` to run the batch-level
+    ``minhash_lsh_dedup`` + ``dedup_clusters`` pass first, keeping one
+    representative (min id) per within-batch cluster before the ledger
+    check. The collapse is md5-deterministic, so a replayed batch
+    collapses identically and the exactly-once contract holds.
+    ``neardup_conf`` passes through tuning kwargs (``n``,
     ``num_hashes``, ``rows_per_band``, ``threshold``,
     ``max_shingle_df``); ``neardup_text_col`` defaults to the redacted
     text because ``curate_document_stream`` never lets unredacted text
@@ -125,12 +135,27 @@ def curation_sink(
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df
         if neardup_registry is not None:
+            conf = dict(neardup_conf or {})
+            if collapse_batch_neardups:
+                lsh_kwargs = {
+                    k: conf[k]
+                    for k in ("n", "num_hashes", "rows_per_band",
+                              "threshold", "max_shingle_df")
+                    if k in conf
+                }
+                pairs = minhash_lsh_dedup(
+                    out, text_col=neardup_text_col, **lsh_kwargs
+                )
+                reps = dedup_clusters(out.select("doc_id"), pairs).filter(
+                    "is_representative"
+                )
+                out = out.join(reps.select("doc_id"), "doc_id", "left_semi")
             out = incremental_minhash_dedup(
                 out,
                 neardup_registry,
                 text_col=neardup_text_col,
                 run_id=f"batch-{batch_id}",
-                **(neardup_conf or {}),
+                **conf,
             )
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 

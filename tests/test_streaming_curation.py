@@ -153,3 +153,46 @@ def test_streaming_curation_neardup_across_restart(spark, dirs):
     assert set(
         r.doc_id for r in reg.read().select("doc_id").distinct().collect()
     ) == {1, 6}
+
+
+GOOD_2_NEAR = GOOD_2.replace("renewed interest", "refreshed interest")
+
+
+def test_streaming_curation_collapses_within_batch_neardups(spark, dirs):
+    """collapse_batch_neardups=True keeps one representative (min id)
+    when a single micro-batch carries near-duplicates of each other,
+    and the collapse replays deterministically."""
+    from openmsistream_spark.operators.registry import make_registry
+
+    in_dir, out_dir, ckpt = f"{dirs}/in", f"{dirs}/out", f"{dirs}/ckpt"
+    reg = make_registry(spark, f"{dirs}/ledger", ["band", "band_sig", "doc_id"])
+
+    def run():
+        src = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = (
+            curation_sink(
+                curate_document_stream(src),
+                out_dir,
+                ckpt,
+                neardup_registry=reg,
+                collapse_batch_neardups=True,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # one batch: two near-dups of each other + one unrelated doc
+    spark.createDataFrame(
+        [(7, GOOD_2), (8, GOOD_2_NEAR), (9, GOOD_1)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    out1 = _read_out(spark, out_dir)
+    assert [doc_id for doc_id, _, _ in out1] == [7, 9], out1  # 8 collapsed
+
+    # replay: identical output, ledger never saw doc 8
+    run()
+    assert _read_out(spark, out_dir) == out1
+    assert set(
+        r.doc_id for r in reg.read().select("doc_id").distinct().collect()
+    ) == {7, 9}
