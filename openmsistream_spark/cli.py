@@ -120,6 +120,55 @@ def build_parser() -> argparse.ArgumentParser:
     rd.add_argument("dlq_dir", help="DLQ parquet directory to re-produce from")
     _add_common(rd)
 
+    cc = sub.add_parser(
+        "curate-corpus",
+        help="batch LLM-corpus curation: exact + near dedup, quality "
+        "filter, PII redaction; optional durable ledgers and training "
+        "shards",
+    )
+    cc.add_argument("in_parquet", help="input corpus parquet (id + text columns)")
+    cc.add_argument("out_dir", help="directory for the curated parquet")
+    cc.add_argument("--id-col", default="doc_id")
+    cc.add_argument("--text-col", default="text")
+    cc.add_argument(
+        "--neardup", action="store_true",
+        help="also remove within-corpus near-duplicates (MinHash-LSH + "
+        "connected components, one representative per cluster)",
+    )
+    cc.add_argument(
+        "--threshold", type=float, default=None,
+        help="near-dup Jaccard threshold (default: operator default)",
+    )
+    cc.add_argument(
+        "--exact-ledger", default=None,
+        help="durable content-hash ledger dir: drop docs any prior run admitted",
+    )
+    cc.add_argument(
+        "--lsh-ledger", default=None,
+        help="durable LSH band ledger dir: drop near-dups of prior runs",
+    )
+    cc.add_argument(
+        "--run-id", default=None,
+        help="ledger run key; re-running with the same id replays the "
+        "identical admissions (exactly-once)",
+    )
+    cc.add_argument(
+        "--shard-dir", default=None,
+        help="also pack the curated corpus into training shards here",
+    )
+    cc.add_argument(
+        "--shard-budget-tokens", type=int, default=1_000_000,
+        help="tokens per training shard (with --shard-dir)",
+    )
+    cc.add_argument(
+        "--no-report", action="store_true",
+        help="skip per-stage row counts (one count job per stage)",
+    )
+    cc.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="spark.sql.shuffle.partitions override",
+    )
+
     return ap
 
 
@@ -188,6 +237,56 @@ def main(argv: Sequence[str] | None = None) -> int:
 
         n = reproduce_dlq(spark, args.dlq_dir, args.topic)
         print(f"re-produced {n} messages from {args.dlq_dir} to {args.topic}")
+        return 0
+
+    if args.command == "curate-corpus":
+        import json
+
+        from .llm.curate import curate_corpus
+        from .llm.packing import write_training_shards
+        from .operators.registry import make_registry
+
+        docs = spark.read.parquet(args.in_parquet)
+        exact = (
+            make_registry(spark, args.exact_ledger, ["content_hash"])
+            if args.exact_ledger
+            else None
+        )
+        lsh = (
+            make_registry(
+                spark, args.lsh_ledger, ["band", "band_sig", args.id_col]
+            )
+            if args.lsh_ledger
+            else None
+        )
+        conf = {"threshold": args.threshold} if args.threshold is not None else {}
+        curated, stages = curate_corpus(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            neardup=args.neardup,
+            neardup_conf=conf,
+            exact_ledger=exact,
+            lsh_ledger=lsh,
+            run_id=args.run_id,
+            report=not args.no_report,
+        )
+        curated.write.mode("overwrite").parquet(args.out_dir)
+        result = {"out": args.out_dir, "stages": stages}
+        if args.shard_dir:
+            # the packer recomputes n_tokens from the (redacted) text and
+            # reserves that name — drop the quality stage's copy
+            shard_input = curated.drop("n_tokens", "bucket", "shard", "_ord")
+            manifest = write_training_shards(
+                shard_input,
+                args.shard_dir,
+                budget_tokens=args.shard_budget_tokens,
+                id_col=args.id_col,
+                text_col="redacted",
+            )
+            result["shards"] = manifest.select("bucket", "shard").distinct().count()
+            result["shard_dir"] = args.shard_dir
+        print(json.dumps(result))
         return 0
 
     raise AssertionError(f"unhandled command {args.command!r}")

@@ -1,0 +1,132 @@
+"""One-call batch corpus curation — the standard pretraining pass as a
+single composable function, and the engine behind the ``curate-corpus``
+CLI command.
+
+Pipeline (each stage optional/configurable, all md5-deterministic):
+
+  exact dedup (canonical = min id per normalized content hash, or
+  cross-run against a durable content-hash ledger)
+    → near-dup removal (banded MinHash-LSH candidates + connected
+      components, one representative per cluster; optionally cross-run
+      against a durable LSH band ledger)
+    → quality keep/drop (Gopher/C4-style column-expression rules)
+    → PII redaction (the raw text column never survives)
+
+This is the batch twin of ``streaming/curation.py`` — same operators,
+same ledgers, so a corpus can be bootstrapped in batch and then kept
+current by the stream. The reference has no corpus analog; the shape
+generalizes its content-addressed chunk dedup + registry rerun filter
+(download_data_file.py:98-107, stream_handler_registries.py:84-97) from
+file chunks to documents.
+
+Scale notes: every stage is one of the already-audited operators (hash
+keys shuffle, never text; LSH never goes all-pairs; CC iterates over
+pair endpoints only). The optional stage-count report adds one count
+job per stage — skip it (``report=False``) in production pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    dedup_clusters,
+    exact_dedup,
+    incremental_exact_dedup,
+    incremental_minhash_dedup,
+    minhash_lsh_dedup,
+    _normalized,
+)
+from .textstats import pii_redact, quality_filter
+
+_LSH_KEYS = ("n", "num_hashes", "rows_per_band", "threshold", "max_shingle_df")
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    neardup: bool = False,
+    neardup_conf: dict[str, Any] | None = None,
+    exact_ledger=None,
+    lsh_ledger=None,
+    run_id: str | None = None,
+    quality_thresholds: dict[str, Any] | None = None,
+    report: bool = True,
+) -> "tuple[DataFrame, dict[str, int]]":
+    """Run the batch curation pass over ``docs``.
+
+    ``exact_ledger`` / ``lsh_ledger`` are ``make_registry`` instances
+    (keys ``["content_hash"]`` and ``["band", "band_sig", <id_col>]``)
+    that extend dedup across runs; ``run_id`` keys their ledger rows so
+    a same-run_id re-run returns identical admissions (see
+    ``incremental_exact_dedup``). Without ledgers, dedup is
+    within-corpus only.
+
+    Returns ``(curated, stage_counts)``; ``stage_counts`` is {} when
+    ``report=False`` (no extra jobs). The curated frame carries
+    ``content_hash``, quality verdict columns, PII counts and
+    ``redacted`` — never the raw text column.
+    """
+    counts: dict[str, int] = {}
+
+    def _note(stage: str, df: DataFrame) -> None:
+        if report:
+            counts[stage] = df.count()
+
+    _note("input", docs)
+
+    if exact_ledger is not None:
+        docs = incremental_exact_dedup(
+            docs, exact_ledger, id_col=id_col, text_col=text_col, run_id=run_id
+        )
+    else:
+        reps = exact_dedup(docs, id_col=id_col, text_col=text_col).select(
+            "content_hash", F.col("representative_id").alias(id_col)
+        )
+        hashed = docs.withColumn("content_hash", F.md5(_normalized(text_col)))
+        docs = hashed.join(reps, ["content_hash", id_col])
+    _note("after_exact_dedup", docs)
+
+    conf = dict(neardup_conf or {})
+    if neardup:
+        lsh_kwargs = {k: conf[k] for k in _LSH_KEYS if k in conf}
+        pairs = minhash_lsh_dedup(
+            docs, id_col=id_col, text_col=text_col, **lsh_kwargs
+        )
+        reps = dedup_clusters(
+            docs.select(id_col), pairs, id_col=id_col
+        ).filter("is_representative")
+        docs = docs.join(reps.select(id_col), id_col, "left_semi")
+        _note("after_neardup", docs)
+
+    if lsh_ledger is not None:
+        docs = incremental_minhash_dedup(
+            docs, lsh_ledger, id_col=id_col, text_col=text_col,
+            run_id=run_id, **conf,
+        )
+        _note("after_lsh_ledger", docs)
+
+    # columns the quality/redaction stages compute themselves; same-named
+    # input columns (e.g. a source-side n_chars) would be ambiguous, so
+    # they are dropped in favor of the recomputed values
+    computed = {
+        "n_chars", "n_tokens", "mean_token_len", "distinct_ratio",
+        "n_punct", "ok_len", "ok_token_len", "ok_diversity", "ok_punct",
+        "keep", "redacted", "n_email", "n_phone", "n_ipv4",
+    }
+    passthrough = [c for c in docs.columns if c != id_col and c not in computed]
+    kept = quality_filter(
+        docs.drop(*(c for c in docs.columns if c in computed)),
+        id_col=id_col,
+        text_col=text_col,
+        passthrough_cols=passthrough,
+        **(quality_thresholds or {}),
+    ).filter("keep")
+    _note("after_quality", kept)
+
+    curated = pii_redact(kept, text_col=text_col).drop(text_col, "keep")
+    return curated, counts

@@ -29,6 +29,7 @@ def test_cli_module_help_runs_without_spark():
         "upload-file",
         "download-directory",
         "reproduce-dlq",
+        "curate-corpus",
     ):
         assert cmd in out.stdout
 
@@ -78,3 +79,72 @@ def test_cli_upload_download_roundtrip(spark, tmp_path):
     assert rc == 0
     assert (tmp_path / "out2" / "a.bin").read_bytes() == payload_a
     assert not (tmp_path / "out2" / "sub").exists()
+
+
+def test_cli_curate_corpus_end_to_end(spark, tmp_path, capsys):
+    """curate-corpus: exact + near dedup, quality drop, PII redaction,
+    ledger admission, and training-shard packing, from the CLI."""
+    import json
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while seven wizards "
+        "brew potent elixirs under ancient oak trees near quiet rivers "
+        "and email carol@example.net archives interesting field reports"
+    )
+    near = good.replace("lazy dog", "sleepy dog")
+    rows = [
+        (1, good),
+        (2, "  " + good.upper() + "  "),  # exact dup of 1 (normalized)
+        (3, near),                        # near dup of 1
+        (4, "spam spam spam spam spam spam spam spam spam spam"),
+        (5, "independent observers recorded unusual aurora displays "
+            "across northern territories last winter prompting renewed "
+            "interest in solar weather forecasting among operators"),
+    ]
+    src = str(tmp_path / "corpus")
+    out = str(tmp_path / "curated")
+    shards = str(tmp_path / "shards")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    rc = cli.main(
+        [
+            "curate-corpus", src, out,
+            "--neardup", "--threshold", "0.5",
+            "--lsh-ledger", str(tmp_path / "lsh"),
+            "--run-id", "run-1",
+            "--shard-dir", shards,
+            "--shard-budget-tokens", "40",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["stages"]["input"] == 5
+    assert report["stages"]["after_exact_dedup"] == 4   # 2 collapsed into 1
+    assert report["stages"]["after_neardup"] == 3       # 3 collapsed into 1
+    assert report["stages"]["after_quality"] == 2       # spam dropped
+
+    curated = spark.read.parquet(out)
+    ids = sorted(r.doc_id for r in curated.collect())
+    assert ids == [1, 5]
+    red = {r.doc_id: r.redacted for r in curated.collect()}
+    assert "carol@example.net" not in red[1] and "<EMAIL>" in red[1]
+    assert "text" not in curated.columns
+
+    manifest = spark.read.parquet(shards)
+    assert {"bucket", "shard"} <= set(manifest.columns)
+    assert manifest.count() == 2
+
+    # same run_id re-run: identical admissions (ledger replay), rc 0
+    rc = cli.main(
+        [
+            "curate-corpus", src, str(tmp_path / "curated2"),
+            "--neardup", "--threshold", "0.5",
+            "--lsh-ledger", str(tmp_path / "lsh"),
+            "--run-id", "run-1",
+        ]
+    )
+    assert rc == 0
+    again = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "curated2")).collect()
+    )
+    assert again == [1, 5]
