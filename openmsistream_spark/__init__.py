@@ -35,6 +35,10 @@ def __getattr__(name):
         from . import pipelines
 
         return getattr(pipelines, name)
+    if name == "curate_corpus":
+        from .llm.curate import curate_corpus
+
+        return curate_corpus
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
@@ -49,5 +53,6 @@ __all__ = [
     "MetadataJSONReproducer",
     "write_topic",
     "read_topic",
+    "curate_corpus",
 ]
-__version__ = "0.1.0"
+__version__ = "0.6.0"

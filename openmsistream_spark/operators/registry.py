@@ -204,7 +204,14 @@ class DeltaRegistry(ParquetRegistry):
         """R2 — MERGE INTO: update matched keys, insert the rest;
         unmatched existing rows are untouched (no rewrite). Duplicate-key
         source rows collapse first — Delta raises on multiple source rows
-        matching one target (parquet-backend parity)."""
+        matching one target (parquet-backend parity).
+
+        Schema evolution: unlike the parquet backend (which null-fills
+        via unionByName(allowMissingColumns)), MERGE INTO only picks up
+        NEW source columns when the session sets
+        ``spark.databricks.delta.schema.autoMerge.enabled=true`` —
+        set it before upserting a ledger whose schema grew (e.g. a
+        pre-run_id dedup ledger)."""
         updates = updates.dropDuplicates(self.key_cols)
         if not self.exists():
             updates.write.format("delta").save(self.path)

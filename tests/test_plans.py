@@ -146,3 +146,37 @@ def test_token_budget_shards_single_shuffle(spark):
 
     n_exchanges = len(_re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchanges == 1, plan
+
+
+def test_incremental_minhash_admitted_plan_shape(spark, tmp_path):
+    """The frame returned by incremental_minhash_dedup must read the
+    ledger with the run_id filter PUSHED into the parquet scan, prune
+    the wide columns (signatures never leave the scan), and semi-join
+    without any nested-loop/cartesian fallback — the shape that keeps a
+    100 TB ingest's ledger probe ledger-sized, not corpus-sized."""
+    from openmsistream_spark.llm.dedup import incremental_minhash_dedup
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(
+        spark, str(tmp_path / "lsh"), ["band", "band_sig", "doc_id"]
+    )
+    seed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    incremental_minhash_dedup(seed, reg, run_id="seed")
+    nxt = spark.createDataFrame(
+        [(2, "a second batch document with entirely different words here")],
+        "doc_id long, text string",
+    )
+    out = incremental_minhash_dedup(nxt, reg, run_id="b2")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "EqualTo(run_id,b2)" in plan, plan  # ledger probe pushed down
+    assert "sig" not in plan.split("ReadSchema")[1].splitlines()[0], plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
