@@ -92,6 +92,7 @@ def curation_sink(
     neardup_text_col: str = "redacted",
     neardup_conf: dict[str, Any] | None = None,
     collapse_batch_neardups: bool = False,
+    metrics_registry=None,
 ) -> DataStreamWriter:
     """Exactly-once parquet sink for a curated stream: each micro-batch
     lands in ``{out_dir}/batch=<batch_id>`` with overwrite semantics.
@@ -129,6 +130,14 @@ def curation_sink(
     text because ``curate_document_stream`` never lets unredacted text
     past the transform chain.
 
+    ``metrics_registry`` (``make_registry(spark, path, ["batch"])``)
+    records one row per micro-batch — (batch, n_curated, n_admitted) —
+    the queryable-table form of the reference's heartbeat counters
+    (K7, utilities/heartbeat_producibles.py): how much each trigger
+    admitted vs what survived upstream curation. Keyed by batch id, so a replayed batch
+    upserts its own row (no double counting). Costs two count jobs per
+    trigger — leave it off for latency-critical streams.
+
     Returns the configured ``DataStreamWriter`` — caller picks the
     trigger and calls ``.start()``."""
 
@@ -158,6 +167,17 @@ def curation_sink(
                 **conf,
             )
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if metrics_registry is not None:
+            spark = batch_df.sparkSession
+            # count the landed partition (cheap scan of what was just
+            # written) rather than re-executing the dedup plan
+            n_admitted = spark.read.parquet(f"{out_dir}/batch={batch_id}").count()
+            metrics_registry.upsert(
+                spark.createDataFrame(
+                    [(int(batch_id), batch_df.count(), n_admitted)],
+                    "batch long, n_curated long, n_admitted long",
+                )
+            )
 
     return (
         curated.writeStream.foreachBatch(_write)

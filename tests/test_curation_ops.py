@@ -500,3 +500,40 @@ def test_dedup_clusters_matches_union_find_on_random_graphs(spark):
         out = dedup_clusters(nodes, pairs, id_col="doc_id", max_iterations=40)
         got = {r.doc_id: r.cluster for r in out.collect()}
         assert got == expect, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_curate_corpus_exact_ledger_across_runs(spark, tmp_path):
+    """curate_corpus with a durable content-hash ledger: run 2 drops
+    documents run 1 admitted; same-run_id replay returns identical
+    admissions; report counts track each stage."""
+    from openmsistream_spark.llm.curate import curate_corpus
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, str(tmp_path / "exact"), ["content_hash"])
+    good = (
+        "the quick brown fox jumps over a lazy dog while seven wizards "
+        "brew potent elixirs under ancient oak trees near quiet rivers "
+        "and several archivists catalog interesting field reports daily"
+    )
+    other = (
+        "independent observers recorded unusual aurora displays across "
+        "northern territories last winter prompting renewed interest in "
+        "solar weather forecasting among amateur radio operators globally"
+    )
+    b1 = spark.createDataFrame([(1, good)], "doc_id long, text string")
+    out1, st1 = curate_corpus(b1, exact_ledger=reg, run_id="r1")
+    assert [r.doc_id for r in out1.collect()] == [1]
+    assert st1["input"] == 1 and st1["after_exact_dedup"] == 1
+
+    # run 2: an exact (normalized) copy under a new id + a new doc
+    b2 = spark.createDataFrame(
+        [(2, "  " + good.upper() + " "), (3, other)], "doc_id long, text string"
+    )
+    out2, st2 = curate_corpus(b2, exact_ledger=reg, run_id="r2")
+    assert [r.doc_id for r in out2.collect()] == [3]
+    assert st2["after_exact_dedup"] == 1
+
+    # same-run_id replay: identical admissions, no ledger growth
+    out2b, _ = curate_corpus(b2, exact_ledger=reg, run_id="r2")
+    assert [r.doc_id for r in out2b.collect()] == [3]
+    assert reg.read().count() == 2

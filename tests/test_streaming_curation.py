@@ -196,3 +196,42 @@ def test_streaming_curation_collapses_within_batch_neardups(spark, dirs):
     assert set(
         r.doc_id for r in reg.read().select("doc_id").distinct().collect()
     ) == {7, 9}
+
+
+def test_streaming_curation_metrics_ledger(spark, dirs):
+    """The optional metrics registry records one row per micro-batch
+    (curated-in vs admitted-out) and replays upsert, never duplicate."""
+    from openmsistream_spark.operators.registry import make_registry
+
+    in_dir, out_dir, ckpt = f"{dirs}/in", f"{dirs}/out", f"{dirs}/ckpt"
+    lsh = make_registry(spark, f"{dirs}/lsh", ["band", "band_sig", "doc_id"])
+    metrics = make_registry(spark, f"{dirs}/metrics", ["batch"])
+
+    def run():
+        src = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = (
+            curation_sink(
+                curate_document_stream(src),
+                out_dir,
+                ckpt,
+                neardup_registry=lsh,
+                metrics_registry=metrics,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, GOOD_1), (2, GOOD_1_NEAR), (3, BAD_SPAM)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    rows = {r.batch: r for r in metrics.read().collect()}
+    assert len(rows) == 1
+    (m,) = rows.values()
+    # spam dropped upstream (curated=2), near-dup admitted (both new in
+    # one batch -> both admitted without collapse)
+    assert m.n_curated == 2 and m.n_admitted == 2, m
+
+    run()  # replay: same single metrics row, not a duplicate
+    assert metrics.read().count() == 1
