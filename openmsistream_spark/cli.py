@@ -46,7 +46,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--topic",
         required=True,
-        help="topic URI: kafka://hosts/topic, or a parquet directory path",
+        help="topic URI (kafka://hosts/topic, or a parquet directory "
+        "path); with --config, a bare topic NAME resolved against the "
+        "config's broker",
+    )
+    p.add_argument(
+        "--config",
+        default=None,
+        help="reference-format INI config file ([broker]/[producer]/"
+        "[consumer], $ENV_VAR values); --topic then names the topic and "
+        "client options flow to the Kafka connector",
     )
     p.add_argument(
         "--shuffle-partitions",
@@ -174,6 +183,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Sequence[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    # --config: reference-format INI resolves the bare topic name to a
+    # kafka:// URI and supplies client options to the connector
+    kafka_opts = None
+    if getattr(args, "config", None):
+        from .config import kafka_options, parse_config, topic_uri
+
+        cfg = parse_config(args.config)
+        role = "consumer" if args.command == "download-directory" else "producer"
+        kafka_opts = kafka_options(cfg, role)
+        args.topic = topic_uri(cfg, args.topic)
+
     spark = _session(args)
 
     if args.command == "upload-directory":
@@ -186,6 +207,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             chunk_size=args.chunk_size,
             upload_regex=args.upload_regex,
             registry_dir=args.registry_dir,
+            kafka_opts=kafka_opts,
         )
         print(f"uploaded {n} chunks from {args.watch_dir} to {args.topic}")
         return 0
@@ -208,6 +230,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             chunk_size=args.chunk_size,
             upload_regex=f"^{re.escape(os.path.basename(path))}$",
             registry_dir=args.registry_dir,
+            kafka_opts=kafka_opts,
         )
         print(f"uploaded {n} chunks from {path} to {args.topic}")
         return 0
@@ -223,6 +246,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             key_regex=args.key_regex,
             filepath_regex=args.filepath_regex,
             dlq_dir=args.dlq_dir,
+            kafka_opts=kafka_opts,
         )
         rows = status.collect()
         ok = sum(1 for r in rows if r.status == CODE_SUCCESSFULLY_RECONSTRUCTED)
@@ -235,7 +259,7 @@ def main(argv: Sequence[str] | None = None) -> int:
     if args.command == "reproduce-dlq":
         from .pipelines import reproduce_dlq
 
-        n = reproduce_dlq(spark, args.dlq_dir, args.topic)
+        n = reproduce_dlq(spark, args.dlq_dir, args.topic, kafka_opts=kafka_opts)
         print(f"re-produced {n} messages from {args.dlq_dir} to {args.topic}")
         return 0
 

@@ -55,35 +55,53 @@ def _parse_kafka(uri: str) -> tuple[str, str]:
     return hosts, topic
 
 
-def write_topic(messages: DataFrame, uri: str) -> None:
-    """Batch-produce (key, value) binary rows to a topic URI (K1)."""
+def write_topic(
+    messages: DataFrame, uri: str, kafka_opts: dict[str, str] | None = None
+) -> None:
+    """Batch-produce (key, value) binary rows to a topic URI (K1).
+
+    ``kafka_opts`` — extra Spark Kafka connector options (``kafka.*``
+    client keys; e.g. from ``config.kafka_options(cfg, "producer")``).
+    Ignored for parquet topics."""
     out = messages.select(
         F.col("key").cast("binary").alias("key"), F.col("value").cast("binary")
     )
     if _is_kafka(uri):
         hosts, topic = _parse_kafka(uri)
-        (
+        writer = (
             out.write.format("kafka")
             .option("kafka.bootstrap.servers", hosts)
             .option("topic", topic)
-            .save()
         )
+        for key, val in (kafka_opts or {}).items():
+            writer = writer.option(key, val)
+        writer.save()
     else:
         out.write.mode("append").parquet(uri)
 
 
-def read_topic(spark: SparkSession, uri: str) -> DataFrame:
-    """Batch-consume a topic URI into (key, value) binary rows (S5)."""
+def read_topic(
+    spark: SparkSession,
+    uri: str,
+    kafka_opts: dict[str, str] | None = None,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Batch-consume a topic URI into (key, value) binary rows (S5).
+
+    ``kafka_opts`` — extra Spark Kafka connector options (see
+    ``write_topic``); ``starting_offsets`` maps the reference's
+    ``auto.offset.reset`` semantics (consumer_group.py:107-139)."""
     if _is_kafka(uri):
         hosts, topic = _parse_kafka(uri)
-        return (
+        reader = (
             spark.read.format("kafka")
             .option("kafka.bootstrap.servers", hosts)
             .option("subscribe", topic)
-            .option("startingOffsets", "earliest")
-            .load()
-            .select("key", "value")
+            .option("startingOffsets", starting_offsets)
         )
+        for key, val in (kafka_opts or {}).items():
+            reader = reader.option(key, val)
+        return reader.load().select("key", "value")
     return spark.read.parquet(uri).select("key", "value")
 
 
@@ -99,6 +117,7 @@ def upload_directory(
     upload_regex: str = DEFAULT_UPLOAD_REGEX,
     select_bytes: list[tuple[int, int]] | None = None,
     registry_dir: str | None = None,
+    kafka_opts: dict[str, str] | None = None,
 ) -> int:
     """One-shot upload of every eligible file under ``watch_dir``
     (the reference's ``upload_existing`` path; the continuous form is
@@ -114,7 +133,7 @@ def upload_directory(
     wire = serialize_chunks(chunks).select(
         F.encode(F.col("msg_key"), "UTF-8").alias("key"), "value"
     )
-    write_topic(wire, topic_uri)
+    write_topic(wire, topic_uri, kafka_opts=kafka_opts)
     n_chunks = chunks.count()  # chunks produced by THIS run (topic appends)
 
     if registry_dir:
@@ -141,11 +160,12 @@ def _decode_and_filter(
     key_regex: str | None,
     filepath_regex: str | None,
     dlq_dir: str | None,
+    kafka_opts: dict[str, str] | None = None,
 ) -> DataFrame:
     """Shared consume path: deserialize + verify (P4), split the DLQ
     (K6), apply the key/filepath regex filters (F1/F2), derive
     rel_path."""
-    msgs = read_topic(spark, topic_uri)
+    msgs = read_topic(spark, topic_uri, kafka_opts=kafka_opts)
     decoded = deserialize_chunks(msgs)
     good, dlq = dlq_split(decoded)
     if dlq_dir:
@@ -178,6 +198,7 @@ def download_directory(
     key_regex: str | None = None,
     filepath_regex: str | None = None,
     dlq_dir: str | None = None,
+    kafka_opts: dict[str, str] | None = None,
 ) -> DataFrame:
     """Consume a topic and reconstruct complete files under ``out_dir``
     (subdirectories preserved, idempotent by content hash). Returns the
@@ -186,7 +207,9 @@ def download_directory(
     Reference: data_file_download_directory.py:74-174. Streaming twin:
     ``streaming/assembly.streaming_assemble`` + ``reconstruction_sink``.
     """
-    good = _decode_and_filter(spark, topic_uri, key_regex, filepath_regex, dlq_dir)
+    good = _decode_and_filter(
+        spark, topic_uri, key_regex, filepath_regex, dlq_dir, kafka_opts=kafka_opts
+    )
     # window strategy: the upstream serde UDF chain must not be
     # re-executed by a generation-policy self-join
     assembled = assemble_files(good, generation_strategy="window")
@@ -197,12 +220,17 @@ def download_directory(
     )
 
 
-def reproduce_dlq(spark: SparkSession, dlq_dir: str, topic_uri: str) -> int:
+def reproduce_dlq(
+    spark: SparkSession,
+    dlq_dir: str,
+    topic_uri: str,
+    kafka_opts: dict[str, str] | None = None,
+) -> int:
     """K8 — re-produce dead-lettered raw (key, value) messages to a topic
     (reference: tools/undecryptable_messages/reproduce_undecryptable_messages.py:1-82).
     Returns the number of messages re-produced."""
     dlq = spark.read.parquet(dlq_dir).select("key", "value")
-    write_topic(dlq, topic_uri)
+    write_topic(dlq, topic_uri, kafka_opts=kafka_opts)
     return dlq.count()
 
 
@@ -285,9 +313,13 @@ class StreamProcessor:
         key_regex: str | None = None,
         filepath_regex: str | None = None,
         dlq_dir: str | None = None,
+        kafka_opts: dict[str, str] | None = None,
     ) -> DataFrame:
         _pickle_hook_by_value(self)
-        good = _decode_and_filter(spark, topic_uri, key_regex, filepath_regex, dlq_dir)
+        good = _decode_and_filter(
+            spark, topic_uri, key_regex, filepath_regex, dlq_dir,
+            kafka_opts=kafka_opts,
+        )
         completed = assemble_files(
             good, emit_incomplete=False, generation_strategy="window"
         ).filter(

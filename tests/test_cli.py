@@ -148,3 +148,62 @@ def test_cli_curate_corpus_end_to_end(spark, tmp_path, capsys):
         r.doc_id for r in spark.read.parquet(str(tmp_path / "curated2")).collect()
     )
     assert again == [1, 5]
+
+
+def test_config_file_parsing_and_kafka_mapping(tmp_path, monkeypatch):
+    """Reference-format INI configs resolve $ENV values, map broker +
+    role sections onto Spark Kafka connector options (serde/offset keys
+    dropped), and build the kafka:// topic URI."""
+    from openmsistream_spark.config import (
+        kafka_options,
+        parse_config,
+        starting_offsets,
+        topic_uri,
+    )
+
+    cfg_file = tmp_path / "prod.config"
+    cfg_file.write_text(
+        "[broker]\n"
+        "bootstrap.servers = $TEST_BOOTSTRAP\n"
+        "sasl.mechanism    = PLAIN\n"
+        "security.protocol = SASL_SSL\n"
+        "\n"
+        "[producer]\n"
+        "batch.size       = 200000\n"
+        "compression.type = lz4\n"
+        "key.serializer   = StringSerializer\n"
+        "value.serializer = DataFileChunkSerializer\n"
+        "\n"
+        "[consumer]\n"
+        "group.id           = new\n"
+        "auto.offset.reset  = earliest\n"
+        "enable.auto.commit = False\n"
+        "key.deserializer   = StringDeserializer\n"
+        "value.deserializer = DataFileChunkDeserializer\n"
+    )
+    monkeypatch.setenv("TEST_BOOTSTRAP", "broker1:9092,broker2:9092")
+    cfg = parse_config(str(cfg_file))
+    assert cfg["broker"]["bootstrap.servers"] == "broker1:9092,broker2:9092"
+
+    prod = kafka_options(cfg, "producer")
+    assert prod["kafka.batch.size"] == "200000"
+    assert prod["kafka.compression.type"] == "lz4"
+    assert prod["kafka.sasl.mechanism"] == "PLAIN"
+    assert not any("serializer" in k for k in prod)  # serde is the engine's
+    assert "kafka.bootstrap.servers" not in prod  # carried by the URI
+
+    cons = kafka_options(cfg, "consumer")
+    assert cons["kafka.group.id"] == "new"
+    assert "kafka.enable.auto.commit" not in cons  # checkpoint-managed
+    assert "kafka.auto.offset.reset" not in cons
+    assert starting_offsets(cfg) == "earliest"
+
+    assert (
+        topic_uri(cfg, "chunks")
+        == "kafka://broker1:9092,broker2:9092/chunks"
+    )
+
+    # unset env var -> clear error naming the variable
+    monkeypatch.delenv("TEST_BOOTSTRAP")
+    with pytest.raises(KeyError, match="TEST_BOOTSTRAP"):
+        parse_config(str(cfg_file))
