@@ -222,3 +222,83 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id", "cosine")
     )
     return _topk_per_query(scored, k)
+
+
+def incremental_embedding_dedup(
+    embeddings: DataFrame,
+    registry,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    run_id: str | None = None,
+) -> DataFrame:
+    """Cross-run EMBEDDING near-dup against a durable sign-LSH ledger —
+    the embedding-space member of the incremental dedup family
+    (``llm.dedup.incremental_exact_dedup`` /
+    ``incremental_minhash_dedup``): each ingest run drops vectors whose
+    cosine similarity to anything ANY prior run admitted reaches
+    ``threshold``, then records the survivors.
+
+    Ledger layout (``make_registry`` keyed ``["bucket", id_col]``): one
+    row per admitted vector holding its sign-LSH bucket and int8
+    quantized form — ~dim bytes per vector instead of 8·dim (the scale
+    factor cancels out of cosine, so verification is integer dot
+    products with no dequantization). New-batch vectors equi-join the
+    ledger's bucket (a 2^n_bits-way partition of the space); candidate
+    fan-out per batch vector is the ledger's bucket occupancy, so raise
+    ``n_bits`` as the corpus grows (each bit halves the bucket). A
+    candidate pair verifies by quantized cosine; quantization error
+    (~1e-2) applies to the threshold.
+
+    Zero vectors (no direction, cosine undefined) fall back to identity
+    dedup: they share the all-zero quantized form, so an incoming zero
+    vector collides with any ledgered one and is dropped — and every
+    vector, zero or not, is ledgered, keeping replays idempotent.
+
+    ``run_id`` semantics and the recovery story are identical to the
+    text deduppers: admitted rows re-derive from the committed ledger
+    (no executor-pinned state), and a same-``run_id`` replay returns the
+    identical admitted set — exactly-once restarts for a streaming
+    foreachBatch caller.
+
+    Returns the admitted rows of ``embeddings``.
+    """
+    import uuid
+
+    run_id = run_id if run_id is not None else uuid.uuid4().hex
+    qz = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+    vec = _as_double(F.col(vec_col))
+    buckets = embeddings.select(
+        F.col(id_col), lsh_bucket(vec, n_bits).alias("bucket")
+    )
+    banded = buckets.join(qz.select(id_col, "qvec"), id_col)
+
+    seen = registry.read()
+    if seen is not None:
+        nrm_new = F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+        nrm_old = F.sqrt(_dot(F.col("old_qvec"), F.col("old_qvec")))
+        cand = banded.join(
+            seen.select("bucket", F.col("qvec").alias("old_qvec")), "bucket"
+        )
+        cos_dup = (nrm_new > 0) & (nrm_old > 0) & (
+            _dot(F.col("qvec"), F.col("old_qvec")) / (nrm_new * nrm_old)
+            >= F.lit(threshold)
+        )
+        zero_dup = (nrm_new == 0) & (nrm_old == 0)
+        dups = cand.filter(cos_dup | zero_dup).select(id_col).distinct()
+        admitted_ids = embeddings.select(id_col).join(dups, id_col, "left_anti")
+    else:
+        admitted_ids = embeddings.select(id_col)
+
+    new_rows = banded.join(admitted_ids, id_col, "left_semi")
+    registry.upsert(
+        new_rows.select("bucket", id_col, "qvec", F.lit(run_id).alias("run_id"))
+    )
+    mine = (
+        registry.read()
+        .filter(F.col("run_id") == run_id)
+        .select(id_col)
+        .distinct()
+    )
+    return embeddings.join(mine, id_col, "left_semi")

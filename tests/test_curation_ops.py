@@ -537,3 +537,42 @@ def test_curate_corpus_exact_ledger_across_runs(spark, tmp_path):
     out2b, _ = curate_corpus(b2, exact_ledger=reg, run_id="r2")
     assert [r.doc_id for r in out2b.collect()] == [3]
     assert reg.read().count() == 2
+
+
+def test_incremental_embedding_dedup_across_runs(spark, tmp_path):
+    """Cross-run embedding near-dup: run 2 drops a vector nearly
+    parallel to a run-1 admission (quantized cosine over the sign-LSH
+    bucket join), keeps orthogonal content, replays are no-ops, and
+    same-run_id replays return identical admissions."""
+    from openmsistream_spark.llm.similarity import incremental_embedding_dedup
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, str(tmp_path / "emb"), ["bucket", "vec_id"])
+    base = [1.0, 0.5, -0.25, 2.0, 1.5, -1.0, 0.75, 0.1]
+    near = [x * 1.01 for x in base]          # cosine ~1.0
+    ortho = [-0.5, 2.0, 1.0, -0.25, 0.3, 1.2, -2.0, 0.9]
+    b1 = spark.createDataFrame([(1, base)], "vec_id long, embedding array<double>")
+    out1 = incremental_embedding_dedup(b1, reg, run_id="e1")
+    assert [r.vec_id for r in out1.collect()] == [1]
+
+    b2 = spark.createDataFrame(
+        [(2, near), (3, ortho)], "vec_id long, embedding array<double>"
+    )
+    out2 = sorted(
+        r.vec_id for r in incremental_embedding_dedup(b2, reg, run_id="e2").collect()
+    )
+    assert out2 == [3], out2  # near-parallel vector dropped
+
+    # replay without run_id: survivors collide with their own rows
+    assert incremental_embedding_dedup(b2, reg).collect() == []
+    # same-run_id replay: identical admissions
+    again = sorted(
+        r.vec_id for r in incremental_embedding_dedup(b2, reg, run_id="e2").collect()
+    )
+    assert again == [3]
+
+    # zero vectors: first is admitted + ledgered, an identical later one drops
+    z1 = spark.createDataFrame([(7, [0.0] * 8)], "vec_id long, embedding array<double>")
+    assert [r.vec_id for r in incremental_embedding_dedup(z1, reg, run_id="z1").collect()] == [7]
+    z2 = spark.createDataFrame([(8, [0.0] * 8)], "vec_id long, embedding array<double>")
+    assert incremental_embedding_dedup(z2, reg, run_id="z2").collect() == []
