@@ -23,8 +23,15 @@ from .dedup import (
     streaming_exact_dedup,
     word_shingles,
 )
+from .curate import curate_corpus
 from .packing import mixture_sample, shard_by_token_budget, write_training_shards
-from .similarity import cosine_topk, cosine_topk_lsh, cosine_topk_sq8, quantize_int8
+from .similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    cosine_topk_sq8,
+    incremental_embedding_dedup,
+    quantize_int8,
+)
 from .textstats import (
     doc_fingerprint,
     language_id,
@@ -54,7 +61,9 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "cosine_topk_sq8",
+    "incremental_embedding_dedup",
     "quantize_int8",
+    "curate_corpus",
     "text_stats",
     "language_id",
     "doc_fingerprint",
