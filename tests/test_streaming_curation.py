@@ -44,7 +44,7 @@ def _run(spark, in_dir, out_dir, ckpt):
     src = spark.readStream.schema(SCHEMA).parquet(in_dir)
     curated = curate_document_stream(src)
     q = curation_sink(curated, out_dir, ckpt).trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in time"
 
 
 def _read_out(spark, out_dir):
@@ -125,7 +125,7 @@ def test_streaming_curation_neardup_across_restart(spark, dirs):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not finish in time"
 
     # batch 0: one good doc
     spark.createDataFrame([(1, GOOD_1)], SCHEMA).coalesce(1).write.mode(
@@ -180,7 +180,7 @@ def test_streaming_curation_collapses_within_batch_neardups(spark, dirs):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not finish in time"
 
     # one batch: two near-dups of each other + one unrelated doc
     spark.createDataFrame(
@@ -220,7 +220,7 @@ def test_streaming_curation_metrics_ledger(spark, dirs):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not finish in time"
 
     spark.createDataFrame(
         [(1, GOOD_1), (2, GOOD_1_NEAR), (3, BAD_SPAM)], SCHEMA
