@@ -154,11 +154,21 @@ def curation_sink(
                 }
                 pairs = minhash_lsh_dedup(
                     out, text_col=neardup_text_col, **lsh_kwargs
-                )
-                reps = dedup_clusters(out.select("doc_id"), pairs).filter(
-                    "is_representative"
-                )
-                out = out.join(reps.select("doc_id"), "doc_id", "left_semi")
+                ).cache()
+                try:
+                    # common case: a micro-batch carries no within-batch
+                    # near-dups — skip the CC loop's jobs entirely
+                    if not pairs.isEmpty():
+                        reps = dedup_clusters(
+                            out.select("doc_id"), pairs
+                        ).filter("is_representative")
+                        out = out.join(
+                            reps.select("doc_id"), "doc_id", "left_semi"
+                        )
+                finally:
+                    # safe here: dedup_clusters materialized its labels
+                    # (checkpointed), so nothing downstream re-reads pairs
+                    pairs.unpersist()
             out = incremental_minhash_dedup(
                 out,
                 neardup_registry,
