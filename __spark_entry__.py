@@ -18,6 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from openmsistream_spark.queries import QUERIES
 
+# Registered out-of-band (not from queries.py) so landing new queries
+# does not dirty the byte-identity of every already-verified catalog
+# entry's source closure — see queries_extras.py module docstring.
+import openmsistream_spark.queries_extras  # noqa: E402,F401  isort: skip
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from openmsistream_spark.queries import QUERIES
 from openmsistream_spark.session import get_spark
 
+import openmsistream_spark.queries_extras  # noqa: E402,F401  registers extras
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -56,6 +58,8 @@ HEADLINE = [
     "dedup_keep_canonical_lsh",
     "cosine_topk_sq8",
     "curated_corpus",
+    "gapfill_locf_user_hours",
+    "unigram_surprisal_quality",
 ]
 
 

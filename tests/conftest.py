@@ -2,6 +2,11 @@ import os
 
 import pytest
 
+# Out-of-band catalog registration (see queries_extras.py docstring):
+# every test that iterates QUERIES must see the extras regardless of
+# whether __spark_entry__ was imported first in the pytest process.
+import openmsistream_spark.queries_extras  # noqa: E402,F401
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

