@@ -598,8 +598,20 @@ def dedup_clusters(
     # would reference sym from two subtrees (labels + the push join) and
     # re-execute the full upstream pair pipeline (for LSH input: the
     # whole shingle->minhash->band->verify chain) once per subtree.
-    labels.count()
+    n_nodes = labels.count()
     to_unpersist: list[DataFrame] = [sym, labels, pairs]
+    # Near-dup graphs are duplicate-set-sized, usually tiny next to the
+    # corpus; for small graphs each round's wall-time is per-stage
+    # scheduling latency, not data. Collapse the cached edge/label
+    # partitions (a narrow read of the cache — no shuffle, cache stays
+    # valid) so round jobs launch a handful of tasks; ~25% per-round win
+    # measured at bench scale. Large graphs keep their parallelism: the
+    # coalesce target grows with the node count and caps out at the
+    # existing partitioning.
+    if n_nodes < 1_000_000:
+        k = max(1, min(8, n_nodes // 100_000 + 1))
+        sym = sym.coalesce(k)
+        labels = labels.coalesce(k)
     # frontier = nodes whose label changed in the previous hop; round 0
     # everyone pushes their own id
     frontier = labels

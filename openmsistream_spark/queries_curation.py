@@ -164,8 +164,13 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_keep_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # persist_shingles: the capped shingle table feeds four plan branches
+    # (signatures, sizes, both verify-join sides) and this query executes
+    # the pipeline once more inside the CC cache fill — measured 3-4 s
+    # saved at sf0.1 for a ~20 B/shingle-row cache
     pairs = minhash_lsh_dedup(
-        docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.12
+        docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.12,
+        persist_shingles=True,
     )
     clusters = dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
     return clusters.groupBy(F.col("cluster").alias("representative_id")).agg(
