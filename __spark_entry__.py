@@ -86,6 +86,27 @@ def _query_source_files(name: str) -> list[str]:
                 "openmsistream_spark"
             ):
                 mods.add(dep)
+    # function-LOCAL imports (``def q(): from .llm.x import f``) never
+    # appear in the module's vars(), so scan the query function's own
+    # source for them — without this, editing the imported module leaves
+    # the query falsely "fresh" (round-6 finding: cosine_topk_sq8 kept a
+    # stale green row after llm/similarity.py changed)
+    import re
+
+    try:
+        fn_src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        fn_src = ""
+    pkg = (fn.__module__ or "").rsplit(".", 1)[0]
+    for m_imp in re.finditer(
+        r"from\s+(\.[\w.]*|openmsistream_spark[\w.]*)\s+import", fn_src
+    ):
+        target = m_imp.group(1)
+        if target.startswith("."):
+            target = pkg + "." + target.lstrip(".") if target != "." else pkg
+        dep = sys.modules.get(target)
+        if dep is not None:
+            mods.add(dep)
     paths = set()
     for m in mods:
         try:
