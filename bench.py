@@ -85,9 +85,18 @@ def _adversarial_assembly(n_chunks: int):
                 "rel_path"
             ),
             F.lit(1.0).alias("file_mtime"),
-            F.encode(F.expr(f"repeat('0123456789abcdef', {n_chunks * 64})"), "utf-8").alias(
-                "content"
-            ),  # n_chunks KiB
+            # content must ALSO be non-foldable: a literal repeat() is
+            # constant-folded into a multi-MB string constant inside the
+            # generated code, which made every timed run pay codegen/JIT
+            # on a 5 MB-literal class (measured 3-4x inflation of the 5k
+            # entry, 20 s cold). Seeding the repeat unit from a column
+            # keeps the bytes identical but produced at runtime.
+            F.encode(
+                F.expr(
+                    f"repeat(concat('0123456789abcde', chr(102 + id)), {n_chunks * 64})"
+                ),
+                "utf-8",
+            ).alias("content"),  # n_chunks KiB
         )
         chunks = chunk_binary_column(
             one, chunk_size=1024, keep=["rel_path", "file_mtime"]
