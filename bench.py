@@ -109,9 +109,33 @@ def _adversarial_assembly(n_chunks: int):
     return run
 
 
+def _incremental_lsh_ingest(spark, sf_dir):
+    """Cross-run near-dup at bench scale: ingest the documents table as
+    two batches (even/odd doc_id) through incremental_minhash_dedup
+    against a fresh durable LSH ledger — times the full incremental
+    path (band build, ledger anti-collision join, two upserts, admitted
+    re-derive), the loop a continuous corpus build runs per batch."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from openmsistream_spark.llm.dedup import incremental_minhash_dedup
+    from openmsistream_spark.operators.registry import make_registry
+    from openmsistream_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")
+    ledger = tempfile.mkdtemp(prefix="bench_lsh_ledger_") + "/lsh"
+    reg = make_registry(spark, ledger, ["band", "band_sig", "doc_id"], backend="parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    incremental_minhash_dedup(b1, reg, run_id="bench-b1").count()
+    return incremental_minhash_dedup(b2, reg, run_id="bench-b2").select("doc_id")
+
+
 EXTRA = {
     "assembly_100_chunks": _adversarial_assembly(100),
     "assembly_5k_chunks": _adversarial_assembly(5000),
+    "incremental_lsh_ingest_2batch": _incremental_lsh_ingest,
 }
 
 
