@@ -60,6 +60,8 @@ HEADLINE = [
     "curated_corpus",
     "gapfill_locf_user_hours",
     "unigram_surprisal_quality",
+    "pack_training_sequences",
+    "token_window_chunks",
 ]
 
 

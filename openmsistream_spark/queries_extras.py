@@ -192,3 +192,160 @@ def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "source").join(per_doc, "doc_id").select(
         "doc_id", "source", "n_tokens", "mean_surprisal"
     )
+
+
+@query(
+    "pack_training_sequences",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             t -> t <> '')) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                  % 16 AS BIGINT) AS bucket
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d WHERE n_tokens > 0
+    )
+    SELECT bucket, doc_id,
+           unnest(generate_series(CAST((cum - n_tokens) // 256 AS BIGINT),
+                                  CAST((cum - 1) // 256 AS BIGINT))) AS seq,
+           CAST(cum - n_tokens AS BIGINT) AS tok_start,
+           CAST(cum AS BIGINT) AS tok_end
+    FROM c
+    """,
+    doc="sample packing: docs concatenated into fixed 256-token training "
+    "sequences per hash bucket, emitting one (bucket, seq, doc) span row "
+    "per sequence a document overlaps",
+    survey="LLM extension: training-sequence packing with document spans",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into fixed-length (256-token) training sequences —
+    the sample-packing step that turns variable-length documents into
+    the dense rectangular batches a trainer consumes — and emit the
+    document→sequence span map (which sequences each document occupies,
+    with its global token interval), i.e. the metadata an attention-mask
+    builder or provenance audit needs.
+
+    Scale shape: documents are hash-bucketed first (16 buckets here;
+    thousands at 100 TB), so the running-token cumsum window
+    parallelizes per bucket instead of forcing a single global sort —
+    the same lever as ``shard_by_token_budget`` (llm/packing.py). The
+    crossing-document explode emits ceil(n_tokens/seq_len) rows max per
+    doc, output-bounded. Whole plan: one shuffle (the per-bucket window
+    sort) + projection; no UDFs.
+    """
+    from openmsistream_spark.llm.packing import _hash_u60
+
+    seq_len = 256
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (_hash_u60(F.col("doc_id")) % 16).cast("bigint").alias("bucket"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "bucket",
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.floor(start / seq_len).cast("bigint"),
+                F.floor((F.col("cum") - 1) / seq_len).cast("bigint"),
+            )
+        ).alias("seq"),
+        start.alias("tok_start"),
+        F.col("cum").alias("tok_end"),
+    )
+
+
+@query(
+    "token_window_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 32 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM d WHERE len(toks) > 0
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(
+             toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)], ' '
+           ) AS chunk_text
+    FROM e
+    """,
+    doc="overlapping 32-token windows (stride 24) per document — the "
+    "retrieval-indexing chunker in front of an embedding pipeline",
+    survey="LLM extension: token-window chunking for embedding/RAG indexing",
+)
+def token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping 32-token windows with
+    stride 24 (8-token overlap) — the chunking step in front of an
+    embedding/retrieval indexer, where overlap preserves context across
+    boundaries. Documents shorter than one window yield exactly one
+    chunk; empty documents yield none.
+
+    Scale shape: pure projection + explode (zero shuffles) — the chunk
+    count is ceil((n-window)/stride)+1 per doc, so output scales with
+    corpus token count; each row carries only its own window's text.
+    ``slice`` on the pre-split token array keeps the whole thing in
+    whole-stage codegen; chunk_text reuses what a downstream embedder
+    would consume (P1's byte chunker is the binary twin of this,
+    operators/chunking.py).
+    """
+    window, stride = 32, 24
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_chunks = F.when(F.size("toks") <= window, F.lit(1).cast("bigint")).otherwise(
+        F.ceil((F.size("toks") - window) / F.lit(float(stride))).cast("bigint") + 1
+    )
+    return (
+        d.withColumn("n_chunks", n_chunks)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (F.col("chunk_idx") * stride + 1).cast("int"),
+                    window,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -76,8 +76,80 @@ def test_unigram_surprisal_orders_quality(spark):
     assert stats[1] > stats[0]
 
 
+def test_pack_sequences_spans_are_consistent(spark):
+    """Within each bucket, spans tile the token axis without holes and
+    every sequence index a doc claims really overlaps its interval."""
+    from openmsistream_spark.queries_extras import pack_training_sequences
+
+    df = pack_training_sequences(spark, SF)
+    rows = df.collect()
+    assert rows
+    seq_len = 256
+    by_bucket = {}
+    for r in rows:
+        assert r.tok_end > r.tok_start >= 0
+        # claimed seq overlaps [tok_start, tok_end)
+        assert r.seq * seq_len < r.tok_end and (r.seq + 1) * seq_len > r.tok_start
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, rs in by_bucket.items():
+        # doc intervals tile contiguously in doc_id order (cumsum contract)
+        ivals = sorted({(r.tok_start, r.tok_end, r.doc_id) for r in rs})
+        pos = 0
+        for s, e, _ in ivals:
+            assert s == pos, (bucket, s, pos)
+            pos = e
+        # every sequence 0..max is claimed by at least one doc
+        claimed = {r.seq for r in rs}
+        assert claimed == set(range(max(claimed) + 1)), bucket
+
+
+def test_token_window_chunks_cover_with_overlap(spark):
+    """Chunks cover every token; consecutive chunks overlap by
+    window-stride tokens; short docs yield exactly one chunk."""
+    from openmsistream_spark.queries_extras import token_window_chunks
+
+    window, stride = 32, 24
+    df = token_window_chunks(spark, SF)
+    chunks = {}
+    for r in df.collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text.split(" ")
+    assert chunks
+    docs = dict(
+        (r.doc_id, [t for t in r.text.lower().strip().split() if t])
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    )
+    saw_short = saw_multi = False
+    for doc_id, by_idx in chunks.items():
+        toks = docs[doc_id]
+        assert set(by_idx) == set(range(len(by_idx)))
+        if len(by_idx) == 1:
+            saw_short = saw_short or len(toks) <= window
+            assert by_idx[0] == toks[:window]
+            continue
+        saw_multi = True
+        covered = 0
+        for i in range(len(by_idx)):
+            expect = toks[i * stride : i * stride + window]
+            assert by_idx[i] == expect, (doc_id, i)
+            covered = i * stride + len(by_idx[i])
+        assert covered >= len(toks)  # full coverage
+    assert saw_multi  # fixture exercises the multi-chunk path
+
+
+def test_pack_and_chunk_plans_stay_jvm_side(spark):
+    for name in ("pack_training_sequences", "token_window_chunks"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    # chunker is projection+explode only: no shuffle at all
+    plan = plan_of(spark, "token_window_chunks")
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+
+
 def test_extras_registered_in_catalog():
-    assert "gapfill_locf_user_hours" in QUERIES
-    assert "unigram_surprisal_quality" in QUERIES
-    assert QUERIES["gapfill_locf_user_hours"].oracle
-    assert QUERIES["unigram_surprisal_quality"].oracle
+    for name in (
+        "gapfill_locf_user_hours",
+        "unigram_surprisal_quality",
+        "pack_training_sequences",
+        "token_window_chunks",
+    ):
+        assert name in QUERIES and QUERIES[name].oracle, name
