@@ -30,6 +30,9 @@ from .similarity import (
     cosine_topk_lsh,
     cosine_topk_sq8,
     incremental_embedding_dedup,
+    ivf_search,
+    kmeans_assign,
+    kmeans_fit,
     quantize_int8,
 )
 from .textstats import (
@@ -62,6 +65,9 @@ __all__ = [
     "cosine_topk_lsh",
     "cosine_topk_sq8",
     "incremental_embedding_dedup",
+    "ivf_search",
+    "kmeans_assign",
+    "kmeans_fit",
     "quantize_int8",
     "curate_corpus",
     "text_stats",

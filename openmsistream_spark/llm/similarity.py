@@ -302,3 +302,200 @@ def incremental_embedding_dedup(
         .distinct()
     )
     return embeddings.join(mine, id_col, "left_semi")
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) over the embedding column — the
+    centroid trainer for a real IVF index (``ann_ivf_topk`` /
+    ``ivf_search`` currently accept any centroid table; this produces
+    one from the data instead of a fixed seed set).
+
+    Deterministic everywhere: init = the k lowest-id vectors;
+    assignment ties break toward the lowest cluster id; the centroid
+    update is a per-dimension sum whose direction (all that matters on
+    the unit sphere) is order-independent only up to float summation —
+    so each summed coordinate is rounded to 9 dp before normalization,
+    pinning run-to-run equality.
+
+    Scale shape, per iteration: ONE corpus scan. Assignment broadcasts
+    the k x dim centroid table (bytes, never a corpus shuffle) and
+    reduces with a single map-side-combinable ``max_by`` aggregation;
+    the update is posexplode -> (cluster, dim) partial sums — k x dim
+    result rows regardless of corpus size. Centroids are
+    ``localCheckpoint``-ed per iteration to truncate lineage (the
+    iterative-algorithm idiom, same as ``dedup_clusters``); this is
+    iteration-internal state — executor loss fails the job and the fit
+    simply re-runs, nothing durable depends on it.
+
+    Spherical = centroids live on the unit sphere and assignment is by
+    max dot product; re-normalization makes the mean's 1/n cancel, so
+    no per-cluster count join is needed. A cluster whose members sum to
+    (near) zero keeps its previous centroid. Zero-norm input vectors
+    are excluded (no direction).
+
+    Returns (cluster BIGINT, centroid ARRAY<DOUBLE> unit-norm).
+    """
+    pts = (
+        _with_norm(embeddings, vec_col)
+        .filter(F.col("_norm") > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.col("_vec"), lambda x: x / F.col("_norm")
+            ).alias("v"),
+        )
+    )
+    wk = Window.orderBy("id")
+    cents = (
+        pts.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(wk) - 1).cast("bigint").alias("cluster"),
+            F.col("v").alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        assigned = (
+            pts.crossJoin(F.broadcast(cents))
+            .withColumn("dot", _dot(F.col("v"), F.col("cv")))
+            .groupBy("id")
+            .agg(
+                F.first("v").alias("v"),
+                F.max_by(
+                    "cluster", F.struct(F.col("dot"), -F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.sum("val"), 9).alias("s"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                    lambda x: x.getField("s"),
+                ).alias("sv")
+            )
+        )
+        nrm = F.sqrt(_dot(F.col("sv"), F.col("sv")))
+        stepped = (
+            cents.join(sums, "cluster", "left")
+            .select(
+                "cluster",
+                F.when(
+                    F.coalesce(nrm, F.lit(0.0)) > 0,
+                    F.transform(F.col("sv"), lambda x: x / nrm),
+                )
+                .otherwise(F.col("cv"))  # empty/degenerate: keep previous
+                .alias("cv"),
+            )
+        )
+        cents = stepped.localCheckpoint(eager=True)
+    return cents.select("cluster", F.col("cv").alias("centroid"))
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine; ties to
+    the lowest cluster id) — the IVF index build. One broadcast of the
+    centroid table, one map-side-combinable aggregation; the corpus
+    never shuffles. Zero-norm vectors are excluded (no direction).
+
+    Returns (id_col, cluster, dot) — ``dot`` is the cosine to the
+    assigned centroid (centroids are unit-norm from ``kmeans_fit``).
+    """
+    pts = (
+        _with_norm(embeddings, vec_col)
+        .filter(F.col("_norm") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_vec"), lambda x: x / F.col("_norm")).alias("v"),
+        )
+    )
+    scored = pts.crossJoin(
+        F.broadcast(centroids.select("cluster", F.col("centroid").alias("cv")))
+    ).withColumn("dot", _dot(F.col("v"), F.col("cv")))
+    return scored.groupBy(id_col).agg(
+        F.max_by("cluster", F.struct(F.col("dot"), -F.col("cluster"))).alias(
+            "cluster"
+        ),
+        F.max(F.struct(F.col("dot"), -F.col("cluster"))).getField("dot").alias(
+            "dot"
+        ),
+    )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search with trained centroids: each query scores only the
+    vectors assigned to its ``nprobe`` nearest clusters — the recall
+    knob (nprobe=#clusters degrades to exact brute force).
+
+    Scale shape: the index build is one broadcast pass
+    (``kmeans_assign``); queries x nprobe probe rows are broadcast
+    against the clustered corpus (an equi-join on cluster — only probed
+    clusters are scanned when the index is partitioned/bucketed by
+    cluster on disk); top-k uses the two-phase bounded merge
+    (``_topk_per_query``), never a full-corpus window.
+
+    Returns (query_id, neighbor_id, cosine, rank<=k).
+    """
+    assigned = kmeans_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    pts = (
+        _with_norm(embeddings, vec_col)
+        .filter(F.col("_norm") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_vec"), lambda x: x / F.col("_norm")).alias("v"),
+        )
+        .join(assigned.select(id_col, "cluster"), id_col)
+    )
+    q = pts.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    # nprobe nearest clusters per query, from the broadcast centroid set
+    probes = (
+        q.crossJoin(
+            F.broadcast(centroids.select("cluster", F.col("centroid").alias("cv")))
+        )
+        .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("dot"), F.asc("cluster")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    scored = (
+        pts.join(F.broadcast(probes), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored, k)

@@ -1,0 +1,111 @@
+"""Spherical k-means trainer + trained-centroid IVF search.
+
+The embeddings fixture is isotropic (labels are not geometric), so the
+tests pin the MECHANICS a trainer must have — determinism, objective
+monotonicity, complete assignment, unit-norm centroids, recall against
+exact brute force — rather than cluster purity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmsistream_spark.llm.similarity import (
+    _dot,
+    cosine_topk,
+    ivf_search,
+    kmeans_assign,
+    kmeans_fit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_kmeans_centroids_unit_norm_and_deterministic(spark, emb):
+    a = kmeans_fit(emb, k=4, max_iters=3)
+    b = kmeans_fit(emb, k=4, max_iters=3)
+    ra = {r.cluster: r.centroid for r in a.collect()}
+    rb = {r.cluster: r.centroid for r in b.collect()}
+    assert set(ra) == set(rb) == {0, 1, 2, 3}
+    for c in ra:
+        assert ra[c] == rb[c], f"cluster {c} not run-to-run identical"
+        assert abs(math.sqrt(sum(x * x for x in ra[c])) - 1.0) < 1e-9
+
+
+def test_kmeans_objective_non_decreasing(spark, emb):
+    """Spherical k-means: mean max-cosine to the assigned centroid must
+    not decrease with more Lloyd iterations (up to fp noise)."""
+    objs = []
+    for iters in (1, 2, 4):
+        cents = kmeans_fit(emb, k=4, max_iters=iters)
+        a = kmeans_assign(emb, cents)
+        objs.append(a.agg(F.avg("dot")).first()[0])
+    assert objs[1] >= objs[0] - 1e-9
+    assert objs[2] >= objs[1] - 1e-9
+
+
+def test_kmeans_assign_covers_all_nonzero_vectors(spark, emb):
+    cents = kmeans_fit(emb, k=4, max_iters=2)
+    a = kmeans_assign(emb, cents)
+    n_nonzero = (
+        emb.select(
+            _dot(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.transform("embedding", lambda x: x.cast("double")),
+            ).alias("sq")
+        )
+        .filter(F.col("sq") > 0)
+        .count()
+    )
+    assert a.count() == n_nonzero
+    assert a.select("vec_id").distinct().count() == n_nonzero
+    # every assignment points at an existing cluster, with a valid cosine
+    rows = a.collect()
+    assert {r.cluster for r in rows} <= {0, 1, 2, 3}
+    assert all(-1.0 - 1e-9 <= r.dot <= 1.0 + 1e-9 for r in rows)
+
+
+def test_ivf_search_full_probe_matches_bruteforce(spark, emb):
+    """nprobe = k clusters degrades IVF to exact search: top-k must then
+    equal the brute-force oracle on the same queries."""
+    cents = kmeans_fit(emb, k=4, max_iters=2)
+    qids = [10, 11, 12]
+    ivf = ivf_search(emb, cents, qids, k=5, nprobe=4)
+    brute = cosine_topk(emb, qids, k=5)
+    got = sorted((r.query_id, r.rank, r.neighbor_id) for r in ivf.collect())
+    want = sorted((r.query_id, r.rank, r.neighbor_id) for r in brute.collect())
+    assert got == want
+
+
+def test_ivf_search_single_probe_is_subset_and_ranked(spark, emb):
+    cents = kmeans_fit(emb, k=4, max_iters=2)
+    out = ivf_search(emb, cents, [10, 11], k=5, nprobe=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {10, 11}
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_kmeans_plan_broadcasts_and_stays_jvm_side(spark, emb):
+    cents = kmeans_fit(emb, k=4, max_iters=1)
+    a = kmeans_assign(emb, cents)
+    plan = a._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the centroid set rides a broadcast nested-loop cross join (k rows);
+    # the corpus must never hit a shuffle-based join for assignment
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
