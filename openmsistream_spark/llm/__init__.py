@@ -31,9 +31,11 @@ from .similarity import (
     cosine_topk_sq8,
     incremental_embedding_dedup,
     ivf_search,
+    ivf_search_index,
     kmeans_assign,
     kmeans_fit,
     quantize_int8,
+    write_ivf_index,
 )
 from .textstats import (
     doc_fingerprint,
@@ -66,9 +68,11 @@ __all__ = [
     "cosine_topk_sq8",
     "incremental_embedding_dedup",
     "ivf_search",
+    "ivf_search_index",
     "kmeans_assign",
     "kmeans_fit",
     "quantize_int8",
+    "write_ivf_index",
     "curate_corpus",
     "text_stats",
     "language_id",

@@ -499,3 +499,101 @@ def ivf_search(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as CLUSTER-PARTITIONED parquet:
+    ``{path}/cluster=C/*.parquet``. This is what makes IVF an actual
+    index at 100 TB rather than a logical label: a probed search joins
+    on the partition column, so Spark's dynamic partition pruning
+    (see ``ivf_search_index``) reads ONLY the probed clusters' files —
+    I/O scales with nprobe/k of the corpus, not the corpus.
+
+    Deterministic (assignment is; parquet layout is) — re-running a
+    failed write converges under mode='overwrite'.
+    """
+    assigned = kmeans_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    (
+        embeddings.join(assigned.select(id_col, "cluster"), id_col)
+        .write.mode(mode)
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search against a ``write_ivf_index`` on-disk index.
+
+    ``queries`` is a small (query_id, ``vec_col``) frame — it rides a
+    broadcast, and the probe→index join is an equi-join on the
+    PARTITION column, so Catalyst inserts a dynamic-partition-pruning
+    subquery into the index scan: only the ≤ queries x nprobe probed
+    cluster directories are listed and read. No driver-side collect of
+    the probe set is needed — the pruning literal is produced at runtime
+    by the DPP subquery, which is exactly the mechanism a 1000-executor
+    scan wants (the plan shows ``dynamicpruningexpression`` under
+    PartitionFilters; tests assert it).
+
+    Returns (query_id, neighbor_id, cosine, rank<=k) like the in-memory
+    ``ivf_search``.
+    """
+    qn = (
+        _with_norm(queries, vec_col)
+        .filter(F.col("_norm") > 0)
+        .select(
+            "query_id",
+            F.transform(F.col("_vec"), lambda x: x / F.col("_norm")).alias("qv"),
+        )
+    )
+    probes = (
+        qn.crossJoin(
+            F.broadcast(centroids.select("cluster", F.col("centroid").alias("cv")))
+        )
+        .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("dot"), F.asc("cluster")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    index = spark.read.parquet(path)
+    pts = (
+        _with_norm(index, vec_col)
+        .filter(F.col("_norm") > 0)
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.transform(F.col("_vec"), lambda x: x / F.col("_norm")).alias("v"),
+        )
+    )
+    scored = (
+        pts.join(F.broadcast(probes), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored, k)

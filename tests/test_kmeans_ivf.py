@@ -109,3 +109,40 @@ def test_kmeans_plan_broadcasts_and_stays_jvm_side(spark, emb):
     # the centroid set rides a broadcast nested-loop cross join (k rows);
     # the corpus must never hit a shuffle-based join for assignment
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_ivf_index_search_matches_inmemory_and_prunes(spark, emb, tmp_path):
+    """The on-disk index path returns the same ranking as the in-memory
+    ivf_search, and its scan carries a dynamic-partition-pruning filter
+    on cluster — only probed cluster directories are read."""
+    from openmsistream_spark.llm.similarity import (
+        ivf_search_index,
+        write_ivf_index,
+    )
+
+    cents = kmeans_fit(emb, k=4, max_iters=2)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+    # partition layout on disk
+    import os
+
+    clusters = sorted(
+        d for d in os.listdir(path) if d.startswith("cluster=")
+    )
+    assert clusters == [f"cluster={i}" for i in range(4)]
+
+    queries = emb.filter(F.col("vec_id").isin(10, 11)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_search_index(spark, path, cents, queries, k=5, nprobe=2)
+    want = ivf_search(emb, cents, [10, 11], k=5, nprobe=2)
+    g = sorted((r.query_id, r.rank, r.neighbor_id) for r in got.collect())
+    w = sorted((r.query_id, r.rank, r.neighbor_id) for r in want.collect())
+    assert g == w
+
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in plan.lower(), plan
