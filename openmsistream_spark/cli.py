@@ -162,6 +162,15 @@ def build_parser() -> argparse.ArgumentParser:
         "identical admissions (exactly-once)",
     )
     cc.add_argument(
+        "--eval-parquet", default=None,
+        help="benchmark/eval parquet (id + text columns): drop training "
+        "docs sharing any 8-gram with it (decontamination)",
+    )
+    cc.add_argument(
+        "--decontaminate-min-hits", type=int, default=1,
+        help="n-gram overlaps needed to disqualify a doc (with --eval-parquet)",
+    )
+    cc.add_argument(
         "--shard-dir", default=None,
         help="also pack the curated corpus into training shards here",
     )
@@ -293,6 +302,12 @@ def main(argv: Sequence[str] | None = None) -> int:
             exact_ledger=exact,
             lsh_ledger=lsh,
             run_id=args.run_id,
+            eval_docs=(
+                spark.read.parquet(args.eval_parquet)
+                if args.eval_parquet
+                else None
+            ),
+            decontaminate_conf={"min_hits": args.decontaminate_min_hits},
             report=not args.no_report,
         )
         curated.write.mode("overwrite").parquet(args.out_dir)

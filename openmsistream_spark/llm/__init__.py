@@ -23,7 +23,7 @@ from .dedup import (
     streaming_exact_dedup,
     word_shingles,
 )
-from .curate import curate_corpus
+from .curate import curate_corpus, decontaminate
 from .packing import mixture_sample, shard_by_token_budget, write_training_shards
 from .similarity import (
     cosine_topk,
@@ -74,6 +74,7 @@ __all__ = [
     "quantize_int8",
     "write_ivf_index",
     "curate_corpus",
+    "decontaminate",
     "text_stats",
     "language_id",
     "doc_fingerprint",

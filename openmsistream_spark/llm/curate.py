@@ -45,6 +45,51 @@ from .textstats import pii_redact, quality_filter
 _LSH_KEYS = ("n", "num_hashes", "rows_per_band", "threshold", "max_shingle_df")
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination as a FILTER: drop every training
+    document sharing at least ``min_hits`` distinct word ``n``-grams
+    with the evaluation set (the GPT-3/PaLM-style 8-gram overlap rule).
+    The catalog's ``contamination_8gram`` is the report form of the same
+    join; this is the form a training pipeline actually applies.
+
+    Scale shape: both sides shingle to 16-hex md5 keys
+    (``word_shingles(hashed=True)``), so the join moves 16-byte hashes,
+    never text. The eval side is benchmark-sized — distinct-reduced and
+    broadcast, so the corpus-side shingle stream never shuffles; the hit
+    count is one map-side-combinable groupBy on the (rare) matches.
+    With ``min_hits=1`` any single overlapping n-gram disqualifies.
+
+    Returns the surviving rows of ``docs``, unchanged.
+    """
+    from .dedup import word_shingles
+
+    ev = (
+        word_shingles(
+            eval_docs, n=n, id_col=eval_id_col, text_col=eval_text_col, hashed=True
+        )
+        .select("shingle")
+        .distinct()
+    )
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, hashed=True)
+    contaminated = (
+        sh.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") >= min_hits)
+        .select(id_col)
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -55,6 +100,8 @@ def curate_corpus(
     lsh_ledger=None,
     run_id: str | None = None,
     quality_thresholds: dict[str, Any] | None = None,
+    eval_docs: DataFrame | None = None,
+    decontaminate_conf: dict[str, Any] | None = None,
     report: bool = True,
 ) -> "tuple[DataFrame, dict[str, int]]":
     """Run the batch curation pass over ``docs``.
@@ -65,6 +112,10 @@ def curate_corpus(
     a same-run_id re-run returns identical admissions (see
     ``incremental_exact_dedup``). Without ledgers, dedup is
     within-corpus only.
+
+    ``eval_docs`` turns on benchmark decontamination (``decontaminate``,
+    tuned by ``decontaminate_conf``: n / min_hits / eval_id_col /
+    eval_text_col) after dedup, before the quality gate.
 
     Returns ``(curated, stage_counts)``; ``stage_counts`` is {} when
     ``report=False`` (no extra jobs). The curated frame carries
@@ -109,6 +160,16 @@ def curate_corpus(
             run_id=run_id, **conf,
         )
         _note("after_lsh_ledger", docs)
+
+    if eval_docs is not None:
+        docs = decontaminate(
+            docs,
+            eval_docs,
+            id_col=id_col,
+            text_col=text_col,
+            **(decontaminate_conf or {}),
+        )
+        _note("after_decontamination", docs)
 
     # columns the quality/redaction stages compute themselves; same-named
     # input columns (e.g. a source-side n_chars) would be ambiguous, so

@@ -207,3 +207,38 @@ def test_config_file_parsing_and_kafka_mapping(tmp_path, monkeypatch):
     monkeypatch.delenv("TEST_BOOTSTRAP")
     with pytest.raises(KeyError, match="TEST_BOOTSTRAP"):
         parse_config(str(cfg_file))
+
+
+def test_cli_curate_corpus_decontaminates(spark, tmp_path, capsys):
+    """--eval-parquet drops training docs overlapping the eval set by an
+    8-gram before the quality gate."""
+    import json
+
+    leaked = (
+        "some scraped page text mentioning that the boiling point of "
+        "water at sea level in celsius degrees under standard pressure "
+        "is one hundred which every student learns early in school"
+    )
+    clean = (
+        "seven wizards brew potent elixirs under ancient oak trees near "
+        "quiet rivers while archivists catalog interesting field reports "
+        "for the provincial library association every single autumn"
+    )
+    evals = [(100,
+        "what is the boiling point of water at sea level in celsius "
+        "degrees under standard atmospheric pressure conditions today")]
+    src = str(tmp_path / "corpus")
+    ev = str(tmp_path / "eval")
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(
+        [(1, leaked), (2, clean)], "doc_id long, text string"
+    ).write.parquet(src)
+    spark.createDataFrame(evals, "doc_id long, text string").write.parquet(ev)
+
+    rc = cli.main(["curate-corpus", src, out, "--eval-parquet", ev])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["stages"]["after_decontamination"] == 1
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [2]

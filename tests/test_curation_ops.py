@@ -576,3 +576,39 @@ def test_incremental_embedding_dedup_across_runs(spark, tmp_path):
     assert [r.vec_id for r in incremental_embedding_dedup(z1, reg, run_id="z1").collect()] == [7]
     z2 = spark.createDataFrame([(8, [0.0] * 8)], "vec_id long, embedding array<double>")
     assert incremental_embedding_dedup(z2, reg, run_id="z2").collect() == []
+
+
+def test_decontaminate_drops_eval_overlaps(spark):
+    """A training doc sharing one 8-gram with the eval set is dropped
+    (min_hits=1); unrelated docs survive untouched; min_hits raises the
+    bar; the curate_corpus wiring reports the stage."""
+    from openmsistream_spark.llm.curate import curate_corpus, decontaminate
+
+    eval_text = (
+        "what is the boiling point of water at sea level in celsius "
+        "degrees under standard atmospheric pressure conditions today"
+    )
+    leaked = (
+        "some scraped page text mentioning that the boiling point of "
+        "water at sea level in celsius degrees under standard pressure "
+        "is one hundred which every student learns early in school"
+    )
+    clean = (
+        "seven wizards brew potent elixirs under ancient oak trees near "
+        "quiet rivers while archivists catalog interesting field reports "
+        "for the provincial library association every single autumn"
+    )
+    docs = spark.createDataFrame(
+        [(1, leaked), (2, clean)], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+
+    out = decontaminate(docs, evals, n=8, min_hits=1)
+    assert [r.doc_id for r in out.collect()] == [2]
+    # raising min_hits above the overlap count admits the leaked doc too
+    out_loose = decontaminate(docs, evals, n=8, min_hits=50)
+    assert sorted(r.doc_id for r in out_loose.collect()) == [1, 2]
+
+    curated, stages = curate_corpus(docs, eval_docs=evals)
+    assert sorted(r.doc_id for r in curated.collect()) == [2]
+    assert stages["after_decontamination"] == 1
