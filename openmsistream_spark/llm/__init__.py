@@ -24,7 +24,12 @@ from .dedup import (
     word_shingles,
 )
 from .curate import curate_corpus, decontaminate
-from .packing import mixture_sample, shard_by_token_budget, write_training_shards
+from .packing import (
+    mixture_sample,
+    pack_sequences,
+    shard_by_token_budget,
+    write_training_shards,
+)
 from .similarity import (
     cosine_topk,
     cosine_topk_lsh,
@@ -61,6 +66,7 @@ __all__ = [
     "simhash",
     "simhash_band_pairs",
     "mixture_sample",
+    "pack_sequences",
     "shard_by_token_budget",
     "write_training_shards",
     "cosine_topk",

@@ -166,3 +166,54 @@ def mixture_sample(
         )
         .drop("_w")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 256,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sample packing: concatenate documents (whitespace token counts)
+    into fixed ``seq_len``-token training sequences inside hash buckets,
+    emitting one (bucket, id, seq, tok_start, tok_end) span row per
+    sequence a document overlaps — the attention-mask / provenance map
+    a trainer consumes alongside the packed tokens.
+
+    Scale shape: same per-bucket-cumsum lever as
+    ``shard_by_token_budget`` — the running-token window parallelizes
+    across ``n_buckets`` (thousands at 100 TB) instead of forcing one
+    global sort; the crossing-document explode is output-bounded
+    (ceil(n_tokens/seq_len) rows max per doc). One shuffle, no UDFs.
+    Deterministic: bucket and order derive from md5(id).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    d = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (_hash_u60(F.col(id_col)) % n_buckets).cast("bigint").alias("bucket"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "bucket",
+        id_col,
+        F.explode(
+            F.sequence(
+                F.floor(start / seq_len).cast("bigint"),
+                F.floor((F.col("cum") - 1) / seq_len).cast("bigint"),
+            )
+        ).alias("seq"),
+        start.alias("tok_start"),
+        F.col("cum").alias("tok_end"),
+    )

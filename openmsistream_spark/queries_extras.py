@@ -239,37 +239,10 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, output-bounded. Whole plan: one shuffle (the per-bucket window
     sort) + projection; no UDFs.
     """
-    from openmsistream_spark.llm.packing import _hash_u60
+    from openmsistream_spark.llm.packing import pack_sequences
 
-    seq_len = 256
     docs = load(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-    )
-    d = docs.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        (_hash_u60(F.col("doc_id")) % 16).cast("bigint").alias("bucket"),
-    ).filter(F.col("n_tokens") > 0)
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = d.withColumn("cum", F.sum("n_tokens").over(w))
-    start = F.col("cum") - F.col("n_tokens")
-    return c.select(
-        "bucket",
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.floor(start / seq_len).cast("bigint"),
-                F.floor((F.col("cum") - 1) / seq_len).cast("bigint"),
-            )
-        ).alias("seq"),
-        start.alias("tok_start"),
-        F.col("cum").alias("tok_end"),
-    )
+    return pack_sequences(docs, seq_len=256, n_buckets=16)
 
 
 @query(

@@ -153,3 +153,59 @@ def test_extras_registered_in_catalog():
         "token_window_chunks",
     ):
         assert name in QUERIES and QUERIES[name].oracle, name
+
+
+def test_pack_sequences_matches_reference_packer(spark):
+    """Randomized trials: the distributed packer's span rows must equal a
+    driver-side reference implementation (hash bucket -> doc_id-ordered
+    cumsum -> inclusive seq range) on corpora with adversarial shapes —
+    single-token docs, exact seq_len multiples, giant docs spanning many
+    sequences, empty docs (excluded)."""
+    import hashlib
+    import random
+
+    from openmsistream_spark.llm.packing import pack_sequences
+
+    seq_len, n_buckets = 64, 4
+
+    def ref_pack(docs):
+        by_bucket = {}
+        for doc_id, n in docs:
+            if n <= 0:
+                continue
+            b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % n_buckets
+            by_bucket.setdefault(b, []).append((doc_id, n))
+        rows = set()
+        for b, items in by_bucket.items():
+            cum = 0
+            for doc_id, n in sorted(items):
+                start, cum = cum, cum + n
+                for seq in range(start // seq_len, (cum - 1) // seq_len + 1):
+                    rows.add((b, doc_id, seq, start, cum))
+        return rows
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        docs = []
+        for i in range(rng.randint(1, 30)):
+            shape = rng.random()
+            if shape < 0.2:
+                n = 0  # empty: must be excluded
+            elif shape < 0.4:
+                n = 1
+            elif shape < 0.6:
+                n = seq_len * rng.randint(1, 3)  # exact boundary
+            else:
+                n = rng.randint(2, 5 * seq_len)  # spans many sequences
+            docs.append((rng.randint(0, 10_000), n))
+        docs = list({d: n for d, n in docs}.items())  # distinct ids
+        sdf = spark.createDataFrame(
+            [(d, "w " * n) for d, n in docs], "doc_id long, text string"
+        )
+        got = {
+            (r.bucket, r.doc_id, r.seq, r.tok_start, r.tok_end)
+            for r in pack_sequences(
+                sdf, seq_len=seq_len, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == ref_pack(docs), f"trial {trial}"
