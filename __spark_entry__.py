@@ -97,16 +97,38 @@ def _query_source_files(name: str) -> list[str]:
         fn_src = inspect.getsource(fn)
     except (OSError, TypeError):
         fn_src = ""
-    pkg = (fn.__module__ or "").rsplit(".", 1)[0]
+    mod_parts = (fn.__module__ or "").split(".")
     for m_imp in re.finditer(
-        r"from\s+(\.[\w.]*|openmsistream_spark[\w.]*)\s+import", fn_src
+        r"from\s+(\.+[\w.]*|openmsistream_spark[\w.]*)\s+import\s*\(?"
+        r"([\w][\w, \n]*)?",
+        fn_src,
     ):
-        target = m_imp.group(1)
+        target, names = m_imp.group(1), m_imp.group(2) or ""
         if target.startswith("."):
-            target = pkg + "." + target.lstrip(".") if target != "." else pkg
+            # resolve relative imports properly: N leading dots drop the
+            # last N components of the defining module's dotted path
+            dots = len(target) - len(target.lstrip("."))
+            rest = target.lstrip(".")
+            base = mod_parts[: len(mod_parts) - dots]
+            target = ".".join(base + ([rest] if rest else []))
         dep = sys.modules.get(target)
-        if dep is not None:
-            mods.add(dep)
+        if dep is None:
+            continue
+        mods.add(dep)
+        # a package target (`from openmsistream_spark.llm import x`)
+        # resolves to its __init__ — also add the modules DEFINING the
+        # imported names, else editing the real implementation module
+        # leaves the query falsely fresh
+        for nm in (n.strip() for n in names.split(",") if n.strip()):
+            obj = getattr(dep, nm, None)
+            if isinstance(obj, types.ModuleType):
+                sub = obj
+            else:
+                sub = sys.modules.get(getattr(obj, "__module__", None) or "")
+            if sub is not None and (sub.__name__ or "").startswith(
+                "openmsistream_spark"
+            ):
+                mods.add(sub)
     paths = set()
     for m in mods:
         try:

@@ -117,6 +117,8 @@ def _incremental_lsh_ingest(spark, sf_dir):
     against a fresh durable LSH ledger — times the full incremental
     path (band build, ledger anti-collision join, two upserts, admitted
     re-derive), the loop a continuous corpus build runs per batch."""
+    import os
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -126,7 +128,11 @@ def _incremental_lsh_ingest(spark, sf_dir):
     from openmsistream_spark.queries import load
 
     docs = load(spark, sf_dir, "documents")
-    ledger = tempfile.mkdtemp(prefix="bench_lsh_ledger_") + "/lsh"
+    # one fixed dir per process, cleared per attempt — each timed run
+    # must start from an empty ledger, and nothing leaks across runs
+    base = os.path.join(tempfile.gettempdir(), f"bench_lsh_ledger_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    ledger = base + "/lsh"
     reg = make_registry(spark, ledger, ["band", "band_sig", "doc_id"], backend="parquet")
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     b2 = docs.filter(F.col("doc_id") % 2 == 1)

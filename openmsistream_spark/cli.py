@@ -163,12 +163,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cc.add_argument(
         "--eval-parquet", default=None,
-        help="benchmark/eval parquet (id + text columns): drop training "
-        "docs sharing any 8-gram with it (decontamination)",
+        help="benchmark/eval parquet: drop training docs sharing any "
+        "8-gram with it (decontamination)",
     )
     cc.add_argument(
         "--decontaminate-min-hits", type=int, default=1,
         help="n-gram overlaps needed to disqualify a doc (with --eval-parquet)",
+    )
+    cc.add_argument(
+        "--eval-id-col", default="doc_id",
+        help="id column name in the eval parquet",
+    )
+    cc.add_argument(
+        "--eval-text-col", default="text",
+        help="text column name in the eval parquet",
     )
     cc.add_argument(
         "--shard-dir", default=None,
@@ -307,7 +315,11 @@ def main(argv: Sequence[str] | None = None) -> int:
                 if args.eval_parquet
                 else None
             ),
-            decontaminate_conf={"min_hits": args.decontaminate_min_hits},
+            decontaminate_conf={
+                "min_hits": args.decontaminate_min_hits,
+                "eval_id_col": args.eval_id_col,
+                "eval_text_col": args.eval_text_col,
+            },
             report=not args.no_report,
         )
         curated.write.mode("overwrite").parquet(args.out_dir)

@@ -314,6 +314,7 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     persist_shingles: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pipeline: shingle → minhash → band → candidate pairs →
     exact Jaccard verify on candidates only.
@@ -325,10 +326,18 @@ def minhash_lsh_dedup(
     verify-join sides) — off by default because AQE's runtime exchange
     reuse collapses the identical subtrees (measured no-win at bench
     scale); turn ``persist_shingles`` on when the upstream is expensive
-    to re-execute (UDF-decoded or remote sources AQE can't collapse)."""
-    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    sh = cap_hot_shingles(sh, max_shingle_df)
-    if persist_shingles:
+    to re-execute (UDF-decoded or remote sources AQE can't collapse).
+    NOTE ``persist_shingles`` has no unpersist hook (the returned plan
+    needs the cache when it eventually executes) — for a handle on the
+    cache's lifetime, pass ``shingles`` instead: a pre-built
+    (id, shingle) table (already capped; the caller owns persist AND
+    unpersist, see dedup_keep_canonical_lsh)."""
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+        sh = cap_hot_shingles(sh, max_shingle_df)
+    if persist_shingles and shingles is None:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)

@@ -186,7 +186,11 @@ def pack_sequences(
     across ``n_buckets`` (thousands at 100 TB) instead of forcing one
     global sort; the crossing-document explode is output-bounded
     (ceil(n_tokens/seq_len) rows max per doc). One shuffle, no UDFs.
-    Deterministic: bucket and order derive from md5(id).
+    Deterministic: the bucket derives from md5(id); WITHIN a bucket
+    documents pack in raw id order (contrast ``shard_by_token_budget``,
+    which additionally md5-shuffles the within-bucket order — pre-shuffle
+    ids or sort by a hash first if id-adjacent documents must not share
+    a training sequence).
     """
     from pyspark.sql import Window
 

@@ -164,15 +164,26 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_keep_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # persist_shingles: the capped shingle table feeds four plan branches
+    # persist the capped shingle table: it feeds four plan branches
     # (signatures, sizes, both verify-join sides) and this query executes
     # the pipeline once more inside the CC cache fill — measured 3-4 s
-    # saved at sf0.1 for a ~20 B/shingle-row cache
+    # saved at sf0.1 for a ~20 B/shingle-row cache. Building it HERE
+    # (rather than persist_shingles=True) gives a handle to unpersist:
+    # after dedup_clusters returns, its labels are checkpointed and the
+    # returned plan reads only the corpus scan + that leaf, so the cache
+    # can be released immediately instead of leaking until session end.
+    from pyspark import StorageLevel
+
+    from .llm.dedup import DEFAULT_MAX_SHINGLE_DF, cap_hot_shingles, word_shingles
+
+    sh = cap_hot_shingles(
+        word_shingles(docs, n=3), DEFAULT_MAX_SHINGLE_DF
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_lsh_dedup(
-        docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.12,
-        persist_shingles=True,
+        docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.12, shingles=sh
     )
     clusters = dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    sh.unpersist()
     return clusters.groupBy(F.col("cluster").alias("representative_id")).agg(
         F.count("*").cast("bigint").alias("n_members")
     )

@@ -183,9 +183,16 @@ def gapfill_locf_stream(
     """
     mult, unit = bucket.strip().split()
     bucket_seconds = int(mult) * _UNIT_SECONDS[unit.rstrip("s")]
+    # the key rides through with its OWN type (string ids must not be
+    # cast-to-long into one merged null group); the output schema's key
+    # field mirrors the input column's type
+    out_schema = StructType(
+        [StructField("key", events.schema[key_col].dataType)]
+        + [f for f in OUTPUT_SCHEMA.fields if f.name != "key"]
+    )
     keyed = (
         events.select(
-            F.col(key_col).cast("long").alias("key"),
+            F.col(key_col).alias("key"),
             F.col(ts_col).alias("ts"),
             F.col(value_col).cast("double").alias("value"),
         )
@@ -194,7 +201,7 @@ def gapfill_locf_stream(
     )
     return keyed.applyInPandasWithState(
         _make_gapfill_fn(bucket_seconds),
-        OUTPUT_SCHEMA,
+        out_schema,
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,

@@ -12,9 +12,9 @@ def _ts(minutes):
     return T0 + datetime.timedelta(minutes=minutes)
 
 
-def _run(spark, in_dir, out_dir, ckpt):
+def _run(spark, in_dir, out_dir, ckpt, key_type="long"):
     src = spark.readStream.schema(
-        "user_id long, ts timestamp, value double"
+        f"user_id {key_type}, ts timestamp, value double"
     ).parquet(f"{in_dir}/batch=*")
     q = (
         gapfill_locf_stream(src, bucket="1 hour", watermark="30 minutes")
@@ -83,3 +83,38 @@ def test_streaming_gapfill_emits_closed_and_gap_buckets(spark, tmp_path):
     # 06:00 < its end at 07:00) and gaps never extend past the newest
     # observation, so key 99 stays silent
     assert not any(r.key == 99 for r in rows)
+
+
+def test_streaming_gapfill_string_keys_stay_distinct(spark, tmp_path):
+    """Non-numeric keys must keep their own series (regression: an
+    implicit cast-to-long folded every string key into one null group)."""
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(
+        [
+            ("alice", _ts(5), 1.0),
+            ("bob", _ts(10), 9.0),
+            ("alice", _ts(125), 2.0),
+            ("bob", _ts(70), 8.0),
+        ],
+        "user_id string, ts timestamp, value double",
+    ).write.parquet(f"{in_dir}/batch=0")
+    spark.createDataFrame(
+        [("carol", _ts(600), 0.0)], "user_id string, ts timestamp, value double"
+    ).write.parquet(f"{in_dir}/batch=1")
+    _run(spark, in_dir, out_dir, ckpt, key_type="string")
+
+    rows = spark.read.parquet(out_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append((r.bucket_start, r.value_locf, r.is_gap))
+    assert sorted(by_key) == ["alice", "bob"]
+    assert sorted(by_key["alice"]) == [
+        (_ts(0), 1.0, False),
+        (_ts(60), 1.0, True),
+        (_ts(120), 2.0, False),
+    ]
+    assert sorted(by_key["bob"]) == [(_ts(0), 9.0, False), (_ts(60), 8.0, False)]
