@@ -42,6 +42,7 @@ from .similarity import (
     quantize_int8,
     write_ivf_index,
 )
+from .tfidf import tfidf_cosine_pairs, tfidf_terms
 from .textstats import (
     doc_fingerprint,
     language_id,
@@ -87,4 +88,6 @@ __all__ = [
     "pii_redact",
     "quality_filter",
     "repetition_signals",
+    "tfidf_terms",
+    "tfidf_cosine_pairs",
 ]
