@@ -93,8 +93,13 @@ def tfidf_cosine_pairs(
     t = tfidf_terms(
         docs, id_col=id_col, text_col=text_col, max_term_df=max_term_df
     ).select(id_col, "term", "tfidf")
+    # engine-exact accumulation: the 6-dp weights multiply to exact
+    # 12-dp decimals, so sums are order-independent and any SQL oracle
+    # reproduces the identical norms/dots bit-for-bit (float sums would
+    # drift with partitioning)
+    sq = (F.col("tfidf") * F.col("tfidf")).cast("decimal(28,12)")
     norms = t.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("nrm")
+        F.sqrt(F.sum(sq).cast("double")).alias("nrm")
     )
     a = t.select(F.col(id_col).alias("id_a"), "term", F.col("tfidf").alias("wa"))
     b = t.select(F.col(id_col).alias("id_b"), "term", F.col("tfidf").alias("wb"))
@@ -102,7 +107,11 @@ def tfidf_cosine_pairs(
         a.join(b, "term")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot")
+        )
     )
     return (
         dots.join(norms.withColumnRenamed(id_col, "id_a").withColumnRenamed("nrm", "na"), "id_a")

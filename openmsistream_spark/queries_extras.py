@@ -322,3 +322,57 @@ def token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+@query(
+    "tfidf_cosine_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+           HAVING count(*) <= 10000),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    w AS (
+      SELECT doc_id, term,
+             round(tf * (ln((n + 1.0) / (df + 1.0)) + 1), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(sum(CAST(tfidf * tfidf AS DECIMAL(28,12))) AS DOUBLE))
+               AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(CAST(a.tfidf * b.tfidf AS DECIMAL(28,12))) AS DOUBLE)
+               AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.75
+    """,
+    doc="TF-IDF sparse text cosine pairs (>= 0.75): shared-term join, "
+    "hot-term cap, decimal-exact norms/dots — the no-embedding "
+    "similarity path",
+    survey="LLM similarity: text-native TF-IDF cosine via sparse term join",
+)
+def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.tfidf.tfidf_cosine_pairs`` (see its
+    docstring for the scale shape: pairs only through shared terms,
+    ubiquitous near-zero-IDF terms excluded as the quadratic hotspot;
+    all aggregation decimal-exact so the oracle matches bit-for-bit)."""
+    from openmsistream_spark.llm.tfidf import tfidf_cosine_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=0.75)
