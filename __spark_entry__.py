@@ -91,26 +91,37 @@ def _query_source_files(name: str) -> list[str]:
     # source for them — without this, editing the imported module leaves
     # the query falsely "fresh" (round-6 finding: cosine_topk_sq8 kept a
     # stale green row after llm/similarity.py changed)
-    import re
+    import ast
+    import textwrap
 
     try:
         fn_src = inspect.getsource(fn)
     except (OSError, TypeError):
         fn_src = ""
     mod_parts = (fn.__module__ or "").split(".")
-    for m_imp in re.finditer(
-        r"from\s+(\.+[\w.]*|openmsistream_spark[\w.]*)\s+import\s*\(?"
-        r"([\w][\w, \n]*)?",
-        fn_src,
-    ):
-        target, names = m_imp.group(1), m_imp.group(2) or ""
-        if target.startswith("."):
-            # resolve relative imports properly: N leading dots drop the
-            # last N components of the defining module's dotted path
-            dots = len(target) - len(target.lstrip("."))
-            rest = target.lstrip(".")
-            base = mod_parts[: len(mod_parts) - dots]
-            target = ".".join(base + ([rest] if rest else []))
+    try:
+        tree = ast.parse(textwrap.dedent(fn_src)) if fn_src else None
+    except SyntaxError:
+        tree = None
+    for node in ast.walk(tree) if tree is not None else ():
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith("openmsistream_spark"):
+                    dep = sys.modules.get(alias.name)
+                    if dep is not None:
+                        mods.add(dep)
+            continue
+        if not isinstance(node, ast.ImportFrom):
+            continue
+        if node.level > 0:
+            # resolve relative imports: N dots drop the last N
+            # components of the defining module's dotted path
+            base = mod_parts[: len(mod_parts) - node.level]
+            target = ".".join(base + ([node.module] if node.module else []))
+        else:
+            target = node.module or ""
+        if not target.startswith("openmsistream_spark"):
+            continue
         dep = sys.modules.get(target)
         if dep is None:
             continue
@@ -119,8 +130,8 @@ def _query_source_files(name: str) -> list[str]:
         # resolves to its __init__ — also add the modules DEFINING the
         # imported names, else editing the real implementation module
         # leaves the query falsely fresh
-        for nm in (n.strip() for n in names.split(",") if n.strip()):
-            obj = getattr(dep, nm, None)
+        for alias in node.names:
+            obj = getattr(dep, alias.name, None)
             if isinstance(obj, types.ModuleType):
                 sub = obj
             else:

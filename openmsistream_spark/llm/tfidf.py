@@ -38,10 +38,13 @@ def tfidf_terms(
     in cosine after normalization); idf = ln((N+1)/(df+1)) + 1 (the
     smoothed form, never negative); tfidf = tf * idf rounded to 6 dp.
 
-    Scale shape: one map-side-combinable (doc, term) count, one term-DF
-    count whose result is broadcast back onto the term rows, and the
-    corpus-size scalar rides a broadcast cross join. ``max_term_df``
-    drops ubiquitous terms entirely (see module docstring).
+    Scale shape: one map-side-combinable (doc, term) count, a term-DF
+    count joined back onto the term rows (NOT force-broadcast — the
+    distinct-term table grows with the corpus's typo/rare-token tail,
+    so the join side is left to AQE, which broadcasts it exactly when
+    it is small enough), and the corpus-size scalar rides a broadcast
+    cross join. ``max_term_df`` drops ubiquitous terms entirely (see
+    module docstring); 0 is a real cap, None disables.
     """
     toks = docs.select(
         F.col(id_col),
@@ -51,7 +54,7 @@ def tfidf_terms(
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    if max_term_df:
+    if max_term_df is not None:
         df = df.filter(F.col("df") <= max_term_df)
     n_docs = docs.select(
         F.count_distinct(F.col(id_col)).alias("_n")
@@ -60,7 +63,7 @@ def tfidf_terms(
         F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1
     )
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
@@ -93,10 +96,12 @@ def tfidf_cosine_pairs(
     t = tfidf_terms(
         docs, id_col=id_col, text_col=text_col, max_term_df=max_term_df
     ).select(id_col, "term", "tfidf")
-    # engine-exact accumulation: the 6-dp weights multiply to exact
-    # 12-dp decimals, so sums are order-independent and any SQL oracle
-    # reproduces the identical norms/dots bit-for-bit (float sums would
-    # drift with partitioning)
+    # order-independent accumulation: the 6-dp weights multiply into
+    # decimal(28,12) terms, so sums do not drift with partitioning the
+    # way float sums would, and a SQL oracle mirroring the same casts
+    # reproduces them (residual cross-engine risk is confined to exact
+    # half-ties at the 12th decimal of a product — far below the 4-dp
+    # compared digits in practice)
     sq = (F.col("tfidf") * F.col("tfidf")).cast("decimal(28,12)")
     norms = t.groupBy(id_col).agg(
         F.sqrt(F.sum(sq).cast("double")).alias("nrm")

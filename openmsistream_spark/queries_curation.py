@@ -179,11 +179,15 @@ def dedup_keep_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = cap_hot_shingles(
         word_shingles(docs, n=3), DEFAULT_MAX_SHINGLE_DF
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = minhash_lsh_dedup(
-        docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.12, shingles=sh
-    )
-    clusters = dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
-    sh.unpersist()
+    try:
+        pairs = minhash_lsh_dedup(
+            docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.12, shingles=sh
+        )
+        clusters = dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    finally:
+        # also on failure (e.g. CC non-convergence) — the cache must not
+        # outlive the call either way
+        sh.unpersist()
     return clusters.groupBy(F.col("cluster").alias("representative_id")).agg(
         F.count("*").cast("bigint").alias("n_members")
     )
