@@ -62,6 +62,13 @@ HEADLINE = [
     "unigram_surprisal_quality",
     "pack_training_sequences",
     "token_window_chunks",
+    # NOT tfidf_cosine_pairs: the driver's synthetic corpus has a ~50-word
+    # vocabulary, so every document shares terms with every other and the
+    # shared-term join degenerates to all-pairs (326 s at sf0.1 — measured;
+    # on a real corpus the hot-term cap keeps it sparse). The oracle gate
+    # still validates it at sf0.01.
+    "bm25_topk_keywords",
+    "containment_pairs_docs",
 ]
 
 

@@ -1,0 +1,207 @@
+"""BM25 keyword retrieval over a document corpus.
+
+The lexical-retrieval member of the similarity family: where
+``llm/similarity.py`` ranks by dense-vector cosine and ``llm/tfidf.py``
+scores document *pairs* by sparse term overlap, ``bm25_topk`` ranks the
+corpus against a small *query* term set — the classic Okapi BM25
+scoring used to mine training data for a topic, build retrieval-eval
+candidate pools, or drive contamination triage from a benchmark's
+keywords.
+
+Scale shape (the part that matters at 100 TB):
+
+- The token explode is a narrow flatMap; the only corpus-sized shuffle
+  is the per-document length aggregate (map-side combinable longs).
+- Query-term frequencies are computed AFTER filtering the token stream
+  to the (tiny, literal) query-term set, so the tf aggregate's input is
+  a vanishing fraction of the corpus and its key space is
+  |docs matching| x |query terms|.
+- Per-term document frequencies and the corpus-size/average-length
+  scalars are broadcast back (a handful of rows).
+- The final top-k is an ``orderBy().limit(k)`` — Spark executes it as
+  TakeOrdered (per-partition heaps, bounded driver merge), never a
+  global sort materialization.
+
+Numeric discipline mirrors ``llm/tfidf.py``: per-(doc, term) scores are
+rounded to 6 dp and summed as DECIMAL(18,6), so the total is exact over
+the rounded terms and independent of partitioning — an oracle engine
+reproducing the same expression tree matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) rows — one per token occurrence (NOT distinct)."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score of every matching document against the query.
+
+    For each query term t with document frequency df over the N-doc
+    corpus, idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) (the
+    Robertson/Lucene form — always positive), and a document with term
+    frequency tf and length dl (token count; avgdl = corpus mean)
+    contributes
+
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    per term; the document score is the sum over query terms, rounded
+    per-term to 6 dp and accumulated as DECIMAL(18,6) (order-independent
+    — see module docstring). Documents containing none of the query
+    terms are absent from the result (their score is 0).
+
+    Returns (id_col, bm25) — bm25 rounded to 4 dp.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    terms = [t.lower() for t in query_terms]
+    toks = _tokens(docs, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # exact integer sum / count, divided as doubles — engine-portable
+    # (a float `avg` could accumulate differently elsewhere)
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    per_term = F.round(idf * (F.col("tf") * (k1 + 1)) / denom, 6)
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), per_term.alias("_s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.col("_s").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("bm25")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 25,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 against the query term set.
+
+    Deterministic under score ties: ordering is (bm25 DESC, id ASC), so
+    the same k rows come back on any partitioning/engine. Executes as
+    TakeOrdered — no global sort.
+    """
+    scores = bm25_scores(
+        docs, query_terms, k1=k1, b=b, id_col=id_col, text_col=text_col
+    )
+    return scores.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def bm25_topk_per_query(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 25,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Top-k documents per query for a whole query TABLE — the batch
+    shape behind retrieval-eval candidate pools (one row per benchmark
+    question) and topic-mining sweeps.
+
+    ``queries`` is (query_id, query_text); its text tokenizes with the
+    same rule as the corpus. Document frequencies are computed once over
+    the union of all queries' terms, idf/avgdl/N are shared, and each
+    (query, doc) score sums only that query's terms, so q queries cost
+    one corpus token pass + one (query-term-matched tokens x q-fanout)
+    aggregate — not q separate jobs.
+
+    The per-query top-k is a ``row_number() <= k`` window partitioned by
+    query: Spark plans it as WindowGroupLimit (per-partition top-k
+    heaps), so a query never buffers more than k rows per task — the
+    many-key analogue of ``bm25_topk``'s TakeOrdered. Ordering within a
+    query is (bm25 DESC, doc id ASC): deterministic under ties.
+
+    Returns (query_id, id_col, bm25, rank) with rank 1..k.
+    """
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(query_text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "").distinct()
+    toks = _tokens(docs, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    all_terms = qterms.select("term").distinct()
+    tf = (
+        toks.join(F.broadcast(all_terms), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    per_term = F.round(idf * (F.col("tf") * (k1 + 1)) / denom, 6)
+    scored = (
+        tf.join(F.broadcast(qterms), "term")  # fan out to interested queries
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(df), "term")
+        .select(F.col(query_id_col), F.col(id_col), per_term.alias("_s"))
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("_s").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("bm25")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("bm25"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "bm25", "rank")
+    )

@@ -371,8 +371,112 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog form of ``llm.tfidf.tfidf_cosine_pairs`` (see its
     docstring for the scale shape: pairs only through shared terms,
     ubiquitous near-zero-IDF terms excluded as the quadratic hotspot;
-    all aggregation decimal-exact so the oracle matches bit-for-bit)."""
+    all aggregation decimal-exact so the oracle matches bit-for-bit).
+
+    NOTE on the driver corpus: its ~50-word vocabulary sits below any
+    sane absolute DF cap, so every document shares terms with every
+    other and the shared-term join degenerates to all-pairs (~5.5 min
+    at sf0.1) — which is why this entry is oracle-gated at sf0.01 but
+    deliberately NOT in bench.py's HEADLINE. On real text the hot-term
+    cap keeps the join sparse; at corpus scale set ``max_term_df``
+    relative to N (e.g. N/2) so stop-words always fall out."""
     from openmsistream_spark.llm.tfidf import tfidf_cosine_pairs
 
     docs = load(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(docs, threshold=0.75)
+
+
+@query(
+    "bm25_topk_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+    ),
+    qt AS (SELECT unnest(['spark', 'vector', 'merge', 'window']) AS term),
+    tf AS (
+      SELECT t.doc_id, t.term, count(*) AS tf
+      FROM toks t JOIN qt USING (term) GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             round(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   (tf * 2.2) /
+                   (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+                   6) AS s
+      FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id,
+             round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25 FROM agg
+    ORDER BY bm25 DESC, doc_id LIMIT 25
+    """,
+    doc="Okapi BM25 top-25 against a keyword query: token filter before "
+    "any pair-sized work, broadcast df/corpus scalars, TakeOrdered "
+    "top-k — lexical retrieval for topic mining / eval pools",
+    survey="LLM retrieval: BM25 keyword ranking (llm/retrieval.py)",
+)
+def bm25_topk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.retrieval.bm25_topk`` (see its docstring
+    for the scale shape: the only corpus-sized shuffle is the per-doc
+    length aggregate; tf is computed on the query-term-filtered token
+    stream; per-term scores round to 6 dp and sum as DECIMAL(18,6) so
+    the oracle reproduces them exactly)."""
+    from openmsistream_spark.llm.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "vector", "merge", "window"], k=25)
+
+
+@query(
+    "containment_pairs_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 3
+                      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            for i in range(1, len(ws)-1)]
+                      ELSE [] END) AS shingle
+        FROM toks) t
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(n_common / sa.n_sh, 4) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE round(n_common / sa.n_sh, 4) >= 0.8
+    """,
+    doc="Asymmetric shingle containment (>= 0.8, directional): catches "
+    "excerpts/quotes inside larger documents that symmetric Jaccard "
+    "scores low — shared-shingle equi-join, never all-pairs",
+    survey="LLM dedup: directional containment (llm/containment.py)",
+)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.containment.containment_pairs`` (exact at
+    driver scale — the scale path passes ``max_shingle_df`` /
+    ``hashed`` shingles; see the module docstring)."""
+    from openmsistream_spark.llm.containment import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.8)

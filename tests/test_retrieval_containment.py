@@ -1,0 +1,169 @@
+"""BM25 retrieval + shingle containment: numeric parity with
+driver-side reference formulas, directionality, tie determinism, and
+the bounded top-k plan shape."""
+
+import math
+
+import pytest
+
+from openmsistream_spark.llm.containment import containment_pairs
+from openmsistream_spark.llm.retrieval import bm25_scores, bm25_topk
+
+CORPUS = [
+    (1, "spark merge window spark spark"),
+    (2, "vector window table scan"),
+    (3, "table scan filter join group"),
+    (4, "spark vector merge window spark vector"),
+    (5, "the quick brown fox"),
+]
+QUERY = ["spark", "vector", "window"]
+
+
+def _ref_bm25(corpus, query, k1=1.2, b=0.75):
+    docs = {d: t.lower().split() for d, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(ws) for ws in docs.values()) / n
+    df = {t: sum(t in ws for ws in docs.values()) for t in query}
+    out = {}
+    for d, ws in docs.items():
+        s = 0.0
+        for t in query:
+            tf = ws.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(
+                idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ws) / avgdl)),
+                6,
+            )
+        if s:
+            out[d] = round(s, 4)
+    return out
+
+
+def test_bm25_scores_match_reference(spark):
+    sdf = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(sdf, QUERY).collect()}
+    assert got == _ref_bm25(CORPUS, QUERY)
+
+
+def test_bm25_omits_nonmatching_docs(spark):
+    sdf = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    ids = {r.doc_id for r in bm25_scores(sdf, QUERY).collect()}
+    # docs 3 and 5 contain no query term -> absent from result, not 0.0
+    assert ids == {1, 2, 4}
+
+
+def test_bm25_topk_order_and_cut(spark):
+    sdf = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    rows = bm25_topk(sdf, QUERY, k=2).collect()
+    ref = sorted(_ref_bm25(CORPUS, QUERY).items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r.doc_id, r.bm25) for r in rows] == ref[:2]
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    sdf = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    plan = bm25_topk(sdf, QUERY, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan  # bounded top-k, no global sort
+
+
+def test_bm25_rejects_empty_query(spark):
+    sdf = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_scores(sdf, [])
+
+
+# --- containment -----------------------------------------------------
+
+EXCERPT_CORPUS = [
+    # doc 11's full text appears inside doc 12 (an excerpt/quote)
+    (11, "alpha beta gamma delta epsilon"),
+    (12, "intro words alpha beta gamma delta epsilon and a long tail here"),
+    (13, "totally unrelated text about other things entirely"),
+]
+
+
+def test_containment_is_directional(spark):
+    sdf = spark.createDataFrame(EXCERPT_CORPUS, "doc_id long, text string")
+    rows = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(sdf, threshold=0.0).collect()
+    }
+    # every 3-shingle of doc 11 appears in doc 12 -> full containment
+    assert rows[(11, 12)] == 1.0
+    # doc 12 has many shingles outside doc 11 -> strictly lower reverse
+    assert rows[(12, 11)] < 1.0
+    # disjoint docs never meet (pair generation via shared shingles)
+    assert (11, 13) not in rows and (13, 11) not in rows
+
+
+def test_containment_threshold_filters(spark):
+    sdf = spark.createDataFrame(EXCERPT_CORPUS, "doc_id long, text string")
+    rows = containment_pairs(sdf, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in rows] == [(11, 12, 1.0)]
+
+
+def test_containment_reuses_prebuilt_shingles(spark):
+    from openmsistream_spark.llm.dedup import word_shingles
+
+    sdf = spark.createDataFrame(EXCERPT_CORPUS, "doc_id long, text string")
+    sh = word_shingles(sdf, n=3)
+    via_shingles = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(shingles=sh, threshold=0.0).collect()
+    }
+    direct = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(sdf, threshold=0.0).collect()
+    }
+    assert via_shingles == direct
+
+
+def test_containment_requires_input(spark):
+    with pytest.raises(ValueError):
+        containment_pairs(None)
+
+
+def test_bm25_per_query_matches_single_query_scores(spark):
+    from openmsistream_spark.llm.retrieval import bm25_topk_per_query
+
+    sdf = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, "spark vector window"), (2, "table scan")],
+        "query_id long, query_text string",
+    )
+    got = bm25_topk_per_query(sdf, qdf, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.bm25, r.rank))
+    # query 1 must agree with the single-query path on the same terms
+    ref1 = sorted(
+        _ref_bm25(CORPUS, ["spark", "vector", "window"]).items(),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:3]
+    assert [(d, s) for d, s, _ in by_q[1]] == ref1
+    ref2 = sorted(
+        _ref_bm25(CORPUS, ["table", "scan"]).items(),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:3]
+    assert [(d, s) for d, s, _ in by_q[2]] == ref2
+    assert [r for _, _, r in by_q[1]] == [1, 2, 3]
+
+
+def test_bm25_per_query_plan_uses_window_group_limit(spark):
+    from openmsistream_spark.llm.retrieval import bm25_topk_per_query
+
+    sdf = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, "spark vector"), (2, "table scan")],
+        "query_id long, query_text string",
+    )
+    plan = (
+        bm25_topk_per_query(sdf, qdf, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # per-query top-k must push into the window (bounded per-task heaps,
+    # never a full per-query sort buffer)
+    assert "WindowGroupLimit" in plan, plan
