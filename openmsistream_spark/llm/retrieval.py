@@ -74,36 +74,64 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("bm25_scores needs at least one query term")
-    terms = [t.lower() for t in query_terms]
+    terms = sorted({t.lower() for t in query_terms})
     toks = _tokens(docs, id_col, text_col)
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    # exact integer sum / count, divided as doubles — engine-portable
-    # (a float `avg` could accumulate differently elsewhere)
-    stats = dl.agg(
+    # ONE corpus-sized shuffle: per-doc length and per-query-term counts
+    # in the same map-side-combinable aggregate (the term set is a small
+    # literal, so the conditional counters are fixed columns, not keys)
+    per_doc = toks.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # corpus scalars + per-term document frequencies: one tiny broadcast
+    # row (exact integer sum / count divided as doubles — engine-portable;
+    # a float `avg` could accumulate differently elsewhere)
+    stats = per_doc.agg(
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+    # unpivot the fixed term columns back to (id, dl, tf, df) rows; docs
+    # with tf 0 for a term contribute nothing (filtered before scoring)
+    stack_expr = ", ".join(f"'{t}', _tf{i}" for i, t in enumerate(terms))
+    long = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .selectExpr(
+            id_col,
+            "dl",
+            "n",
+            "avgdl",
+            *[f"_df{i}" for i in range(len(terms))],
+            f"stack({len(terms)}, {stack_expr}) AS (term, tf)",
+        )
+        .filter(F.col("tf") > 0)
     )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    df_for_term = F.coalesce(
+        *[
+            F.when(F.col("term") == t, F.col(f"_df{i}"))
+            for i, t in enumerate(terms)
+        ]
+    ) if len(terms) > 1 else F.col("_df0")
+    long = long.withColumn("df", df_for_term)
     idf = F.log(
         F.lit(1) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     per_term = F.round(idf * (F.col("tf") * (k1 + 1)) / denom, 6)
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(F.col(id_col), per_term.alias("_s"))
-    )
-    return scored.groupBy(id_col).agg(
-        F.round(
-            F.sum(F.col("_s").cast("decimal(18,6)")).cast("double"), 4
-        ).alias("bm25")
+    return (
+        long.select(F.col(id_col), per_term.alias("_s"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("_s").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("bm25")
+        )
     )
 
 
