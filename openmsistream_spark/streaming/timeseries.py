@@ -206,3 +206,56 @@ def gapfill_locf_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization on a live stream — the continuous twin of
+    ``operators/timeseries.sessionize``: where the batch operator labels
+    every EVENT with a per-key session_id (lag + running break sum — a
+    window over history a stream cannot hold), the streaming form emits
+    one row per FINALIZED session using Spark's native
+    ``session_window``: the engine merges events whose gaps are below
+    ``gap`` into one growing window in the state store and closes it
+    when the event-time watermark passes the last event + gap — at which
+    point the session is provably complete (any later event would, by
+    the watermark contract, be too late to extend it).
+
+    State per key is the open session's bounds + counters (merged
+    server-side, RocksDB-spillable); finalized sessions flush in append
+    mode, so a parquet/Kafka sink sees each session exactly once per
+    checkpoint lineage. The watermark bounds both state size and result
+    latency: sessions surface one watermark-delay after they end.
+
+    Returns (key_col, session_start, last_event, duration_seconds,
+    n_events[, value_sum]) — session_start is the first event,
+    last_event the final one, duration their span (0 for singleton
+    sessions; note ``session_window.end`` itself would be
+    last_event + gap, the close bound, not the span).
+    """
+    agg = [F.count("*").alias("n_events"), F.max(ts_col).alias("last_event")]
+    if value_col is not None:
+        agg.append(F.sum(value_col).alias("value_sum"))
+    sw = F.session_window(F.col(ts_col), gap)
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), sw)
+        .agg(*agg)
+    )
+    return out.select(
+        key_col,
+        F.col("session_window.start").alias("session_start"),
+        "last_event",
+        (
+            F.col("last_event").cast("double")
+            - F.col("session_window.start").cast("double")
+        ).alias("duration_seconds"),
+        "n_events",
+        *(["value_sum"] if value_col is not None else []),
+    )
