@@ -42,6 +42,8 @@ from .similarity import (
     quantize_int8,
     write_ivf_index,
 )
+from .containment import containment_pairs
+from .retrieval import bm25_scores, bm25_topk, bm25_topk_per_query
 from .tfidf import tfidf_cosine_pairs, tfidf_terms
 from .textstats import (
     doc_fingerprint,
@@ -90,4 +92,8 @@ __all__ = [
     "repetition_signals",
     "tfidf_terms",
     "tfidf_cosine_pairs",
+    "bm25_scores",
+    "bm25_topk",
+    "bm25_topk_per_query",
+    "containment_pairs",
 ]
