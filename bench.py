@@ -68,6 +68,7 @@ HEADLINE = [
     # on a real corpus the hot-term cap keeps it sparse). The oracle gate
     # still validates it at sf0.01.
     "bm25_topk_keywords",
+    "bm25_topk_per_query",
     "containment_pairs_docs",
 ]
 

@@ -37,6 +37,7 @@ from .similarity import (
     incremental_embedding_dedup,
     ivf_search,
     ivf_search_index,
+    recall_at_k,
     kmeans_assign,
     kmeans_fit,
     quantize_int8,
@@ -81,6 +82,7 @@ __all__ = [
     "kmeans_assign",
     "kmeans_fit",
     "quantize_int8",
+    "recall_at_k",
     "write_ivf_index",
     "curate_corpus",
     "decontaminate",

@@ -597,3 +597,47 @@ def ivf_search_index(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-query recall of an ANN result against the exact ground truth —
+    the number every nprobe/band/quantization knob is tuned by.
+
+    Both inputs are (query_id, neighbor_id[, cosine, rank]) frames as
+    returned by ``cosine_topk`` (exact) and ``ivf_search`` /
+    ``cosine_topk_lsh`` / ``cosine_topk_sq8`` (approximate); ``k``
+    optionally trims both to rank <= k first. Recall is computed per
+    query as |approx ∩ exact| / |exact| via a semi join on
+    (query_id, neighbor_id) — no vectors move, only id pairs.
+
+    Returns (query_id, n_exact, n_hit, recall) — aggregate with
+    ``F.avg("recall")`` for the corpus-level figure.
+    """
+    if k is not None:
+        if "rank" in exact.columns:
+            exact = exact.filter(F.col("rank") <= k)
+        if "rank" in approx.columns:
+            approx = approx.filter(F.col("rank") <= k)
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    n_exact = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_hit = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )

@@ -480,3 +480,75 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return containment_pairs(docs, threshold=0.8)
+
+
+@query(
+    "bm25_topk_per_query",
+    """
+    WITH q(query_id, query_text) AS (
+      VALUES (1, 'spark vector window'), (2, 'table scan filter'),
+             (3, 'merge join batch')
+    ),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(list_filter(string_split_regex(lower(trim(query_text)),
+                                                   '\\s+'),
+                                x -> x <> '')) AS term
+      FROM q
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+    ),
+    allt AS (SELECT DISTINCT term FROM qt),
+    tf AS (
+      SELECT t.doc_id, t.term, count(*) AS tf
+      FROM toks t JOIN allt USING (term) GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(CAST(sum(CAST(round(
+               ln(1 + (n - df + 0.5) / (df + 0.5)) *
+               (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)), 6)
+               AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+      FROM tf JOIN qt USING (term) JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= 10
+    """,
+    doc="BM25 top-10 per query for a query TABLE (retrieval-eval "
+    "candidate pools): one corpus token pass shared across queries, "
+    "WindowGroupLimit bounds every per-query heap to k rows",
+    survey="LLM retrieval: batch per-query BM25 (llm/retrieval.py)",
+)
+def bm25_topk_per_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.retrieval.bm25_topk_per_query`` (see its
+    docstring: q queries cost one corpus pass + a query-term-matched
+    fanout, not q jobs; the per-query top-k is a row_number window the
+    optimizer executes as WindowGroupLimit — per-task k-row heaps)."""
+    from openmsistream_spark.llm.retrieval import bm25_topk_per_query
+
+    docs = load(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [
+            (1, "spark vector window"),
+            (2, "table scan filter"),
+            (3, "merge join batch"),
+        ],
+        "query_id long, query_text string",
+    )
+    return bm25_topk_per_query(docs, qdf, k=10)

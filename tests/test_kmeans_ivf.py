@@ -146,3 +146,46 @@ def test_ivf_index_search_matches_inmemory_and_prunes(spark, emb, tmp_path):
         )
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_recall_at_k_full_probe_is_one(spark, emb):
+    from openmsistream_spark.llm.similarity import recall_at_k
+
+    cents = kmeans_fit(emb, k=4, max_iters=2)
+    qids = [10, 11, 12]
+    brute = cosine_topk(emb, qids, k=5)
+    ivf = ivf_search(emb, cents, qids, k=5, nprobe=4)
+    rows = recall_at_k(brute, ivf).collect()
+    assert {r.query_id for r in rows} == set(qids)
+    assert all(r.recall == 1.0 and r.n_exact == 5 and r.n_hit == 5 for r in rows)
+
+
+def test_recall_at_k_partial_and_bounds(spark, emb):
+    """nprobe=1 recall is in [0, 1] per query, equals |∩|/k, and rises
+    monotonically (>=) when nprobe doubles — the tuning curve the
+    helper exists to measure."""
+    from openmsistream_spark.llm.similarity import recall_at_k
+
+    cents = kmeans_fit(emb, k=4, max_iters=2)
+    qids = [10, 11, 12, 13]
+    brute = cosine_topk(emb, qids, k=5)
+    r1 = {r.query_id: r.recall for r in recall_at_k(brute, ivf_search(emb, cents, qids, k=5, nprobe=1)).collect()}
+    r2 = {r.query_id: r.recall for r in recall_at_k(brute, ivf_search(emb, cents, qids, k=5, nprobe=2)).collect()}
+    for q in qids:
+        assert 0.0 <= r1[q] <= 1.0
+        assert r2[q] >= r1[q] - 1e-9
+
+
+def test_recall_at_k_trims_to_k(spark, emb):
+    from openmsistream_spark.llm.similarity import recall_at_k
+
+    qids = [10, 11]
+    brute10 = cosine_topk(emb, qids, k=10)
+    brute3 = cosine_topk(emb, qids, k=3)
+    rows = recall_at_k(brute10, brute10, k=3).collect()
+    assert all(r.n_exact == 3 and r.recall == 1.0 for r in rows)
+    # trimmed ground truth equals the natively-k=3 run
+    native = recall_at_k(brute3, brute3).collect()
+    assert {(r.query_id, r.n_exact) for r in native} == {
+        (r.query_id, r.n_exact) for r in rows
+    }
