@@ -3,6 +3,7 @@ driver-side reference formulas, directionality, tie determinism, and
 the bounded top-k plan shape."""
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
 
@@ -19,6 +20,17 @@ CORPUS = [
 QUERY = ["spark", "vector", "window"]
 
 
+def _round_half_up(x: float, digits: int) -> Decimal:
+    """Spark's round() on a double: HALF_UP over the shortest decimal
+    representation (BigDecimal.valueOf). Python's float round() is
+    banker's and disagrees on exact half-ties — e.g. a per-term score
+    pair summing to 1.309750 rounds to 1.3098 in Spark/DuckDB but
+    1.3097 under float round()."""
+    return Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+    )
+
+
 def _ref_bm25(corpus, query, k1=1.2, b=0.75):
     docs = {d: t.lower().split() for d, t in corpus}
     n = len(docs)
@@ -26,18 +38,18 @@ def _ref_bm25(corpus, query, k1=1.2, b=0.75):
     df = {t: sum(t in ws for ws in docs.values()) for t in query}
     out = {}
     for d, ws in docs.items():
-        s = 0.0
+        s = Decimal(0)
         for t in query:
             tf = ws.count(t)
             if tf == 0 or df[t] == 0:
                 continue
             idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
-            s += round(
+            s += _round_half_up(
                 idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ws) / avgdl)),
                 6,
             )
         if s:
-            out[d] = round(s, 4)
+            out[d] = float(_round_half_up(float(s), 4))
     return out
 
 
@@ -167,3 +179,64 @@ def test_bm25_per_query_plan_uses_window_group_limit(spark):
     # per-query top-k must push into the window (bounded per-task heaps,
     # never a full per-query sort buffer)
     assert "WindowGroupLimit" in plan, plan
+
+
+# --- property-based parity on random corpora -------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["spark", "vector", "merge", "window", "table", "scan", "row", "agg"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+_query = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3, unique=True)
+
+
+@given(corpus=_corpus, query=_query)
+@settings(max_examples=15, deadline=None)
+def test_bm25_property_matches_reference(spark, corpus, query):
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+    # empty-text docs still count toward N/avgdl in the reference only
+    # if they produce tokens; normalize both sides to non-empty docs
+    rows = [(i, t) for i, t in rows if t.strip()]
+    if not rows:
+        return
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(sdf, query).collect()}
+    assert got == _ref_bm25(rows, query)
+
+
+def _ref_containment(rows, n=3):
+    sh = {
+        d: {
+            " ".join(ws[i : i + n])
+            for ws in [t.split()]
+            for i in range(len(ws) - n + 1)
+        }
+        for d, t in rows
+    }
+    out = {}
+    for a, sa in sh.items():
+        if not sa:
+            continue
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter:
+                out[(a, b)] = round(inter / len(sa), 4)
+    return out
+
+
+@given(corpus=_corpus)
+@settings(max_examples=15, deadline=None)
+def test_containment_property_matches_reference(spark, corpus):
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus) if ws]
+    if not rows:
+        return
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(sdf, threshold=0.0).collect()
+    }
+    assert got == _ref_containment(rows)
