@@ -128,9 +128,11 @@ def bm25_scores(
         long.select(F.col(id_col), per_term.alias("_s"))
         .groupBy(id_col)
         .agg(
-            F.round(
-                F.sum(F.col("_s").cast("decimal(18,6)")).cast("double"), 4
-            ).alias("bm25")
+            # round ON the decimal (HALF_UP in Spark and DuckDB alike),
+            # THEN cast: no float half-tie can perturb the 4th decimal
+            F.round(F.sum(F.col("_s").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("bm25")
         )
     )
 
@@ -218,9 +220,11 @@ def bm25_topk_per_query(
         .select(F.col(query_id_col), F.col(id_col), per_term.alias("_s"))
         .groupBy(query_id_col, id_col)
         .agg(
-            F.round(
-                F.sum(F.col("_s").cast("decimal(18,6)")).cast("double"), 4
-            ).alias("bm25")
+            # round ON the decimal (HALF_UP in Spark and DuckDB alike),
+            # THEN cast: no float half-tie can perturb the 4th decimal
+            F.round(F.sum(F.col("_s").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("bm25")
         )
     )
     from pyspark.sql import Window

@@ -416,7 +416,7 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT doc_id,
-             round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+             CAST(round(sum(CAST(s AS DECIMAL(18,6))), 4) AS DOUBLE) AS bm25
       FROM scored GROUP BY doc_id
     )
     SELECT doc_id, bm25 FROM agg
@@ -514,10 +514,10 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     scored AS (
       SELECT qt.query_id, tf.doc_id,
-             round(CAST(sum(CAST(round(
+             CAST(round(sum(CAST(round(
                ln(1 + (n - df + 0.5) / (df + 0.5)) *
                (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)), 6)
-               AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+               AS DECIMAL(18,6))), 4) AS DOUBLE) AS bm25
       FROM tf JOIN qt USING (term) JOIN df USING (term)
       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
       GROUP BY 1, 2

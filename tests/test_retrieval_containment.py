@@ -49,7 +49,8 @@ def _ref_bm25(corpus, query, k1=1.2, b=0.75):
                 6,
             )
         if s:
-            out[d] = float(_round_half_up(float(s), 4))
+            # engines round the DECIMAL sum (exact), then cast to double
+            out[d] = float(s.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
     return out
 
 
