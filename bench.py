@@ -70,6 +70,7 @@ HEADLINE = [
     "bm25_topk_keywords",
     "bm25_topk_per_query",
     "containment_pairs_docs",
+    "hybrid_rrf_topk",
 ]
 
 

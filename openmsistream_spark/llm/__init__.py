@@ -44,7 +44,7 @@ from .similarity import (
     write_ivf_index,
 )
 from .containment import containment_pairs
-from .retrieval import bm25_scores, bm25_topk, bm25_topk_per_query
+from .retrieval import bm25_scores, bm25_topk, bm25_topk_per_query, rrf_fuse
 from .tfidf import tfidf_cosine_pairs, tfidf_terms
 from .textstats import (
     doc_fingerprint,
@@ -98,4 +98,5 @@ __all__ = [
     "bm25_topk",
     "bm25_topk_per_query",
     "containment_pairs",
+    "rrf_fuse",
 ]

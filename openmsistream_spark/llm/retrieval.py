@@ -237,3 +237,48 @@ def bm25_topk_per_query(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "bm25", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: "Sequence[DataFrame]",
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion across N rankings — the standard hybrid-
+    retrieval combiner (Cormack et al., SIGIR'09): each list contributes
+    1 / (k + rank) for every item it ranked, and items are re-ranked by
+    the sum, so agreement across heterogeneous scorers (BM25 ranks vs
+    cosine ranks — incomparable score scales) beats any single arm
+    without score normalization.
+
+    Each input frame needs (id_col, rank_col) — the natural output of
+    ``bm25_topk_per_query``/``cosine_topk``-style ops, already trimmed
+    to their own top-k, so every input is k-row bounded and the fusion
+    aggregate touches at most N*k rows regardless of corpus size.
+
+    Contributions are rounded to 6 dp and summed as DECIMAL(18,6), the
+    total rounded to 4 dp ON the decimal (HALF_UP in Spark and DuckDB
+    alike) — rank ints make every contribution bit-identical across
+    engines, so fused scores are too. ``topk`` trims the fused ranking
+    (ordered rrf DESC, id ASC — deterministic under ties) via
+    TakeOrdered.
+
+    Returns (id_col, rrf).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contrib = F.round(F.lit(1.0) / (F.lit(k) + F.col(rank_col)), 6).cast(
+        "decimal(18,6)"
+    )
+    parts = [r.select(F.col(id_col), contrib.alias("_c")) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.round(F.sum("_c"), 4).cast("double").alias("rrf")
+    )
+    if topk is not None:
+        fused = fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(topk)
+    return fused

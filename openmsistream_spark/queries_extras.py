@@ -552,3 +552,102 @@ def bm25_topk_per_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, query_text string",
     )
     return bm25_topk_per_query(docs, qdf, k=10)
+
+
+@query(
+    "hybrid_rrf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+    ),
+    qt AS (SELECT unnest(['spark', 'vector', 'merge', 'window']) AS term),
+    tf AS (
+      SELECT t.doc_id, t.term, count(*) AS tf
+      FROM toks t JOIN qt USING (term) GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bscored AS (
+      SELECT tf.doc_id,
+             round(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+                   (tf * 2.2) /
+                   (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+                   6) AS s
+      FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    bm25 AS (
+      SELECT doc_id,
+             CAST(round(sum(CAST(s AS DECIMAL(18,6))), 4) AS DOUBLE) AS bm25
+      FROM bscored GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bm25) t
+      WHERE rank <= 50
+    ),
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+    ),
+    vec AS (
+      SELECT doc_id, rank FROM (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4)
+                            DESC,
+                          c.vec_id) AS rank
+        FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = 10) t
+      WHERE rank <= 50
+    ),
+    contrib AS (
+      SELECT doc_id, round(1.0 / (60 + rank), 6) AS c FROM lex
+      UNION ALL
+      SELECT doc_id, round(1.0 / (60 + rank), 6) AS c FROM vec
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(round(sum(CAST(c AS DECIMAL(18,6))), 4) AS DOUBLE) AS rrf
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    doc="Hybrid retrieval: reciprocal-rank fusion of a BM25 keyword arm "
+    "and an embedding-cosine arm (1/(60+rank) per list, k-row-bounded "
+    "fusion) — agreement across incomparable score scales, no "
+    "normalization",
+    survey="LLM retrieval: hybrid RRF over lexical + vector arms "
+    "(llm/retrieval.py rrf_fuse)",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse ``bm25_topk`` (keyword arm) with ``cosine_topk`` (vector
+    arm, query vec 10; the testdata id spaces align) via
+    ``llm.retrieval.rrf_fuse``. Both arms are top-50-trimmed before
+    fusion, so the fusion aggregate touches <= 100 rows however large
+    the corpus; the lexical rank window runs over the already-limited
+    50-row frame (single partition by construction — bounded, not a
+    corpus-wide sort)."""
+    from openmsistream_spark.llm.retrieval import bm25_topk, rrf_fuse
+    from openmsistream_spark.llm.similarity import cosine_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "vector", "merge", "window"], k=50)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex.withColumn("rank", F.row_number().over(wl)).select("doc_id", "rank")
+    vec = cosine_topk(emb, [10], k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, vec], k=60, topk=20)

@@ -241,3 +241,43 @@ def test_containment_property_matches_reference(spark, corpus):
         for r in containment_pairs(sdf, threshold=0.0).collect()
     }
     assert got == _ref_containment(rows)
+
+
+# --- reciprocal-rank fusion ------------------------------------------
+
+def test_rrf_fuse_math_and_single_list_items(spark):
+    from openmsistream_spark.llm.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    got = {r.doc_id: r.rrf for r in rrf_fuse([a, b], k=60).collect()}
+
+    def c(rank):
+        return round(1.0 / (60 + rank), 6)
+
+    assert got == {
+        1: round(c(1), 4),
+        2: round(c(2) + c(1), 4),   # ranked by both arms -> sums
+        3: round(c(3), 4),
+        4: round(c(2), 4),          # vector-only item still scores
+    }
+    # agreement wins: doc 2 (rank 2 + rank 1) beats doc 1 (rank 1 alone)
+    assert got[2] > got[1]
+
+
+def test_rrf_fuse_topk_deterministic_ties(spark):
+    from openmsistream_spark.llm.retrieval import rrf_fuse
+
+    # two docs with identical rank in one list each -> equal rrf; the
+    # cut must pick the lower id
+    a = spark.createDataFrame([(7, 1)], "doc_id long, rank int")
+    b = spark.createDataFrame([(5, 1)], "doc_id long, rank int")
+    rows = rrf_fuse([a, b], topk=1).collect()
+    assert [(r.doc_id) for r in rows] == [5]
+
+
+def test_rrf_fuse_rejects_empty(spark):
+    from openmsistream_spark.llm.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
