@@ -180,3 +180,38 @@ def test_incremental_minhash_admitted_plan_shape(spark, tmp_path):
     assert "LeftSemi" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_single_corpus_shuffle_and_take_ordered(spark):
+    """BM25's only corpus-keyed shuffle is the fused per-doc aggregate;
+    the top-k is TakeOrdered (bounded heaps), never a global Sort."""
+    plan = plan_of(spark, "bm25_topk_keywords")
+    assert "TakeOrderedAndProject" in plan, plan
+    # exactly two hash-partitioned exchanges appear in the tree: the
+    # per-doc aggregate on the scoring path and its (stage-reused at
+    # runtime) twin under the stats broadcast — never a third
+    # (formatted mode lists each Exchange's partitioning under Arguments)
+    n_doc_exchanges = len(re.findall(r"hashpartitioning\(doc_id", plan))
+    assert n_doc_exchanges == 2, plan
+    # the corpus-wide stats ride a broadcast, not a join shuffle
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_containment_no_nested_loop_or_cartesian(spark):
+    """Pairs must arise only from the shingle equi-join: any BNLJ or
+    cartesian product means the corpus went all-pairs."""
+    plan = plan_of(spark, "containment_pairs_docs")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_rrf_arms_stay_bounded(spark):
+    """The fused ranking ends in TakeOrdered; the lexical arm's rank
+    window runs over an already-limited 50-row frame (a GlobalLimit
+    below the Window), not the corpus."""
+    plan = plan_of(spark, "hybrid_rrf_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    w = plan.find("Window")
+    assert w != -1, plan
+    assert "GlobalLimit" in plan[w:] or "TakeOrderedAndProject" in plan[w:], plan
