@@ -10,15 +10,22 @@ them). Instead the catalog entry points that enumerate queries —
 this module directly; registration lands in the shared ``QUERIES`` dict
 either way.
 
-Content: the two capability gaps left after round 5's sweep of the
-SURVEY §2 + LLM-pipeline surface —
+Content — capability additions past round 5's sweep of the SURVEY §2 +
+LLM-pipeline surface, each oracle-paired:
 
-- time-series gap-fill with last-observation-carried-forward (the
-  hypertable ``time_bucket_gapfill``/``locf`` shape, e.g. TimescaleDB's
-  API) over the ``events`` table;
-- a unigram-LM surprisal score per document (the CCNet-style
-  perplexity-proxy quality signal — low mean surprisal ⇒ fluent,
-  common-token text; high ⇒ rare-token soup) over ``documents``.
+- ``gapfill_locf_user_hours``: hypertable-style hourly gap-fill + LOCF
+  over ``events``;
+- ``unigram_surprisal_quality``: CCNet-style unigram-LM perplexity-proxy
+  document scoring;
+- ``pack_training_sequences`` / ``token_window_chunks``: sample packing
+  with document span maps; overlapping token windows for RAG indexing;
+- ``tfidf_cosine_pairs``: sparse text cosine via shared-term join;
+- ``bm25_topk_keywords`` / ``bm25_topk_per_query``: Okapi BM25 lexical
+  retrieval — single query and whole-query-table forms;
+- ``containment_pairs_docs``: asymmetric shingle containment
+  (excerpt/quote detection);
+- ``hybrid_rrf_topk``: reciprocal-rank fusion of the BM25 and
+  embedding-cosine arms.
 
 Reference parity note: the reference (openmsistream) has no analytics
 surface of its own — these extend the engine's curation/analytics layer

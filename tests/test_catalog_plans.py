@@ -20,6 +20,10 @@ PYTHON_ALLOWED = {
     "cosine_topk_lsh",
     "cosine_topk_sq8",
     "ann_ivf_topk",
+    # embeds cosine_topk as its vector arm -> inherits that op's
+    # sanctioned two-phase top-k Arrow stage (the BM25 arm and the
+    # fusion itself are pure JVM)
+    "hybrid_rrf_topk",
 }
 
 
