@@ -44,7 +44,14 @@ from .similarity import (
     write_ivf_index,
 )
 from .containment import containment_pairs
-from .retrieval import bm25_scores, bm25_topk, bm25_topk_per_query, rrf_fuse
+from .retrieval import (
+    bm25_scores,
+    bm25_search_index,
+    bm25_topk,
+    bm25_topk_per_query,
+    rrf_fuse,
+    write_text_index,
+)
 from .tfidf import tfidf_cosine_pairs, tfidf_terms
 from .textstats import (
     doc_fingerprint,
@@ -99,4 +106,6 @@ __all__ = [
     "bm25_topk_per_query",
     "containment_pairs",
     "rrf_fuse",
+    "write_text_index",
+    "bm25_search_index",
 ]

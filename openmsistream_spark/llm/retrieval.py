@@ -282,3 +282,117 @@ def rrf_fuse(
     if topk is not None:
         fused = fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(topk)
     return fused
+
+
+N_TERM_BUCKETS = 64
+
+
+def _term_bucket_py(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
+    """Python twin of the build-side bucket expression (crc32 % B) —
+    lets the query path push a LITERAL partition predicate, so pruning
+    is static (no subquery needed)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def write_text_index(
+    docs: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> None:
+    """Materialize an inverted text index as TERM-BUCKET-PARTITIONED
+    parquet — the lexical analogue of ``write_ivf_index``: what makes
+    BM25 an actual index at 100 TB rather than a per-query corpus scan.
+
+    Layout:
+
+    - ``{path}/postings/bucket=B/``: (term, id, tf, dl) — the document
+      length is DENORMALIZED onto every posting (8 bytes/row) so the
+      query path needs no join against a corpus-sized doclens table;
+      ``bucket = crc32(term) % n_buckets`` (crc32 is identical in
+      Python's zlib, so the query side computes its buckets locally).
+    - ``{path}/stats/``: one row (n, avgdl) — frozen at build time.
+
+    Per-term document frequencies are NOT stored: the query has already
+    read exactly its terms' postings, so df is a count over rows in
+    hand. That also means appended postings change df/tf automatically;
+    only n/avgdl live in stats, so after heavy appends rebuild stats (or
+    the index) to keep scores calibrated — same contract as any
+    IVF/centroid refresh.
+
+    Deterministic; re-running a failed build converges under
+    mode='overwrite'.
+    """
+    toks = _tokens(docs, id_col, text_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    postings = (
+        tf.join(dl, id_col)
+        .withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
+    )
+    postings.write.mode(mode).partitionBy("bucket").parquet(f"{path}/postings")
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    stats.write.mode(mode).parquet(f"{path}/stats")
+
+
+def bm25_search_index(
+    spark,
+    path: str,
+    query_terms: "Sequence[str]",
+    k: int = 25,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k against a ``write_text_index`` on-disk index.
+
+    I/O scales with the query, not the corpus: the postings scan carries
+    a LITERAL partition predicate (the query terms' crc32 buckets,
+    computed driver-side by the same formula the build used), so only
+    those bucket directories are listed and read (``PartitionFilters``
+    in the scan — asserted by test), and the term equality filter
+    reaches the parquet row groups as a pushed filter. Everything after
+    the scan is query-sized: df is a count over the rows in hand, the
+    (n, avgdl) stats row rides a broadcast, and the top-k is
+    TakeOrdered.
+
+    Scores are IDENTICAL to ``bm25_topk`` run directly on the corpus
+    the index was built from (same formula, same decimal rounding) —
+    asserted by test.
+    """
+    if not query_terms:
+        raise ValueError("bm25_search_index needs at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    per_term = F.round(idf * (F.col("tf") * (k1 + 1)) / denom, 6)
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), per_term.alias("_s"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("_s").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("bm25")
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)

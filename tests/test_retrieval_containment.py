@@ -281,3 +281,88 @@ def test_rrf_fuse_rejects_empty(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+# --- on-disk inverted text index -------------------------------------
+
+def test_text_index_search_matches_direct_bm25(spark, tmp_path):
+    """Index-backed search must return byte-identical scores to the
+    direct corpus scan (same formula, same decimal rounding)."""
+    from openmsistream_spark.llm.retrieval import (
+        bm25_search_index,
+        write_text_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "tix")
+    write_text_index(docs, idx)
+    terms = ["spark", "vector", "merge"]
+    direct = [(r.doc_id, r.bm25) for r in bm25_topk(docs, terms, k=15).collect()]
+    via_index = [
+        (r.doc_id, r.bm25)
+        for r in bm25_search_index(spark, idx, terms, k=15).collect()
+    ]
+    assert via_index == direct
+
+
+def test_text_index_scan_prunes_partitions(spark, tmp_path):
+    """The postings scan must carry the bucket partition predicate
+    (static pruning: only the query terms' bucket dirs are read) and
+    push the term filter to parquet."""
+    from openmsistream_spark.llm.retrieval import (
+        _term_bucket_py,
+        bm25_search_index,
+        write_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "tix")
+    write_text_index(docs, idx)
+    df = bm25_search_index(spark, idx, ["alpha"], k=5)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    b = _term_bucket_py("alpha")
+    assert f"bucket#" in plan and "PartitionFilters" in plan, plan
+    # the literal bucket id appears inside the partition filter clause
+    pf = plan[plan.index("PartitionFilters"):]
+    assert str(b) in pf.split("PushedFilters")[0], plan
+    # term equality reaches the row groups
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters", 1)[1][:200], plan
+
+
+def test_text_index_append_updates_tf_df(spark, tmp_path):
+    """Appended postings participate in tf/df immediately (stats stay
+    frozen by contract)."""
+    from openmsistream_spark.llm.retrieval import (
+        bm25_search_index,
+        write_text_index,
+    )
+
+    d0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "tix")
+    write_text_index(d0, idx)
+    before = {r.doc_id for r in bm25_search_index(spark, idx, ["alpha"]).collect()}
+    assert before == {1}
+    d1 = spark.createDataFrame([(9, "alpha alpha")], "doc_id long, text string")
+    # append only the postings (stats frozen)
+    from openmsistream_spark.llm.retrieval import _tokens
+    from pyspark.sql import functions as F
+
+    toks = _tokens(d1, "doc_id", "text")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    (
+        tf.join(dl, "doc_id")
+        .withColumn("bucket", F.crc32(F.col("term")) % 64)
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{idx}/postings")
+    )
+    after = {r.doc_id for r in bm25_search_index(spark, idx, ["alpha"]).collect()}
+    assert after == {1, 9}
