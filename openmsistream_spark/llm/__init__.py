@@ -45,6 +45,7 @@ from .similarity import (
 )
 from .containment import containment_pairs
 from .retrieval import (
+    bm25_prf_expand,
     bm25_scores,
     bm25_search_index,
     bm25_topk,
@@ -108,4 +109,5 @@ __all__ = [
     "rrf_fuse",
     "write_text_index",
     "bm25_search_index",
+    "bm25_prf_expand",
 ]

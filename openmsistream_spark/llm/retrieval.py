@@ -396,3 +396,64 @@ def bm25_search_index(
         )
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def bm25_prf_expand(
+    docs: DataFrame,
+    query_terms: "Sequence[str]",
+    n_feedback_docs: int = 10,
+    n_expand_terms: int = 5,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "tuple[list[str], DataFrame]":
+    """Pseudo-relevance-feedback query expansion (the RM3/Rocchio
+    shape): run BM25, treat the top ``n_feedback_docs`` as relevant,
+    mine their ``n_expand_terms`` highest-TF-IDF terms (weighted against
+    the WHOLE corpus's document frequencies, so feedback-doc stopwords
+    don't win), append them to the query, and rescore.
+
+    The only driver-side materialization is the expansion term list
+    itself — bounded at ``n_expand_terms`` (the same contract as
+    ``cosine_topk``'s query-id list); feedback-doc term mining runs as a
+    semi join of the corpus token stream against the top-k id set.
+
+    Returns (expanded_terms, rescored) where ``expanded_terms`` is the
+    original query plus the mined terms (original order first, mined by
+    descending weight) and ``rescored`` is ``bm25_scores`` over the
+    expanded query. Deterministic: term mining breaks weight ties by
+    term string.
+    """
+    base = [t.lower() for t in query_terms]
+    top = bm25_topk(
+        docs, base, k=n_feedback_docs, k1=k1, b=b,
+        id_col=id_col, text_col=text_col,
+    ).select(id_col)
+    toks = _tokens(docs, id_col, text_col)
+    # corpus-wide df (Zipf-bounded vocab aggregate); feedback tf via a
+    # semi join against the bounded top-k id set
+    cdf = toks.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("_n"))
+    fb_tf = (
+        toks.join(top, id_col, "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    mined = (
+        fb_tf.filter(~F.col("term").isin(base))
+        .join(cdf, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(
+                F.col("tf") * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1), 6
+            ).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(n_expand_terms)
+    )
+    expanded = base + [r.term for r in mined.collect()]
+    return expanded, bm25_scores(
+        docs, expanded, k1=k1, b=b, id_col=id_col, text_col=text_col
+    )

@@ -366,3 +366,42 @@ def test_text_index_append_updates_tf_df(spark, tmp_path):
     )
     after = {r.doc_id for r in bm25_search_index(spark, idx, ["alpha"]).collect()}
     assert after == {1, 9}
+
+
+# --- pseudo-relevance-feedback expansion -----------------------------
+
+def test_prf_expansion_terms_and_rescore(spark):
+    from openmsistream_spark.llm.retrieval import bm25_prf_expand
+
+    corpus = [
+        (1, "spark shuffle executor spark"),
+        (2, "spark shuffle partition"),
+        (3, "spark executor partition shuffle"),
+        (4, "cooking recipes and garlic"),
+        (5, "garlic bread recipes"),
+    ]
+    sdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    expanded, rescored = bm25_prf_expand(
+        sdf, ["spark"], n_feedback_docs=3, n_expand_terms=2
+    )
+    # original query leads; mined terms come from the feedback docs'
+    # vocabulary, never the cooking cluster, never the original term
+    assert expanded[0] == "spark" and len(expanded) == 3
+    assert set(expanded[1:]) <= {"shuffle", "executor", "partition"}
+    got = {r.doc_id: r.bm25 for r in rescored.collect()}
+    # expansion can only add matching docs from the feedback cluster
+    assert set(got) == {1, 2, 3}
+    # rescored equals a direct query with the same expanded terms
+    direct = {r.doc_id: r.bm25 for r in bm25_scores(sdf, expanded).collect()}
+    assert got == direct
+
+
+def test_prf_expansion_deterministic(spark):
+    from openmsistream_spark.llm.retrieval import bm25_prf_expand
+
+    sdf = spark.createDataFrame(
+        [(1, "a b c"), (2, "a c d"), (3, "a d e")], "doc_id long, text string"
+    )
+    e1, _ = bm25_prf_expand(sdf, ["a"], n_feedback_docs=2, n_expand_terms=2)
+    e2, _ = bm25_prf_expand(sdf, ["a"], n_feedback_docs=2, n_expand_terms=2)
+    assert e1 == e2
