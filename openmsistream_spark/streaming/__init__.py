@@ -2,11 +2,13 @@ from .assembly import streaming_assemble, tws_available
 from .curation import curate_document_stream, curation_sink
 from .sinks import reconstruction_sink, write_reconstructed_files
 from .sources import file_chunk_stream, kafka_chunk_stream
+from .text_index import text_index_sink
 from .timeseries import gapfill_locf_stream, sessionize_stream
 
 __all__ = [
     "gapfill_locf_stream",
     "sessionize_stream",
+    "text_index_sink",
     "streaming_assemble",
     "tws_available",
     "curate_document_stream",
