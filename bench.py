@@ -71,6 +71,8 @@ HEADLINE = [
     "bm25_topk_per_query",
     "containment_pairs_docs",
     "hybrid_rrf_topk",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
 ]
 
 

@@ -1,4 +1,5 @@
 from .chunking import chunk_files, chunk_binary_column
+from .funnels import cohort_retention, funnel_steps
 from .assembly import (
     dedup_chunks,
     pick_latest_generation,
@@ -11,4 +12,6 @@ __all__ = [
     "dedup_chunks",
     "pick_latest_generation",
     "assemble_files",
+    "funnel_steps",
+    "cohort_retention",
 ]

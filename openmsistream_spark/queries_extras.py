@@ -658,3 +658,84 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([lex, vec], k=60, topk=20)
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM {EV}
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT events.user_id, min(events.ts) AS t2
+      FROM {EV} JOIN v ON events.user_id = v.user_id
+      WHERE events.event_type = 'click' AND events.ts > v.t1
+      GROUP BY events.user_id
+    ),
+    p AS (
+      SELECT events.user_id, min(events.ts) AS t3
+      FROM {EV} JOIN c ON events.user_id = c.user_id
+      WHERE events.event_type = 'purchase' AND events.ts > c.t2
+      GROUP BY events.user_id
+    )
+    SELECT v.user_id, v.t1 AS ts_view, c.t2 AS ts_click, p.t3 AS ts_purchase,
+           1 + CAST(c.t2 IS NOT NULL AS INT) + CAST(p.t3 IS NOT NULL AS INT)
+             AS depth
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    doc="strictly-ordered view->click->purchase funnel per user: cascade "
+    "of filtered min-aggregations joined on the user key — no per-user "
+    "event buffering, MATCH_RECOGNIZE-lite",
+    survey="event analytics: ordered funnel (operators/funnels.py)",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``operators.funnels.funnel_steps`` (see its
+    docstring: step k is one filtered min-agg over step-k events joined
+    to the step k-1 frontier — a user's cost is O(their step events),
+    independent of their total history)."""
+    from openmsistream_spark.operators.funnels import funnel_steps
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "cohort_retention_weekly",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+      FROM {EV} GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+      FROM {EV}
+    ),
+    joined AS (
+      SELECT a.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week, a.w) / 7.0) AS INT)
+               AS week_offset
+      FROM act a JOIN first f ON a.user_id = f.user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, count(*) AS n_cohort FROM first GROUP BY cohort_week
+    )
+    SELECT j.cohort_week, j.week_offset,
+           count(DISTINCT j.user_id) AS n_active, s.n_cohort,
+           round(count(DISTINCT j.user_id) / CAST(s.n_cohort AS DOUBLE), 4)
+             AS retention
+    FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
+    GROUP BY j.cohort_week, j.week_offset, s.n_cohort
+    """,
+    doc="weekly cohort retention matrix: first-activity cohorts x "
+    "week offsets, distinct-active counts against cohort size — the "
+    "growth-dashboard query, all map-side-combinable aggregates",
+    survey="event analytics: cohort retention (operators/funnels.py)",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``operators.funnels.cohort_retention``."""
+    from openmsistream_spark.operators.funnels import cohort_retention
+
+    ev = load(spark, sf_dir, "events")
+    return cohort_retention(ev)

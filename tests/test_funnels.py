@@ -1,0 +1,75 @@
+"""Funnel and cohort-retention semantics on hand-built event histories
+(the driver corpus is dense — every user completes everything — so the
+ordering/null edge cases live here)."""
+
+import datetime
+
+from openmsistream_spark.operators.funnels import cohort_retention, funnel_steps
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)  # a Monday
+
+
+def _ts(days=0, hours=0):
+    return T0 + datetime.timedelta(days=days, hours=hours)
+
+
+SCHEMA = "user_id long, ts timestamp, event_type string"
+
+
+def test_funnel_strict_ordering(spark):
+    events = [
+        # user 1: full ordered funnel
+        (1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(2), "purchase"),
+        # user 2: clicked BEFORE ever viewing -> click must not count;
+        # a later click does
+        (2, _ts(0), "click"), (2, _ts(1), "view"), (2, _ts(2), "click"),
+        # user 3: view only
+        (3, _ts(0), "view"),
+        # user 4: purchase before click -> depth stops at click
+        (4, _ts(0), "view"), (4, _ts(1), "purchase"), (4, _ts(2), "click"),
+        # user 5: never viewed -> absent entirely
+        (5, _ts(0), "click"), (5, _ts(1), "purchase"),
+    ]
+    sdf = spark.createDataFrame(events, SCHEMA)
+    rows = {
+        r.user_id: r for r in funnel_steps(sdf, ["view", "click", "purchase"]).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].depth == 3 and rows[1].ts_purchase == _ts(2)
+    assert rows[2].depth == 2 and rows[2].ts_click == _ts(2)  # pre-view click skipped
+    assert rows[3].depth == 1 and rows[3].ts_click is None
+    assert rows[4].depth == 2 and rows[4].ts_purchase is None  # purchase pre-click
+    # first-event semantics: user 1's view ts is the minimum view
+    assert rows[1].ts_view == _ts(0)
+
+
+def test_funnel_single_step_and_empty_steps(spark):
+    import pytest
+
+    sdf = spark.createDataFrame([(1, _ts(0), "view")], SCHEMA)
+    rows = funnel_steps(sdf, ["view"]).collect()
+    assert len(rows) == 1 and rows[0].depth == 1
+    with pytest.raises(ValueError):
+        funnel_steps(sdf, [])
+
+
+def test_cohort_retention_matrix(spark):
+    events = [
+        # cohort week 0: users 1, 2. user 1 active weeks 0,1,2; user 2 week 0 only
+        (1, _ts(0), "view"), (1, _ts(7), "view"), (1, _ts(14), "view"),
+        (2, _ts(1), "view"),
+        # cohort week 1: user 3, active weeks 1 and 2
+        (3, _ts(8), "view"), (3, _ts(15), "view"),
+    ]
+    sdf = spark.createDataFrame(events, SCHEMA)
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention(sdf).collect()
+    }
+    w0, w1 = _ts(0), _ts(7)
+    assert got[(w0, 0)] == (2, 2, 1.0)
+    assert got[(w0, 1)] == (1, 2, 0.5)
+    assert got[(w0, 2)] == (1, 2, 0.5)
+    assert got[(w1, 0)] == (1, 1, 1.0)
+    assert got[(w1, 1)] == (1, 1, 1.0)
+    assert len(got) == 5
