@@ -73,6 +73,7 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
+    "event_transition_counts",
 ]
 
 

@@ -1,5 +1,5 @@
 from .chunking import chunk_files, chunk_binary_column
-from .funnels import cohort_retention, funnel_steps
+from .funnels import cohort_retention, funnel_steps, transition_counts
 from .assembly import (
     dedup_chunks,
     pick_latest_generation,
@@ -14,4 +14,5 @@ __all__ = [
     "assemble_files",
     "funnel_steps",
     "cohort_retention",
+    "transition_counts",
 ]

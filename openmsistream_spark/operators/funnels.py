@@ -34,6 +34,7 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: "float | None" = None,
 ) -> DataFrame:
     """Strictly-ordered funnel: per user, the first ``steps[0]`` event,
     then the first ``steps[1]`` event strictly after it, and so on.
@@ -44,6 +45,11 @@ def funnel_steps(
     before the earlier step's first event does NOT count (strict
     ordering — re-ordering semantics match the SQL cascade an analyst
     would write, and the oracle mirrors it).
+
+    ``within_seconds`` adds the realistic conversion-window variant:
+    every later step must occur within that many seconds of the user's
+    step-1 event (an extra predicate on each cascade stage — plan shape
+    unchanged).
 
     Scale shape: step k is one filtered min-aggregation over that
     step's events joined (user-key equi-join, AQE-broadcast when the
@@ -61,13 +67,18 @@ def funnel_steps(
     for i, step in enumerate(steps[1:], start=2):
         prev = ts_cols[-1]
         cur = f"_t{i}"
+        probe = frontier.select(user_col, F.col("_t1"), F.col(prev))
         nxt = (
             events.filter(F.col(type_col) == step)
-            .join(frontier.select(user_col, F.col(prev)), user_col)
+            .join(probe, user_col)
             .filter(F.col(ts_col) > F.col(prev))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(cur))
         )
+        if within_seconds is not None:
+            nxt = nxt.filter(
+                F.col(ts_col).cast("double")
+                <= F.col("_t1").cast("double") + float(within_seconds)
+            )
+        nxt = nxt.groupBy(user_col).agg(F.min(ts_col).alias(cur))
         frontier = frontier.join(nxt.select(user_col, cur), user_col, "left")
         ts_cols.append(cur)
     depth = F.lit(1)
@@ -121,4 +132,39 @@ def cohort_retention(
                 F.col("n_active") / F.col("n_cohort").cast("double"), 4
             ).alias("retention"),
         )
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """Event-transition (first-order Markov) counts: how often each
+    event type is immediately followed by each other type within a
+    user's timeline — the path-analysis aggregate behind "what happens
+    after X" dashboards and next-event models.
+
+    One lead() window per user ordered by (ts, tiebreak) — the
+    deterministic total order an oracle reproduces — then a
+    map-side-combinable (from, to) count. The window shuffles by the
+    user key; within a task, state is one row of lookahead (lead), so
+    long histories stream rather than buffer.
+
+    Returns (from_type, to_type, n_transitions).
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*order)
+    seq = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
     )

@@ -739,3 +739,31 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return cohort_retention(ev)
+
+
+@query(
+    "event_transition_counts",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM {EV}
+    )
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    doc="first-order Markov transition counts between event types per "
+    "user timeline (path analysis / next-event modeling): one lead() "
+    "window keyed by user, then a map-side-combinable pair count",
+    survey="event analytics: transition matrix (operators/funnels.py)",
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``operators.funnels.transition_counts`` — the
+    (ts, event_id) order is a deterministic total order, so the oracle
+    reproduces the exact lead() pairing."""
+    from openmsistream_spark.operators.funnels import transition_counts
+
+    ev = load(spark, sf_dir, "events")
+    return transition_counts(ev)

@@ -73,3 +73,47 @@ def test_cohort_retention_matrix(spark):
     assert got[(w1, 0)] == (1, 1, 1.0)
     assert got[(w1, 1)] == (1, 1, 1.0)
     assert len(got) == 5
+
+
+def test_funnel_conversion_window(spark):
+    """within_seconds bounds every later step against the user's
+    step-1 time."""
+    events = [
+        (1, _ts(0), "view"), (1, _ts(0, 1), "click"), (1, _ts(0, 2), "purchase"),
+        # user 2 clicks 3 days after viewing — outside a 1-day window
+        (2, _ts(0), "view"), (2, _ts(3), "click"),
+    ]
+    sdf = spark.createDataFrame(events, SCHEMA)
+    rows = {
+        r.user_id: r
+        for r in funnel_steps(
+            sdf, ["view", "click", "purchase"], within_seconds=86400.0
+        ).collect()
+    }
+    assert rows[1].depth == 3
+    assert rows[2].depth == 1 and rows[2].ts_click is None
+    # unconstrained: user 2's late click counts
+    free = {
+        r.user_id: r.depth
+        for r in funnel_steps(sdf, ["view", "click", "purchase"]).collect()
+    }
+    assert free[2] == 2
+
+
+def test_transition_counts_deterministic_pairs(spark):
+    from openmsistream_spark.operators.funnels import transition_counts
+
+    events = [
+        (1, 10, _ts(0), "view"), (1, 11, _ts(1), "click"), (1, 12, _ts(2), "view"),
+        (2, 20, _ts(0), "view"), (2, 21, _ts(1), "click"),
+        # identical ts -> event_id breaks the tie (30 before 31)
+        (3, 30, _ts(0), "view"), (3, 31, _ts(0), "click"),
+    ]
+    sdf = spark.createDataFrame(
+        events, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in transition_counts(sdf).collect()
+    }
+    assert got == {("view", "click"): 3, ("click", "view"): 1}
