@@ -98,8 +98,13 @@ def bm25_scores(
         ],
     )
     # unpivot the fixed term columns back to (id, dl, tf, df) rows; docs
-    # with tf 0 for a term contribute nothing (filtered before scoring)
-    stack_expr = ", ".join(f"'{t}', _tf{i}" for i, t in enumerate(terms))
+    # with tf 0 for a term contribute nothing (filtered before scoring).
+    # terms are embedded as SQL string literals — escape them (a query
+    # term containing a quote/backslash must not break the expression)
+    def _lit(t: str) -> str:
+        return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    stack_expr = ", ".join(f"{_lit(t)}, _tf{i}" for i, t in enumerate(terms))
     long = (
         per_doc.crossJoin(F.broadcast(stats))
         .selectExpr(

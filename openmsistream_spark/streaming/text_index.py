@@ -3,7 +3,10 @@
 on-disk BM25 index fresh, micro-batch by micro-batch, with the same
 exactly-once contract as the curation sink (streaming/curation.py).
 
-Layout produced (a superset of the static build's):
+Layout produced (NOT interchangeable with a static
+``write_text_index`` build at the same path — the extra ``ingest=``
+partition level means one index directory must be either fully static
+or fully streamed; Spark's partition discovery rejects mixed depths):
 
 - ``{path}/postings/ingest=<batch_id>/bucket=B/``: each micro-batch
   owns its ``ingest=`` partition and OVERWRITES it on replay, so a

@@ -405,3 +405,14 @@ def test_prf_expansion_deterministic(spark):
     e1, _ = bm25_prf_expand(sdf, ["a"], n_feedback_docs=2, n_expand_terms=2)
     e2, _ = bm25_prf_expand(sdf, ["a"], n_feedback_docs=2, n_expand_terms=2)
     assert e1 == e2
+
+
+def test_bm25_terms_with_quotes_do_not_break_expression(spark):
+    """Query terms are embedded as SQL literals in the stack() unpivot —
+    quotes/backslashes must be escaped, not crash or inject."""
+    sdf = spark.createDataFrame(
+        [(1, "it's o'clock somewhere"), (2, "plain words here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_scores(sdf, ["it's", "o'clock"]).collect()}
+    assert set(got) == {1} and got[1] > 0
