@@ -67,7 +67,8 @@ def funnel_steps(
     for i, step in enumerate(steps[1:], start=2):
         prev = ts_cols[-1]
         cur = f"_t{i}"
-        probe = frontier.select(user_col, F.col("_t1"), F.col(prev))
+        probe_cols = [user_col, "_t1"] + ([prev] if prev != "_t1" else [])
+        probe = frontier.select(*[F.col(c) for c in probe_cols])
         nxt = (
             events.filter(F.col(type_col) == step)
             .join(probe, user_col)
