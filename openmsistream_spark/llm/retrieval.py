@@ -301,6 +301,27 @@ def _term_bucket_py(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+def _build_postings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared postings construction for the static build AND the
+    streaming sink (streaming/text_index.py): score parity between the
+    two index layouts requires bit-identical tokenization, tf/dl
+    derivation, and the crc32 bucket formula — keeping them in one
+    place is what enforces it. Returns (postings, dl)."""
+    toks = _tokens(docs, id_col, text_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    postings = (
+        tf.join(dl, id_col)
+        .withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
+    )
+    return postings, dl
+
+
 def write_text_index(
     docs: DataFrame,
     path: str,
@@ -329,22 +350,33 @@ def write_text_index(
     the index) to keep scores calibrated — same contract as any
     IVF/centroid refresh.
 
+    ``mode`` applies to the POSTINGS write only; the one-row stats
+    frame is always overwritten whole (a multi-row stats table would
+    silently multiply every search score through the broadcast cross
+    join) — after a mode='append' postings load, the frozen n/avgdl are
+    those of the final call's input, so rebuild stats from the full
+    corpus (or rebuild the index) to keep scores calibrated.
+
     Deterministic; re-running a failed build converges under
     mode='overwrite'.
     """
-    toks = _tokens(docs, id_col, text_col)
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    postings = (
-        tf.join(dl, id_col)
-        .withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
-    )
-    postings.write.mode(mode).partitionBy("bucket").parquet(f"{path}/postings")
-    stats = dl.agg(
-        F.count("*").alias("n"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    stats.write.mode(mode).parquet(f"{path}/stats")
+    from pyspark import StorageLevel
+
+    postings, dl = _build_postings(docs, id_col, text_col, n_buckets)
+    # dl feeds two actions (the postings write and the stats aggregate);
+    # uncached, the second action re-tokenizes the whole corpus
+    dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        postings.write.mode(mode).partitionBy("bucket").parquet(
+            f"{path}/postings"
+        )
+        stats = dl.agg(
+            F.count("*").alias("n"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+        stats.write.mode("overwrite").parquet(f"{path}/stats")
+    finally:
+        dl.unpersist()
 
 
 def bm25_search_index(

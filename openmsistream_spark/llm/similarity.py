@@ -618,10 +618,21 @@ def recall_at_k(
     ``F.avg("recall")`` for the corpus-level figure.
     """
     if k is not None:
-        if "rank" in exact.columns:
-            exact = exact.filter(F.col("rank") <= k)
-        if "rank" in approx.columns:
-            approx = approx.filter(F.col("rank") <= k)
+        # a one-sided trim silently inflates recall (hits counted
+        # against an untrimmed candidate set) — demand rank on BOTH
+        missing = [
+            side
+            for side, df_ in (("exact", exact), ("approx", approx))
+            if "rank" not in df_.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"recall_at_k(k={k}) needs a 'rank' column on both "
+                f"inputs to trim; missing on: {', '.join(missing)} "
+                "(pass k=None to compare the frames as given)"
+            )
+        exact = exact.filter(F.col("rank") <= k)
+        approx = approx.filter(F.col("rank") <= k)
     e = exact.select("query_id", "neighbor_id")
     a = approx.select("query_id", "neighbor_id")
     n_exact = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .queries import load, query
+from .queries import _SHINGLE_CTE, load, query
 
 
 @query(
@@ -448,23 +448,9 @@ def bm25_topk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "containment_pairs_docs",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                         x -> x <> '') AS ws
-      FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest(CASE WHEN len(ws) >= 3
-                      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                            for i in range(1, len(ws)-1)]
-                      ELSE [] END) AS shingle
-        FROM toks) t
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    _SHINGLE_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..llm.retrieval import N_TERM_BUCKETS, _tokens
+from ..llm.retrieval import N_TERM_BUCKETS, _build_postings
 
 
 def text_index_sink(
@@ -56,30 +56,37 @@ def text_index_sink(
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        toks = _tokens(batch_df, id_col, text_col)
-        tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-        postings = (
-            tf.join(dl, id_col)
-            .withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
-        )
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{path}/postings/ingest={batch_id}"
-        )
-        spark = batch_df.sparkSession
-        batch_stats = dl.agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-        ).select(
-            F.lit(int(batch_id)).alias("ingest"), "n_docs", "sum_dl"
-        )
-        stats_registry.upsert(batch_stats)
+        from pyspark import StorageLevel
+
+        from ..operators.registry import ParquetRegistry
+
+        postings, dl = _build_postings(batch_df, id_col, text_col, n_buckets)
+        # dl feeds the postings write AND the ledger row — cache it so
+        # the batch is tokenized once, not twice
+        dl = dl.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            postings.write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{path}/postings/ingest={batch_id}"
+            )
+            spark = batch_df.sparkSession
+            batch_stats = dl.agg(
+                F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+            ).select(
+                F.lit(int(batch_id)).alias("ingest"), "n_docs", "sum_dl"
+            )
+            stats_registry.upsert(batch_stats)
+        finally:
+            dl.unpersist()
         ledger = stats_registry.read()
         stats = ledger.agg(
             F.sum("n_docs").alias("n"),
             (F.sum("sum_dl").cast("double") / F.sum("n_docs")).alias("avgdl"),
         )
-        # one tiny row; plain overwrite is atomic enough for a reader
-        # that re-lists (search opens stats fresh per query)
-        stats.write.mode("overwrite").parquet(f"{path}/stats")
+        # swap the one-row stats frame in via the registry's staged
+        # atomic rename — a plain overwrite deletes the directory before
+        # committing, so a concurrent bm25_search_index opening stats in
+        # that window would crash (serving-while-refreshing is the whole
+        # point of this sink)
+        ParquetRegistry(spark, f"{path}/stats", [])._overwrite(stats)
 
     return curated.writeStream.foreachBatch(_write).outputMode("append")

@@ -189,3 +189,17 @@ def test_recall_at_k_trims_to_k(spark, emb):
     assert {(r.query_id, r.n_exact) for r in native} == {
         (r.query_id, r.n_exact) for r in rows
     }
+
+
+def test_recall_at_k_requires_rank_on_both_sides(spark, emb):
+    import pytest
+
+    from openmsistream_spark.llm.similarity import recall_at_k
+
+    brute = cosine_topk(emb, [10], k=5)
+    no_rank = brute.select("query_id", "neighbor_id")
+    with pytest.raises(ValueError, match="rank"):
+        recall_at_k(brute, no_rank, k=3)
+    # without k the frames are compared as given — no rank needed
+    rows = recall_at_k(no_rank, no_rank).collect()
+    assert rows and all(r.recall == 1.0 for r in rows)
