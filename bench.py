@@ -74,6 +74,7 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
     "event_transition_counts",
+    "sliding_window_event_counts",
 ]
 
 

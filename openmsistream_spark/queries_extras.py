@@ -25,7 +25,12 @@ LLM-pipeline surface, each oracle-paired:
 - ``containment_pairs_docs``: asymmetric shingle containment
   (excerpt/quote detection);
 - ``hybrid_rrf_topk``: reciprocal-rank fusion of the BM25 and
-  embedding-cosine arms.
+  embedding-cosine arms;
+- ``funnel_view_click_purchase`` / ``cohort_retention_weekly`` /
+  ``event_transition_counts``: ordered funnels, weekly retention
+  matrices, and first-order transition counts (operators/funnels.py);
+- ``sliding_window_event_counts``: overlapping 1 h/30 min windows — the
+  sliding twin of ``hourly_event_counts``.
 
 Reference parity note: the reference (openmsistream) has no analytics
 surface of its own — these extend the engine's curation/analytics layer
@@ -753,3 +758,56 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return transition_counts(ev)
+
+
+@query(
+    "sliding_window_event_counts",
+    """
+    WITH floored AS (
+      SELECT event_type, value,
+             date_trunc('hour', ts) +
+               CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                    ELSE INTERVAL 0 MINUTE END AS s1
+      FROM {EV}
+    ),
+    starts AS (
+      SELECT event_type, value,
+             unnest([s1, s1 - INTERVAL 30 MINUTE]) AS window_start
+      FROM floored
+    )
+    SELECT window_start, event_type, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS value_sum
+    FROM starts GROUP BY 1, 2
+    """,
+    doc="1-hour windows sliding every 30 min, counts + decimal-exact "
+    "value sums per (window, event_type): the overlapping-window "
+    "aggregate (each event fans out to exactly window/slide rows, "
+    "map-side-combinable) — the sliding twin of hourly_event_counts",
+    survey="A8 heartbeats: sliding-window variant (F.window slideDuration)",
+)
+def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping windows via ``F.window(ts, '1 hour', '30 minutes')``
+    — the built-in expands each event to its windows before the
+    aggregate, so the plan is explode → map-side-combinable groupBy
+    (identical shape at any slide ratio); window starts align to the
+    epoch in the session's pinned UTC, which the oracle mirrors with a
+    30-minute floor."""
+    ev = load(spark, sf_dir, "events")
+    from .queries import dsum
+
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
