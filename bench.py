@@ -75,6 +75,7 @@ HEADLINE = [
     "cohort_retention_weekly",
     "event_transition_counts",
     "sliding_window_event_counts",
+    "weighted_sample_wor_docs",
 ]
 
 

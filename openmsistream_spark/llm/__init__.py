@@ -44,6 +44,7 @@ from .similarity import (
     write_ivf_index,
 )
 from .containment import containment_pairs
+from .sampling import weighted_sample_wor
 from .retrieval import (
     bm25_prf_expand,
     bm25_scores,
@@ -110,4 +111,5 @@ __all__ = [
     "write_text_index",
     "bm25_search_index",
     "bm25_prf_expand",
+    "weighted_sample_wor",
 ]

@@ -811,3 +811,33 @@ def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@query(
+    "weighted_sample_wor_docs",
+    """
+    SELECT doc_id, n_chars,
+           round(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT)
+                      + 0.5) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE), 6) AS sample_key
+    FROM documents
+    ORDER BY sample_key, doc_id LIMIT 100
+    """,
+    doc="deterministic weighted sample WITHOUT replacement (Efraimidis-"
+    "Spirakis keys from a hash-derived uniform, weight = n_chars): "
+    "top-k smallest keys via TakeOrdered, identical sample on any "
+    "engine/rerun/partitioning — the at-most-once companion of "
+    "mixture_sample_sources",
+    survey="LLM curation: weighted sampling w/o replacement "
+    "(llm/sampling.py)",
+)
+def weighted_sample_wor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.sampling.weighted_sample_wor`` (see its
+    docstring: hash-derived uniform -> exponential key -> bounded
+    TakeOrdered top-k; longer documents proportionally likelier, each
+    at most once)."""
+    from openmsistream_spark.llm.sampling import weighted_sample_wor
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_wor(docs, k=100, weight_col="n_chars")
