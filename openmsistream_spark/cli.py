@@ -359,5 +359,9 @@ def reproduce_dlq_main() -> int:
     return main(["reproduce-dlq", *sys.argv[1:]])
 
 
+def curate_corpus_main() -> int:
+    return main(["curate-corpus", *sys.argv[1:]])
+
+
 if __name__ == "__main__":
     sys.exit(main())
