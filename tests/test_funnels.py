@@ -117,3 +117,58 @@ def test_transition_counts_deterministic_pairs(spark):
         for r in transition_counts(sdf).collect()
     }
     assert got == {("view", "click"): 3, ("click", "view"): 1}
+
+
+# --- property-based parity with driver-side references ----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TYPES = ["view", "click", "purchase"]
+_event = st.tuples(
+    st.integers(min_value=1, max_value=4),       # user
+    st.integers(min_value=0, max_value=500),     # minutes offset (ties allowed)
+    st.sampled_from(_TYPES),
+)
+_stream = st.lists(_event, min_size=1, max_size=30)
+
+
+def _ref_funnel(events, steps):
+    """Strict-ordering reference: first step-1 ts, then first step-k
+    event strictly after step-(k-1)'s pick."""
+    by_user = {}
+    for u, m, t in events:
+        by_user.setdefault(u, []).append((m, t))
+    out = {}
+    for u, evs in by_user.items():
+        s1 = [m for m, t in evs if t == steps[0]]
+        if not s1:
+            continue
+        picks = [min(s1)]
+        for step in steps[1:]:
+            later = [m for m, t in evs if t == step and m > picks[-1]]
+            if not later:
+                break
+            picks.append(min(later))
+        out[u] = picks
+    return out
+
+
+@given(events=_stream)
+@settings(max_examples=20, deadline=None)
+def test_funnel_property_matches_reference(spark, events):
+    rows = [
+        (u, _ts(0, 0) + datetime.timedelta(minutes=m), t) for u, m, t in events
+    ]
+    sdf = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r.user_id: [
+            x for x in (r.ts_view, r.ts_click, r.ts_purchase) if x is not None
+        ]
+        for r in funnel_steps(sdf, ["view", "click", "purchase"]).collect()
+    }
+    ref = {
+        u: [_ts(0, 0) + datetime.timedelta(minutes=m) for m in picks]
+        for u, picks in _ref_funnel(events, ["view", "click", "purchase"]).items()
+    }
+    assert got == ref

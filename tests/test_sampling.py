@@ -58,3 +58,29 @@ def test_take_ordered_plan(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# --- property-based parity ------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_weights = st.lists(
+    st.floats(min_value=0.1, max_value=50.0, allow_nan=False),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(ws=_weights, k=st.integers(min_value=1, max_value=10))
+@settings(max_examples=20, deadline=None)
+def test_wor_property_matches_reference(spark, ws, k):
+    rows = [(i, float(w)) for i, w in enumerate(ws)]
+    sdf = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        (r.doc_id, r.sample_key)
+        for r in weighted_sample_wor(sdf, k=k, weight_col="w").collect()
+    ]
+    keys = _ref_keys([i for i, _ in rows], dict(rows))
+    want = sorted(keys.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    assert got == want
