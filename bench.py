@@ -76,6 +76,10 @@ HEADLINE = [
     "event_transition_counts",
     "sliding_window_event_counts",
     "weighted_sample_wor_docs",
+    "zscore_anomaly_events",
+    "interarrival_stats_user",
+    "key_skew_profile",
+    "ensemble_neardup_pairs",
 ]
 
 

@@ -841,3 +841,233 @@ def weighted_sample_wor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample_wor(docs, k=100, weight_col="n_chars")
+
+
+# --------------------------------------------------------------------------
+# Operational analytics: anomaly scoring, inter-arrival profiles, skew
+# diagnostics (the observability queries a pipeline operator runs over the
+# heartbeat/event stream the reference accumulates in its controlled-
+# process counters, controlled_process.py heartbeat counters)
+# --------------------------------------------------------------------------
+
+# Deterministic moment math shared by the z-score query and its oracle:
+# decimal-exact sums (order-independent on any partitioning) rounded to a
+# fixed scale, THEN double arithmetic — both engines see bit-identical
+# inputs and IEEE ops, so the scores hash-match without tolerance.
+_ZSCORE_ORACLE = """
+    WITH s AS (
+      SELECT user_id,
+             count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(30,8))), 8) AS DOUBLE) AS s1,
+             CAST(round(sum(CAST(value * value AS DECIMAL(38,12))), 12) AS DOUBLE) AS s2
+      FROM {EV} GROUP BY user_id
+    ),
+    st AS (
+      SELECT user_id, n, s1 / n AS mu,
+             sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+      FROM s WHERE n >= 5
+    )
+    SELECT events.event_id, events.user_id, events.value,
+           round((events.value - st.mu) / st.sd, 3) AS zscore
+    FROM {EV} JOIN st ON events.user_id = st.user_id
+    WHERE st.sd > 0 AND abs((events.value - st.mu) / st.sd) > 3
+    """
+
+
+@query(
+    "zscore_anomaly_events",
+    _ZSCORE_ORACLE,
+    doc="per-user z-score anomaly scan over event values: decimal-exact "
+    "moment sums -> double mean/stddev -> flag |z| > 3. Two-phase shape "
+    "(map-side-combinable groupBy for the moments, then a join back) "
+    "rather than a full-partition window: the stats side is one row per "
+    "user, so AQE broadcasts it and the event stream is never sorted",
+    survey="A8 heartbeat analytics: anomaly detection over counters",
+)
+def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier events per user. Moments accumulate in decimal (exact,
+    order-independent) and round to a fixed scale before the double
+    mean/variance math, so the result is identical on any partitioning
+    and hash-matches the DuckDB oracle bit-for-bit; variance uses the
+    sum-of-squares identity clamped at 0 (greatest) against the
+    catastrophic-cancellation negatives near var=0."""
+    ev = load(spark, sf_dir, "events")
+    stats = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")), 8)
+            .cast("double")
+            .alias("s1"),
+            F.round(
+                F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)")), 12
+            )
+            .cast("double")
+            .alias("s2"),
+        )
+        .filter(F.col("n") >= 5)
+        .select(
+            "user_id",
+            (F.col("s1") / F.col("n")).alias("mu"),
+            F.sqrt(
+                F.greatest(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                    / (F.col("n") - 1),
+                    F.lit(0.0),
+                )
+            ).alias("sd"),
+        )
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("sd") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id", "user_id", "value", F.round(z, 3).alias("zscore")
+        )
+    )
+
+
+@query(
+    "interarrival_stats_user",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM {EV}
+    )
+    SELECT user_id,
+           count(*) + 1 AS n_events,
+           round(min(gap_us) / 1000000.0, 6) AS min_gap_s,
+           round(max(gap_us) / 1000000.0, 6) AS max_gap_s,
+           round(sum(gap_us) / count(*) / 1000000.0, 6) AS avg_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="per-user inter-event arrival statistics: lag over (ts, event_id) "
+    "-> integer-microsecond gaps -> min/max/mean seconds. The cadence "
+    "profile behind debounce thresholds (S2) and heartbeat-interval "
+    "tuning; exact bigint gap sums, so deterministic on any engine",
+    survey="S2 debounce tuning / A8 heartbeat cadence analytics",
+)
+def interarrival_stats_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle by user_id (the lag window's partitioning) feeding a
+    partial-aggregable groupBy on the SAME key — Spark reuses the
+    window's hash partitioning for the aggregate, so the second
+    exchange disappears from the plan. Gaps are exact bigint
+    microseconds; only the final /1e6 is float."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+        "gap_us"
+    )
+    return (
+        ev.select("user_id", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.count("*") + F.lit(1)).alias("n_events"),
+            F.round(F.min("gap_us") / 1e6, 6).alias("min_gap_s"),
+            F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+            F.round(F.sum("gap_us") / F.count("*") / 1e6, 6).alias("avg_gap_s"),
+        )
+    )
+
+
+@query(
+    "key_skew_profile",
+    """
+    WITH per_key_user AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM {EV} GROUP BY 1, 2
+    )
+    SELECT event_type,
+           sum(cnt) AS n_events,
+           count(*) AS n_users,
+           round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_user_share,
+           round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 4)
+             AS skew_factor
+    FROM per_key_user GROUP BY event_type
+    """,
+    doc="shuffle-key skew diagnostic per event_type: row count, distinct "
+    "users, the heaviest user's share, and skew factor (max/mean per-user "
+    "load — 1.0 = uniform). The profile that decides WHERE salting "
+    "(salted_skew_aggregate) or AQE skew-join handling is worth applying; "
+    "two-level aggregation, both levels map-side-combinable, no windows",
+    survey="scale diagnostics: partition-skew profiling for salting/AQE",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two cascaded combinable aggregates — (type, user) then (type) — so
+    the wide stream collapses before any single-key concentration can
+    hot-spot a reducer; the exact shape a 100 TB skew audit needs (the
+    alternative, count_distinct + a max-over-window, sorts per key)."""
+    ev = load(spark, sf_dir, "events")
+    per_key_user = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    return per_key_user.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count("*").alias("n_users"),
+        F.round(F.max("cnt") / F.sum("cnt").cast("double"), 4).alias(
+            "top_user_share"
+        ),
+        F.round(
+            F.max("cnt") * F.count("*") / F.sum("cnt").cast("double"), 4
+        ).alias("skew_factor"),
+    )
+
+
+# Merge the two near-dup fingerprint chains into ONE WITH chain: the LSH
+# CTE ends open (", name AS (...)" appendable) and the simhash CTE's
+# leading WITH becomes a continuation. Name-disjoint by construction
+# (toks/sh/sig/bands/cand/sizes/inter/lsh_scored vs tok/tc/votes/sh32).
+from .queries import LSH_SCORED_CTE, SIMHASH32_CTE  # noqa: E402
+
+_ENSEMBLE_ORACLE = (
+    LSH_SCORED_CTE
+    + SIMHASH32_CTE.replace("WITH tok", ", tok", 1)
+    + """
+    , sbands AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS band_val
+      FROM sh32, generate_series(0, 3) b(band)
+    ),
+    sim_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(min(bit_count(xor(a.simhash, b.simhash))) AS BIGINT) AS hamming
+      FROM sbands a JOIN sbands b ON a.band = b.band AND a.band_val = b.band_val
+                                  AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING min(bit_count(xor(a.simhash, b.simhash))) <= 3
+    )
+    SELECT l.id_a, l.id_b, l.jaccard, s.hamming
+    FROM lsh_scored l JOIN sim_pairs s ON l.id_a = s.id_a AND l.id_b = s.id_b
+    WHERE l.jaccard >= 0.1
+    """
+)
+
+
+@query(
+    "ensemble_neardup_pairs",
+    _ENSEMBLE_ORACLE,
+    doc="ensemble near-dup: a pair must survive BOTH detectors — "
+    "MinHash-LSH (shingle Jaccard >= 0.1) AND banded SimHash (32-bit, "
+    "hamming <= 3) — before it is trusted for destructive dedup. The "
+    "standard precision lever at corpus scale: each detector's false "
+    "positives are near-independent, so the intersection join (pair-set "
+    "sized, tiny next to the corpus) multiplies error rates away",
+    survey="LLM near-dup: MinHash x SimHash ensemble verification",
+)
+def ensemble_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both arms are the catalog's own banded pipelines (never all-pairs;
+    see minhash_lsh_pairs / simhash_band_neardup); the final inner join
+    keys on the (id_a, id_b) pair — both arms emit id_a < id_b, so no
+    canonicalization step is needed."""
+    from .llm.dedup import minhash_lsh_dedup, simhash_band_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    lsh = minhash_lsh_dedup(docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.1)
+    sim = simhash_band_pairs(docs, bits=32, bands=4, max_hamming=3)
+    return lsh.join(sim, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard", "hamming"
+    )

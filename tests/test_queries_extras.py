@@ -209,3 +209,89 @@ def test_pack_sequences_matches_reference_packer(spark):
             ).collect()
         }
         assert got == ref_pack(docs), f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: operational analytics + ensemble near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_flags_known_outlier(spark):
+    """A hand-built series with one wild point flags exactly that point."""
+    import openmsistream_spark.queries_extras as qe
+
+    # n must be large enough that one extreme point CAN exceed |z| = 3:
+    # a single outlier among n points caps at z = (n-1)/sqrt(n) (it
+    # inflates the stddev it is measured against), so n = 7 tops out at
+    # 2.27 no matter how wild the value — use a 20-point baseline
+    base = [10.0, 11.0, 9.0, 10.5, 9.5] * 4
+    rows = [(i, 7, v) for i, v in enumerate(base + [500.0])]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(qe, "load", lambda s, d, n: ev):
+        out = qe.zscore_anomaly_events(spark, SF).collect()
+    assert [r.event_id for r in out] == [20]
+    assert out[0].zscore > 2.0
+
+
+def test_zscore_plan_broadcasts_stats_side(spark):
+    plan = plan_of(spark, "zscore_anomaly_events")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the per-user stats frame is one row per user — it must broadcast,
+    # never shuffle the event stream for the join
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan  # two-phase agg+join, not a sorted window
+
+
+def test_interarrival_reuses_window_partitioning(spark):
+    plan = plan_of(spark, "interarrival_stats_user")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # ONE exchange: the lag window shuffles by user_id and the follow-on
+    # groupBy(user_id) reuses that partitioning
+    import re
+
+    # formatted mode lists each physical node once as "(N) Exchange";
+    # its hashpartitioning args land on a separate "Arguments:" line
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, plan
+
+
+def test_interarrival_semantics_small(spark):
+    import openmsistream_spark.queries_extras as qe
+    import unittest.mock as mock
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7),
+            (2, "2024-01-01 00:00:10", 7),
+            (3, "2024-01-01 00:01:10", 7),
+        ],
+        "event_id long, ts string, user_id long",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id")
+    with mock.patch.object(qe, "load", lambda s, d, n: ev):
+        row = qe.interarrival_stats_user(spark, SF).collect()[0]
+    assert row.n_events == 3
+    assert row.min_gap_s == 10.0 and row.max_gap_s == 60.0
+    assert row.avg_gap_s == 35.0
+
+
+def test_key_skew_profile_two_level_agg(spark):
+    plan = plan_of(spark, "key_skew_profile")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    out = {r.event_type: r for r in QUERIES["key_skew_profile"].fn(spark, SF).collect()}
+    for r in out.values():
+        assert 0 < r.top_user_share <= 1.0
+        assert r.skew_factor >= 1.0  # max/mean per-user load is >= 1 by def
+
+
+def test_ensemble_is_intersection_of_arms(spark):
+    ens = QUERIES["ensemble_neardup_pairs"].fn(spark, SF)
+    lsh = QUERIES["minhash_lsh_pairs"].fn(spark, SF)
+    sim = QUERIES["simhash_band_neardup"].fn(spark, SF)
+    e = {(r.id_a, r.id_b) for r in ens.collect()}
+    l = {(r.id_a, r.id_b) for r in lsh.collect()}
+    s = {(r.id_a, r.id_b) for r in sim.collect()}
+    assert e == (l & s)
