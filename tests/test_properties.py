@@ -134,3 +134,103 @@ def test_adoption_tri_state_exact():
     assert not _adopt_new_generation(3, h1, 5.0, 2, h2, 99.0)  # fewer chunks
     assert not _adopt_new_generation(3, h1, None, 3, h2, 0.0)  # null ≡ 0.0 tie
     assert _adopt_new_generation(3, h1, None, 3, h2, 0.1)  # newer vs null
+
+
+# --------------------------------------------------------------------------
+# operational analytics (queries_extras round-6 additions)
+# --------------------------------------------------------------------------
+
+import math
+import unittest.mock as mock
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _half_up(x: float, places: int) -> float:
+    """Spark/DuckDB round(): decimal HALF_UP on the double's value —
+    NOT Python's banker's round()."""
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _ref_zscore(rows):
+    """Pure-Python mirror of zscore_anomaly_events' decimal-exact moment
+    math: per-value quantize to the cast scale, exact Decimal sums, then
+    the same IEEE double formula in the same operation order."""
+    by_user: dict = {}
+    for _, u, v in rows:
+        by_user.setdefault(u, []).append(v)
+    out = []
+    q8, q12 = Decimal(1).scaleb(-8), Decimal(1).scaleb(-12)
+    for u, vs in by_user.items():
+        n = len(vs)
+        if n < 5:
+            continue
+        s1 = float(sum(Decimal(v).quantize(q8, rounding=ROUND_HALF_UP) for v in vs))
+        s2 = float(
+            sum(Decimal(v * v).quantize(q12, rounding=ROUND_HALF_UP) for v in vs)
+        )
+        mu = s1 / n
+        sd = math.sqrt(max((s2 - s1 * s1 / n) / (n - 1), 0.0))
+        if not sd > 0:
+            continue
+        for eid, uu, v in rows:
+            if uu == u and abs((v - mu) / sd) > 3:
+                out.append((eid, u, v, _half_up((v - mu) / sd, 3)))
+    return sorted(out)
+
+
+_zs_values = st.lists(
+    st.floats(min_value=0.0, max_value=1000.0, width=32),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(blocks=st.lists(_zs_values, min_size=1, max_size=4))
+@settings(max_examples=15, deadline=None)
+def test_zscore_matches_decimal_reference(spark, blocks):
+    import openmsistream_spark.queries_extras as qe
+
+    rows, eid = [], 0
+    for u, vs in enumerate(blocks):
+        for v in vs:
+            rows.append((eid, u, float(v)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    with mock.patch.object(qe, "load", lambda s, d, n: ev):
+        got = sorted(
+            (r.event_id, r.user_id, r.value, r.zscore)
+            for r in qe.zscore_anomaly_events(spark, "unused").collect()
+        )
+    assert got == _ref_zscore(rows)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]), st.integers(min_value=0, max_value=5)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_key_skew_matches_reference(spark, pairs):
+    import openmsistream_spark.queries_extras as qe
+
+    rows = [(i, t, u) for i, (t, u) in enumerate(pairs)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    with mock.patch.object(qe, "load", lambda s, d, n: ev):
+        got = {
+            r.event_type: (r.n_events, r.n_users, r.top_user_share, r.skew_factor)
+            for r in qe.key_skew_profile(spark, "unused").collect()
+        }
+    want = {}
+    for t in {p[0] for p in pairs}:
+        cnt: dict = {}
+        for tt, u in pairs:
+            if tt == t:
+                cnt[u] = cnt.get(u, 0) + 1
+        n, users, mx = sum(cnt.values()), len(cnt), max(cnt.values())
+        want[t] = (n, users, _half_up(mx / n, 4), _half_up(mx * users / n, 4))
+    assert got == want

@@ -1,0 +1,167 @@
+"""Streaming anomaly detection E2E: durable cross-batch moments,
+replay-idempotent alerts, and ledger compaction invariance.
+
+The flags must (a) score each arrival against moments from STRICTLY
+EARLIER micro-batches, (b) reproduce byte-identically when a batch
+replays from the same checkpoint, and (c) be unaffected by folding the
+delta ledger (compaction preserves every prefix sum a future batch can
+ask for)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmsistream_spark.operators.registry import make_registry
+from openmsistream_spark.streaming.anomaly import (
+    anomaly_stream_sink,
+    compact_moment_ledger,
+    score_batch_against_ledger,
+)
+
+SCHEMA = "event_id long, user_id long, value double"
+
+# 20-point baseline around 10: one wild point among n=20+ CAN exceed
+# |z| = 3 (a lone outlier among n caps at (n-1)/sqrt(n))
+BASELINE = [10.0, 11.0, 9.0, 10.5, 9.5] * 4
+
+
+@pytest.fixture()
+def dirs():
+    d = tempfile.mkdtemp(prefix="oms_anom_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(spark, reg, in_dir, out_dir, ckpt):
+    src = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    q = (
+        anomaly_stream_sink(src, reg, out_dir, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+
+
+def _read_alerts(spark, out_dir):
+    return sorted(
+        (r.event_id, r.user_id, r.value, r.zscore)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+
+
+def test_alerts_flag_against_prior_batches_and_replay_idempotent(spark, dirs):
+    in_dir, out_dir, ckpt = f"{dirs}/in", f"{dirs}/out", f"{dirs}/ckpt"
+    reg = make_registry(spark, f"{dirs}/moments", ["key", "batch"])
+
+    # batch 0: baselines — user 7 gets 20 points, user 8 only 3 (< min_n)
+    rows0 = [(i, 7, v) for i, v in enumerate(BASELINE)]
+    rows0 += [(100 + i, 8, 10.0) for i in range(3)]
+    spark.createDataFrame(rows0, SCHEMA).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    _run(spark, reg, in_dir, out_dir, ckpt)
+    # cold start: nothing scorable in batch 0 itself
+    assert _read_alerts(spark, out_dir) == []
+
+    # batch 1: user 7 outlier + normal point; user 8 outlier (unscorable)
+    rows1 = [(200, 7, 500.0), (201, 7, 10.2), (202, 8, 500.0)]
+    spark.createDataFrame(rows1, SCHEMA).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    _run(spark, reg, in_dir, out_dir, ckpt)
+    alerts = _read_alerts(spark, out_dir)
+    assert [a[0] for a in alerts] == [200]  # only the scorable outlier
+    assert alerts[0][3] > 3
+
+    # replay from the same checkpoint with no new input: unchanged
+    _run(spark, reg, in_dir, out_dir, ckpt)
+    assert _read_alerts(spark, out_dir) == alerts
+
+    # the ledger now carries one delta row per (key, batch)
+    led = reg.read()
+    assert sorted(
+        (r.key, r.batch, r.n) for r in led.collect()
+    ) == [("7", 0, 20), ("7", 1, 2), ("8", 0, 3), ("8", 1, 1)]
+
+
+def test_scoring_uses_strictly_earlier_deltas(spark, dirs):
+    """A batch's own delta rows (same batch id) must not contaminate the
+    moments it is scored against — the replay-determinism invariant."""
+    reg = make_registry(spark, f"{dirs}/m", ["key", "batch"])
+    base = [(i, 7, v) for i, v in enumerate(BASELINE)]
+    from openmsistream_spark.streaming.anomaly import _batch_deltas
+
+    d0 = _batch_deltas(spark.createDataFrame(base, SCHEMA), "user_id", "value")
+    reg.upsert(d0.withColumn("batch", F.lit(0)).select("key", "batch", "n", "s1", "s2"))
+    probe = spark.createDataFrame([(200, 7, 500.0)], SCHEMA)
+    # pretend the probe's own (masking) delta for batch 1 is already
+    # ledgered — a replayed batch sees exactly this state
+    d1 = _batch_deltas(probe, "user_id", "value")
+    reg.upsert(d1.withColumn("batch", F.lit(1)).select("key", "batch", "n", "s1", "s2"))
+    flagged = score_batch_against_ledger(probe, reg.read(), 1).collect()
+    assert [r.event_id for r in flagged] == [200]  # still flagged
+
+
+def test_compaction_preserves_future_scoring(spark, dirs):
+    reg = make_registry(spark, f"{dirs}/m", ["key", "batch"])
+    from openmsistream_spark.streaming.anomaly import _batch_deltas
+
+    for b, vals in enumerate([BASELINE[:10], BASELINE[10:]]):
+        df = spark.createDataFrame(
+            [(b * 50 + i, 7, v) for i, v in enumerate(vals)], SCHEMA
+        )
+        d = _batch_deltas(df, "user_id", "value")
+        reg.upsert(
+            d.withColumn("batch", F.lit(b)).select("key", "batch", "n", "s1", "s2")
+        )
+    probe = spark.createDataFrame([(300, 7, 500.0), (301, 7, 10.1)], SCHEMA)
+    before = sorted(
+        (r.event_id, r.zscore)
+        for r in score_batch_against_ledger(probe, reg.read(), 2).collect()
+    )
+    assert [e for e, _ in before] == [300]
+    compact_moment_ledger(reg, upto_batch=1)
+    led = reg.read()
+    assert led.count() == 1  # folded to one row per key
+    assert led.first().batch == 1
+    after = sorted(
+        (r.event_id, r.zscore)
+        for r in score_batch_against_ledger(probe, led, 2).collect()
+    )
+    assert after == before  # byte-identical scores post-fold
+
+
+def test_stream_matches_batch_twin_formula(spark, dirs):
+    """The streaming score must equal the batch catalog query's formula
+    computed over the prior batches' rows."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    reg = make_registry(spark, f"{dirs}/m", ["key", "batch"])
+    from openmsistream_spark.streaming.anomaly import _batch_deltas
+
+    d0 = _batch_deltas(
+        spark.createDataFrame([(i, 7, v) for i, v in enumerate(BASELINE)], SCHEMA),
+        "user_id",
+        "value",
+    )
+    reg.upsert(d0.withColumn("batch", F.lit(0)).select("key", "batch", "n", "s1", "s2"))
+    probe = spark.createDataFrame([(200, 7, 500.0)], SCHEMA)
+    got = score_batch_against_ledger(probe, reg.read(), 1).first().zscore
+
+    q8, q12 = Decimal(1).scaleb(-8), Decimal(1).scaleb(-12)
+    n = len(BASELINE)
+    s1 = float(sum(Decimal(v).quantize(q8, rounding=ROUND_HALF_UP) for v in BASELINE))
+    s2 = float(
+        sum(Decimal(v * v).quantize(q12, rounding=ROUND_HALF_UP) for v in BASELINE)
+    )
+    mu = s1 / n
+    sd = math.sqrt(max((s2 - s1 * s1 / n) / (n - 1), 0.0))
+    want = float(
+        Decimal((500.0 - mu) / sd).quantize(
+            Decimal(1).scaleb(-3), rounding=ROUND_HALF_UP
+        )
+    )
+    assert got == want
