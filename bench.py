@@ -80,6 +80,7 @@ HEADLINE = [
     "interarrival_stats_user",
     "key_skew_profile",
     "ensemble_neardup_pairs",
+    "token_collocation_lift",
 ]
 
 

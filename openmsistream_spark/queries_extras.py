@@ -30,7 +30,16 @@ LLM-pipeline surface, each oracle-paired:
   ``event_transition_counts``: ordered funnels, weekly retention
   matrices, and first-order transition counts (operators/funnels.py);
 - ``sliding_window_event_counts``: overlapping 1 h/30 min windows — the
-  sliding twin of ``hourly_event_counts``.
+  sliding twin of ``hourly_event_counts``;
+- ``zscore_anomaly_events`` / ``interarrival_stats_user`` /
+  ``key_skew_profile``: operational analytics — per-key anomaly scan
+  (decimal-exact moments; streaming twin in streaming/anomaly.py),
+  inter-event cadence profiles, and the shuffle-key skew diagnostic
+  that decides where salting/AQE skew handling pays;
+- ``ensemble_neardup_pairs``: MinHash-LSH x banded-SimHash intersection
+  — the high-precision near-dup verdict for destructive dedup;
+- ``token_collocation_lift``: capped-vocabulary co-occurrence lift
+  (collocation / association mining over the corpus).
 
 Reference parity note: the reference (openmsistream) has no analytics
 surface of its own — these extend the engine's curation/analytics layer
@@ -1070,4 +1079,89 @@ def ensemble_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = simhash_band_pairs(docs, bits=32, bands=4, max_hamming=3)
     return lsh.join(sim, ["id_a", "id_b"]).select(
         "id_a", "id_b", "jaccard", "hamming"
+    )
+
+
+@query(
+    "token_collocation_lift",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT token, count(*) AS df FROM toks WHERE token <> '' GROUP BY 1),
+    vocab AS (SELECT token, df FROM tf ORDER BY df DESC, token LIMIT 40),
+    vt AS (
+      SELECT t.doc_id, t.token, v.df FROM toks t JOIN vocab v USING (token)
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             any_value(a.df) AS df_a, any_value(b.df) AS df_b,
+             count(*) AS n_ab
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2
+    )
+    SELECT token_a, token_b, n_ab,
+           round(n_ab * n.n_docs / (CAST(df_a AS DOUBLE) * df_b), 4) AS lift
+    FROM pairs, n
+    WHERE n_ab >= 5
+    """,
+    doc="collocation mining over the corpus: co-occurrence lift "
+    "p(a,b)/(p(a)p(b)) for pairs of the top-40-document-frequency "
+    "tokens. The vocabulary cap is the scale lever: the pair join runs "
+    "vocab-member tokens only (broadcast vocab, <= |vocab| rows per "
+    "doc), so pair work is bounded by vocab^2, never corpus-token^2; "
+    "lift stays in rational double arithmetic (no ln), so Spark and the "
+    "oracle agree bit-for-bit",
+    survey="LLM text analysis: collocation / association mining",
+)
+def token_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift over capped-vocabulary token pairs. The
+    per-doc distinct-token explode is reused for the DF count and the
+    pair join; the vocab (top 40 by document frequency, token-ordered
+    tiebreak) broadcasts, and the per-doc self-join emits each unordered
+    pair once (token_a < token_b)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    tf = toks.groupBy("token").agg(F.count("*").alias("df"))
+    vocab = tf.orderBy(F.col("df").desc(), "token").limit(40)
+    vt = toks.join(F.broadcast(vocab), "token")
+    n_docs = docs.select(F.count_distinct("doc_id").alias("n_docs"))
+    a = vt.select(
+        "doc_id", F.col("token").alias("token_a"), F.col("df").alias("df_a")
+    )
+    b = vt.select(
+        "doc_id", F.col("token").alias("token_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(
+            F.any_value("df_a").alias("df_a"),
+            F.any_value("df_b").alias("df_b"),
+            F.count("*").alias("n_ab"),
+        )
+        .filter(F.col("n_ab") >= 5)
+    )
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "token_a",
+        "token_b",
+        "n_ab",
+        F.round(
+            F.col("n_ab") * F.col("n_docs")
+            / (F.col("df_a").cast("double") * F.col("df_b")),
+            4,
+        ).alias("lift"),
     )

@@ -295,3 +295,16 @@ def test_ensemble_is_intersection_of_arms(spark):
     l = {(r.id_a, r.id_b) for r in lsh.collect()}
     s = {(r.id_a, r.id_b) for r in sim.collect()}
     assert e == (l & s)
+
+
+def test_collocation_vocab_broadcasts_and_caps_pairs(spark):
+    plan = plan_of(spark, "token_collocation_lift")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the top-40 vocab must broadcast into the token stream, and the
+    # only nested-loop/cross join allowed is the 1-row n_docs scalar
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    out = QUERIES["token_collocation_lift"].fn(spark, SF)
+    rows = out.collect()
+    assert rows and all(r.n_ab >= 5 and r.lift > 0 for r in rows)
+    assert all(r.token_a < r.token_b for r in rows)  # unordered pair once
