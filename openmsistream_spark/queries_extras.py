@@ -950,14 +950,19 @@ def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) + 1 AS n_events,
            round(min(gap_us) / 1000000.0, 6) AS min_gap_s,
            round(max(gap_us) / 1000000.0, 6) AS max_gap_s,
-           round(sum(gap_us) / count(*) / 1000000.0, 6) AS avg_gap_s
+           CAST((2 * sum(gap_us) + count(*)) // (2 * count(*)) AS DOUBLE)
+             / 1000000.0 AS avg_gap_s
     FROM gaps WHERE gap_us IS NOT NULL
     GROUP BY user_id
     """,
     doc="per-user inter-event arrival statistics: lag over (ts, event_id) "
     "-> integer-microsecond gaps -> min/max/mean seconds. The cadence "
     "profile behind debounce thresholds (S2) and heartbeat-interval "
-    "tuning; exact bigint gap sums, so deterministic on any engine",
+    "tuning; exact bigint gap sums, and the mean is half-up-rounded to "
+    "whole microseconds IN INTEGER ARITHMETIC ((2*sum+n) div (2*n)) "
+    "before the exact /1e6 — float round() of a quotient can land on a "
+    "decimal half-boundary where engines' rounding diverges (observed "
+    "at sf0.1), integer rounding cannot",
     survey="S2 debounce tuning / A8 heartbeat cadence analytics",
 )
 def interarrival_stats_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,7 +970,9 @@ def interarrival_stats_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable groupBy on the SAME key — Spark reuses the
     window's hash partitioning for the aggregate, so the second
     exchange disappears from the plan. Gaps are exact bigint
-    microseconds; only the final /1e6 is float."""
+    microseconds; the mean rounds to whole microseconds in integer
+    arithmetic (see the catalog doc) so only exact /1e6 divisions are
+    ever float."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
@@ -979,7 +986,11 @@ def interarrival_stats_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") + F.lit(1)).alias("n_events"),
             F.round(F.min("gap_us") / 1e6, 6).alias("min_gap_s"),
             F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
-            F.round(F.sum("gap_us") / F.count("*") / 1e6, 6).alias("avg_gap_s"),
+            (
+                F.expr("(2 * sum(gap_us) + count(*)) div (2 * count(*))")
+                .cast("double")
+                / 1e6
+            ).alias("avg_gap_s"),
         )
     )
 

@@ -46,11 +46,6 @@ from pyspark.sql import functions as F
 _S1_T = "decimal(30,8)"
 _S2_T = "decimal(38,12)"
 
-_LEDGER_SCHEMA = (
-    "key string, batch long, n long, s1 {s1}, s2 {s2}".format(s1=_S1_T, s2=_S2_T)
-)
-
-
 def _batch_deltas(batch_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     v = F.col(value_col)
     return batch_df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
