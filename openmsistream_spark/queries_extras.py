@@ -1005,16 +1005,21 @@ def interarrival_stats_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            sum(cnt) AS n_events,
            count(*) AS n_users,
-           round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_user_share,
-           round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 4)
-             AS skew_factor
+           CAST((2 * max(cnt) * 10000 + sum(cnt)) // (2 * sum(cnt)) AS DOUBLE)
+             / 10000.0 AS top_user_share,
+           CAST((2 * max(cnt) * count(*) * 10000 + sum(cnt))
+                // (2 * sum(cnt)) AS DOUBLE) / 10000.0 AS skew_factor
     FROM per_key_user GROUP BY event_type
     """,
     doc="shuffle-key skew diagnostic per event_type: row count, distinct "
     "users, the heaviest user's share, and skew factor (max/mean per-user "
     "load — 1.0 = uniform). The profile that decides WHERE salting "
     "(salted_skew_aggregate) or AQE skew-join handling is worth applying; "
-    "two-level aggregation, both levels map-side-combinable, no windows",
+    "two-level aggregation, both levels map-side-combinable, no windows. "
+    "Both ratios are exact rationals, so they half-up-round at 4 dp in "
+    "integer arithmetic ((2*num*10^4+den) div (2*den)) — float round() "
+    "of a terminating-decimal quotient can land on a half-boundary where "
+    "engines diverge",
     survey="scale diagnostics: partition-skew profiling for salting/AQE",
 )
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,11 +1034,17 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key_user.groupBy("event_type").agg(
         F.sum("cnt").alias("n_events"),
         F.count("*").alias("n_users"),
-        F.round(F.max("cnt") / F.sum("cnt").cast("double"), 4).alias(
-            "top_user_share"
-        ),
-        F.round(
-            F.max("cnt") * F.count("*") / F.sum("cnt").cast("double"), 4
+        (
+            F.expr("(2 * max(cnt) * 10000 + sum(cnt)) div (2 * sum(cnt))")
+            .cast("double")
+            / 1e4
+        ).alias("top_user_share"),
+        (
+            F.expr(
+                "(2 * max(cnt) * count(*) * 10000 + sum(cnt)) div (2 * sum(cnt))"
+            )
+            .cast("double")
+            / 1e4
         ).alias("skew_factor"),
     )
 
@@ -1115,7 +1126,8 @@ def ensemble_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT token_a, token_b, n_ab,
-           round(n_ab * n.n_docs / (CAST(df_a AS DOUBLE) * df_b), 4) AS lift
+           CAST((2 * n_ab * n.n_docs * 10000 + df_a * df_b)
+                // (2 * df_a * df_b) AS DOUBLE) / 10000.0 AS lift
     FROM pairs, n
     WHERE n_ab >= 5
     """,
@@ -1166,13 +1178,19 @@ def token_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_ab") >= 5)
     )
+    # lift is an exact rational (n_ab*N)/(df_a*df_b): half-up-round at
+    # 4 dp in integer arithmetic so a terminating-decimal quotient can
+    # never land on a half-boundary where engines' float round() differs.
+    # bigint headroom: 2*n_ab*N*10^4 stays well under 2^63 up to ~10^7
+    # docs; past that, widen the numerator to decimal(38,0)
     return pairs.crossJoin(F.broadcast(n_docs)).select(
         "token_a",
         "token_b",
         "n_ab",
-        F.round(
-            F.col("n_ab") * F.col("n_docs")
-            / (F.col("df_a").cast("double") * F.col("df_b")),
-            4,
+        (
+            F.expr(
+                "(2 * n_ab * n_docs * 10000 + df_a * df_b) div (2 * df_a * df_b)"
+            ).cast("double")
+            / 1e4
         ).alias("lift"),
     )

@@ -232,5 +232,9 @@ def test_key_skew_matches_reference(spark, pairs):
             if tt == t:
                 cnt[u] = cnt.get(u, 0) + 1
         n, users, mx = sum(cnt.values()), len(cnt), max(cnt.values())
-        want[t] = (n, users, _half_up(mx / n, 4), _half_up(mx * users / n, 4))
+        # exact integer half-up at 4 dp — mirrors the query's
+        # (2*num*10^4 + den) div (2*den) rounding
+        share = ((2 * mx * 10**4 + n) // (2 * n)) / 1e4
+        skew = ((2 * mx * users * 10**4 + n) // (2 * n)) / 1e4
+        want[t] = (n, users, share, skew)
     assert got == want
