@@ -1091,16 +1091,58 @@ _ENSEMBLE_ORACLE = (
 )
 def ensemble_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both arms are the catalog's own banded pipelines (never all-pairs;
-    see minhash_lsh_pairs / simhash_band_neardup); the final inner join
-    keys on the (id_a, id_b) pair — both arms emit id_a < id_b, so no
-    canonicalization step is needed."""
-    from .llm.dedup import minhash_lsh_dedup, simhash_band_pairs
+    see minhash_lsh_pairs / simhash_band_neardup), FUSED for scale: the
+    LSH candidate set is intersected with the (cheap, hamming-verified)
+    SimHash pairs BEFORE the expensive shingle-join Jaccard verify, so
+    exact-Jaccard work is paid only for pairs both detectors already
+    agree on — identical output to verify-then-intersect (the jaccard
+    filter commutes with the pair intersection; the oracle is the
+    unfused form), but the verify join's left side shrinks from all
+    banded candidates to the ensemble survivors. Each arm is computed
+    once; both emit id_a < id_b, so no canonicalization step."""
+    from .llm.dedup import (
+        DEFAULT_MAX_SHINGLE_DF,
+        cap_hot_shingles,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        simhash_band_pairs,
+        word_shingles,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    lsh = minhash_lsh_dedup(docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.1)
+    sh = cap_hot_shingles(word_shingles(docs, n=3), DEFAULT_MAX_SHINGLE_DF)
+    cand = minhash_lsh_candidates(minhash_signatures(sh, num_hashes=8), rows_per_band=2)
     sim = simhash_band_pairs(docs, bits=32, bands=4, max_hamming=3)
-    return lsh.join(sim, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard", "hamming"
+    agreed = cand.join(sim, ["id_a", "id_b"])  # carries hamming once
+    # exact-Jaccard verify (minhash_lsh_dedup's verify stage) on the
+    # agreed pairs only
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        agreed.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"), F.any_value("hamming").alias("hamming"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+        .select("id_a", "id_b", "jaccard", "hamming")
     )
 
 
