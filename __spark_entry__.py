@@ -50,7 +50,20 @@ def _last_green_round() -> dict[str, str]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if isinstance(row, dict) and (row.get("hash_match") or row.get("rows_match")):
+            if not isinstance(row, dict):
+                continue
+            # an oracle-backed query is only VERIFIED by a hash match —
+            # a rows-only match on it is a red row (round-6 lesson:
+            # key_skew_profile matched rows but hash-mismatched on an
+            # oracle typing bug, and counting it green would have sorted
+            # the fixed query last in the sweep instead of first)
+            q = QUERIES.get(name)
+            green = (
+                row.get("hash_match")
+                if q is None or q.oracle is not None
+                else row.get("rows_match")
+            )
+            if green:
                 latest[name] = path  # sorted() => later rounds overwrite
     return latest
 

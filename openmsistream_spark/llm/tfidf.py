@@ -24,6 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_MAX_TERM_DF = 10_000
+# Relative document-frequency cap: drop terms present in more than this
+# fraction of the corpus. The absolute cap alone is a trap on corpora
+# whose vocabulary is small relative to doc count (every term passes and
+# the shared-term join degenerates toward all-pairs); a relative cap
+# scales with N the way ``cap_hot_shingles``' relative guard does, so
+# stop-word-like terms always fall out no matter the corpus shape.
+DEFAULT_MAX_DF_FRAC = 0.1
 
 
 def tfidf_terms(
@@ -31,6 +38,7 @@ def tfidf_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_term_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF rows (id, term, tf, df, tfidf).
 
@@ -44,7 +52,10 @@ def tfidf_terms(
     so the join side is left to AQE, which broadcasts it exactly when
     it is small enough), and the corpus-size scalar rides a broadcast
     cross join. ``max_term_df`` drops ubiquitous terms entirely (see
-    module docstring); 0 is a real cap, None disables.
+    module docstring); 0 is a real cap, None disables. ``max_df_frac``
+    is the RELATIVE form of the same guard (df/N <= frac, evaluated in
+    exact parts-per-million integer arithmetic so a SQL oracle can
+    mirror it bit-for-bit); the two compose as a conjunction.
     """
     toks = docs.select(
         F.col(id_col),
@@ -54,11 +65,20 @@ def tfidf_terms(
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    if max_term_df is not None:
-        df = df.filter(F.col("df") <= max_term_df)
     n_docs = docs.select(
         F.count_distinct(F.col(id_col)).alias("_n")
     )
+    if max_term_df is not None:
+        df = df.filter(F.col("df") <= max_term_df)
+    if max_df_frac is not None:
+        # df/N <= frac as integer cross-multiplication at ppm precision:
+        # no float division, so Spark and any SQL oracle agree exactly
+        ppm = int(round(max_df_frac * 1_000_000))
+        df = (
+            df.crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") * 1_000_000 <= F.lit(ppm) * F.col("_n"))
+            .drop("_n")
+        )
     idf = (
         F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1
     )
@@ -81,20 +101,29 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_term_df: int | None = DEFAULT_MAX_TERM_DF,
+    max_df_frac: float | None = DEFAULT_MAX_DF_FRAC,
 ) -> DataFrame:
     """All qualifying document pairs with TF-IDF cosine >= threshold.
 
     Pairs arise ONLY through shared terms (equi-join on the term), so
     disjoint documents never meet and the plan never goes all-pairs;
-    hot terms above ``max_term_df`` are excluded from both the join and
-    the norms (they are near-zero-IDF noise and the quadratic hotspot).
-    Norms are one map-side-combinable aggregate; the dot product is a
-    sum over the (sparse, capped) shared-term rows.
+    hot terms above ``max_term_df`` OR ``max_df_frac * N`` are excluded
+    from both the join and the norms (they are near-zero-IDF noise and
+    the quadratic hotspot). The relative cap is the load-bearing one:
+    an absolute cap silently passes every term on a corpus whose
+    vocabulary is small relative to doc count, and the join degenerates
+    toward all-pairs — exactly the corpus shape a relative cap always
+    survives. Norms are one map-side-combinable aggregate; the dot
+    product is a sum over the (sparse, capped) shared-term rows.
 
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
     t = tfidf_terms(
-        docs, id_col=id_col, text_col=text_col, max_term_df=max_term_df
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        max_term_df=max_term_df,
+        max_df_frac=max_df_frac,
     ).select(id_col, "term", "tfidf")
     # order-independent accumulation: the 6-dp weights multiply into
     # decimal(28,12) terms, so sums do not drift with partitioning the

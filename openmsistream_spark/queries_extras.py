@@ -355,9 +355,10 @@ def token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t2 AS (SELECT * FROM toks WHERE term <> ''),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
-    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term
-           HAVING count(*) <= 10000),
     n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+           HAVING count(*) <= 10000
+              AND count(*) * 1000000 <= 100000 * (SELECT n FROM n)),
     w AS (
       SELECT doc_id, term,
              round(tf * (ln((n + 1.0) / (df + 1.0)) + 1), 6) AS tfidf
@@ -384,8 +385,8 @@ def token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.75
     """,
     doc="TF-IDF sparse text cosine pairs (>= 0.75): shared-term join, "
-    "hot-term cap, decimal-exact norms/dots — the no-embedding "
-    "similarity path",
+    "absolute + relative (df/N <= 0.1) hot-term caps, decimal-exact "
+    "norms/dots — the no-embedding similarity path",
     survey="LLM similarity: text-native TF-IDF cosine via sparse term join",
 )
 def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,13 +395,16 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ubiquitous near-zero-IDF terms excluded as the quadratic hotspot;
     all aggregation decimal-exact so the oracle matches bit-for-bit).
 
-    NOTE on the driver corpus: its ~50-word vocabulary sits below any
-    sane absolute DF cap, so every document shares terms with every
-    other and the shared-term join degenerates to all-pairs (~5.5 min
-    at sf0.1) — which is why this entry is oracle-gated at sf0.01 but
-    deliberately NOT in bench.py's HEADLINE. On real text the hot-term
-    cap keeps the join sparse; at corpus scale set ``max_term_df``
-    relative to N (e.g. N/2) so stop-words always fall out."""
+    Runs the library DEFAULTS — including the relative DF cap
+    (``DEFAULT_MAX_DF_FRAC = 0.1``), which the oracle mirrors in the
+    same ppm integer arithmetic. On the driver's deliberately dense
+    synthetic corpus (~31-word vocabulary, most terms in ~78% of docs)
+    the relative cap removes the ubiquitous terms, exactly as it would
+    remove stop-words at corpus scale — without it the shared-term
+    join degenerates to all-pairs (~5.5 min at sf0.1; the r6
+    scale-trap). The uncapped arithmetic keeps its own rich oracle as
+    ``tfidf_cosine_pairs_dense`` (queries_extras2), which stays out of
+    bench HEADLINE."""
     from openmsistream_spark.llm.tfidf import tfidf_cosine_pairs
 
     docs = load(spark, sf_dir, "documents")
@@ -1003,12 +1007,13 @@ def interarrival_stats_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {EV} GROUP BY 1, 2
     )
     SELECT event_type,
-           sum(cnt) AS n_events,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
            count(*) AS n_users,
-           CAST((2 * max(cnt) * 10000 + sum(cnt)) // (2 * sum(cnt)) AS DOUBLE)
-             / 10000.0 AS top_user_share,
-           CAST((2 * max(cnt) * count(*) * 10000 + sum(cnt))
-                // (2 * sum(cnt)) AS DOUBLE) / 10000.0 AS skew_factor
+           CAST((2 * CAST(max(cnt) AS HUGEINT) * 10000 + sum(cnt))
+                // (2 * sum(cnt)) AS DOUBLE) / 10000.0 AS top_user_share,
+           CAST((2 * CAST(max(cnt) AS HUGEINT) * count(*) * 10000
+                 + sum(cnt)) // (2 * sum(cnt)) AS DOUBLE)
+             / 10000.0 AS skew_factor
     FROM per_key_user GROUP BY event_type
     """,
     doc="shuffle-key skew diagnostic per event_type: row count, distinct "
@@ -1019,7 +1024,10 @@ def interarrival_stats_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Both ratios are exact rationals, so they half-up-round at 4 dp in "
     "integer arithmetic ((2*num*10^4+den) div (2*den)) — float round() "
     "of a terminating-decimal quotient can land on a half-boundary where "
-    "engines diverge",
+    "engines diverge. The numerator is widened (Spark DECIMAL(38,0), "
+    "DuckDB HUGEINT) before the multiply: in bigint, "
+    "2*max(cnt)*n_users*10^4 wraps silently past ~4.6e14 with ANSI off — "
+    "reachable in a 100 TB skew audit",
     survey="scale diagnostics: partition-skew profiling for salting/AQE",
 )
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,13 +1043,17 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_events"),
         F.count("*").alias("n_users"),
         (
-            F.expr("(2 * max(cnt) * 10000 + sum(cnt)) div (2 * sum(cnt))")
+            F.expr(
+                "(2 * CAST(max(cnt) AS DECIMAL(38,0)) * 10000 + sum(cnt))"
+                " div (2 * sum(cnt))"
+            )
             .cast("double")
             / 1e4
         ).alias("top_user_share"),
         (
             F.expr(
-                "(2 * max(cnt) * count(*) * 10000 + sum(cnt)) div (2 * sum(cnt))"
+                "(2 * CAST(max(cnt) AS DECIMAL(38,0)) * count(*) * 10000"
+                " + sum(cnt)) div (2 * sum(cnt))"
             )
             .cast("double")
             / 1e4
@@ -1099,7 +1111,19 @@ def ensemble_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter commutes with the pair intersection; the oracle is the
     unfused form), but the verify join's left side shrinks from all
     banded candidates to the ensemble survivors. Each arm is computed
-    once; both emit id_a < id_b, so no canonicalization step."""
+    once; both emit id_a < id_b, so no canonicalization step.
+
+    The shingle frame feeds four consumers (LSH candidates, sizes, and
+    both sides of the Jaccard verify), so it is persisted — otherwise
+    the tokenize+shingle+cap pipeline re-runs per consumer.
+
+    Oracle parity caveat (same conditional as ``ngram_jaccard_pairs``):
+    the Spark LSH arm caps hot shingles (``cap_hot_shingles``,
+    ``DEFAULT_MAX_SHINGLE_DF``) while the DuckDB oracle reuses the
+    uncapped ``LSH_SCORED_CTE`` — hash parity holds because no shingle
+    in the driver corpora comes near the cap; on a corpus where one
+    does, the arms diverge by construction (the cap is the scale
+    guard, the oracle is the exact form)."""
     from .llm.dedup import (
         DEFAULT_MAX_SHINGLE_DF,
         cap_hot_shingles,
@@ -1110,7 +1134,7 @@ def ensemble_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    sh = cap_hot_shingles(word_shingles(docs, n=3), DEFAULT_MAX_SHINGLE_DF)
+    sh = cap_hot_shingles(word_shingles(docs, n=3), DEFAULT_MAX_SHINGLE_DF).persist()
     cand = minhash_lsh_candidates(minhash_signatures(sh, num_hashes=8), rows_per_band=2)
     sim = simhash_band_pairs(docs, bits=32, bands=4, max_hamming=3)
     agreed = cand.join(sim, ["id_a", "id_b"])  # carries hamming once
@@ -1168,7 +1192,7 @@ def ensemble_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT token_a, token_b, n_ab,
-           CAST((2 * n_ab * n.n_docs * 10000 + df_a * df_b)
+           CAST((2 * CAST(n_ab AS HUGEINT) * n.n_docs * 10000 + df_a * df_b)
                 // (2 * df_a * df_b) AS DOUBLE) / 10000.0 AS lift
     FROM pairs, n
     WHERE n_ab >= 5
@@ -1223,15 +1247,17 @@ def token_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lift is an exact rational (n_ab*N)/(df_a*df_b): half-up-round at
     # 4 dp in integer arithmetic so a terminating-decimal quotient can
     # never land on a half-boundary where engines' float round() differs.
-    # bigint headroom: 2*n_ab*N*10^4 stays well under 2^63 up to ~10^7
-    # docs; past that, widen the numerator to decimal(38,0)
+    # the numerator 2*n_ab*N*10^4 is widened (DECIMAL(38,0) here, HUGEINT
+    # in the oracle) before the multiply — in bigint it wraps past ~10^7
+    # docs, silently with ANSI off
     return pairs.crossJoin(F.broadcast(n_docs)).select(
         "token_a",
         "token_b",
         "n_ab",
         (
             F.expr(
-                "(2 * n_ab * n_docs * 10000 + df_a * df_b) div (2 * df_a * df_b)"
+                "(2 * CAST(n_ab AS DECIMAL(38,0)) * n_docs * 10000"
+                " + df_a * df_b) div (2 * df_a * df_b)"
             ).cast("double")
             / 1e4
         ).alias("lift"),
