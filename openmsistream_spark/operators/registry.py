@@ -97,6 +97,21 @@ class ParquetRegistry:
         if existed:
             self.fs.delete(old)
 
+    def replace(self, df: DataFrame) -> None:
+        """Atomically replace the WHOLE table with ``df`` — the public
+        rewrite API for maintenance passes that restructure rows rather
+        than merge them by key (ledger compaction, shard folding).
+
+        Same atomicity as every other write (staged write + rename on
+        the parquet backend, a single transaction-log commit on Delta),
+        but NO key-level coordination: a replace that interleaves with a
+        concurrent ``upsert`` can drop the upsert's rows. Callers must
+        serialize replaces with any live writer of the same registry —
+        e.g. run compaction inside the stream's own ``foreachBatch``
+        (see streaming/anomaly.py ``compact_every``) or with the stream
+        stopped."""
+        self._overwrite(df)
+
     def upsert(self, updates: DataFrame) -> None:
         """R2 — MERGE: replace rows whose key matches, append the rest.
         Duplicate-key rows in ``updates`` collapse to one (the table is

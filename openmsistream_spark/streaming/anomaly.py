@@ -126,6 +126,7 @@ def anomaly_stream_sink(
     value_col: str = "value",
     z_threshold: float = 3.0,
     min_n: int = 5,
+    compact_every: int | None = None,
 ):
     """foreachBatch alert sink: score each micro-batch against the
     durable moment ledger, write flagged rows to ``batch=<id>``, then
@@ -133,7 +134,16 @@ def anomaly_stream_sink(
 
     ``moments_registry`` must be ``make_registry(spark, path,
     ["key", "batch"])``. Returns the configured ``DataStreamWriter`` —
-    caller picks the trigger and calls ``.start()``."""
+    caller picks the trigger and calls ``.start()``.
+
+    ``compact_every=N`` folds the ledger every N batches, INSIDE this
+    callback, after the batch's own upsert — Structured Streaming runs
+    foreachBatch invocations strictly one at a time, so the fold can
+    never interleave with a delta upsert (the race a free-standing
+    ``compact_moment_ledger`` call against a live stream would have).
+    It folds only ``batch <= batch_id - 1``: on a restart the replayed
+    batch_id re-reads strictly-earlier prefix sums, which the fold
+    preserves exactly."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         ledger = moments_registry.read()
@@ -151,6 +161,8 @@ def anomaly_stream_sink(
             "batch", F.lit(int(batch_id))
         )
         moments_registry.upsert(deltas.select("key", "batch", "n", "s1", "s2"))
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_moment_ledger(moments_registry, batch_id - 1)
 
     return (
         events.writeStream.foreachBatch(_write)
@@ -165,7 +177,15 @@ def compact_moment_ledger(moments_registry, upto_batch: int) -> None:
     prefix sums for B > upto_batch. Run it only for batches the stream
     has COMMITTED past (at most ``newest - 1``): a checkpoint restart
     replays only the in-flight batch, never committed ones, so the
-    folded prefix is never re-read at a finer grain."""
+    folded prefix is never re-read at a finer grain.
+
+    Concurrency contract: this is a whole-table ``replace`` — it MUST be
+    serialized with the stream's upserts or a delta row can be silently
+    dropped (or the losing writer's rename raises mid-stream). Either
+    pass ``compact_every=`` to ``anomaly_stream_sink`` (the fold then
+    runs inside the stream's own foreachBatch, which Structured
+    Streaming serializes) or call this only while the query is stopped.
+    """
     ledger = moments_registry.read()
     if ledger is None:
         return
@@ -177,7 +197,7 @@ def compact_moment_ledger(moments_registry, upto_batch: int) -> None:
         F.sum("s2").cast(_S2_T).alias("s2"),
     )
     kept = ledger.filter(F.col("batch") > upto_batch)
-    moments_registry._overwrite(
+    moments_registry.replace(
         kept.select("key", "batch", "n", "s1", "s2").unionByName(
             folded.select("key", "batch", "n", "s1", "s2")
         )

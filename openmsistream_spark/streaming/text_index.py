@@ -87,6 +87,6 @@ def text_index_sink(
         # committing, so a concurrent bm25_search_index opening stats in
         # that window would crash (serving-while-refreshing is the whole
         # point of this sink)
-        ParquetRegistry(spark, f"{path}/stats", [])._overwrite(stats)
+        ParquetRegistry(spark, f"{path}/stats", []).replace(stats)
 
     return curated.writeStream.foreachBatch(_write).outputMode("append")

@@ -165,3 +165,45 @@ def test_stream_matches_batch_twin_formula(spark, dirs):
         )
     )
     assert got == want
+
+
+def test_in_stream_compaction_serialized_and_equivalent(spark, dirs):
+    """compact_every folds the ledger INSIDE foreachBatch (serialized
+    with the upserts by Structured Streaming), bounds the ledger, and
+    leaves the alert stream identical to an uncompacted run."""
+    alerts = {}
+    for tag, compact_every in (("plain", None), ("compacted", 2)):
+        in_dir, out_dir, ckpt = (
+            f"{dirs}/{tag}/in",
+            f"{dirs}/{tag}/out",
+            f"{dirs}/{tag}/ckpt",
+        )
+        reg = make_registry(spark, f"{dirs}/{tag}/moments", ["key", "batch"])
+        batches = [
+            [(i, 7, v) for i, v in enumerate(BASELINE[:10])],
+            [(50 + i, 7, v) for i, v in enumerate(BASELINE[10:])],
+            [(200, 7, 500.0), (201, 7, 10.2)],
+            [(300, 7, 480.0), (301, 7, 9.9)],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            src = spark.readStream.schema(SCHEMA).parquet(in_dir)
+            q = (
+                anomaly_stream_sink(
+                    src, reg, out_dir, ckpt, compact_every=compact_every
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+        alerts[tag] = _read_alerts(spark, out_dir)
+        if compact_every:
+            # batches 0..3 ran; the fold at batch 2 collapsed <=1 into
+            # one row per key — ledger holds that row + batches 2 and 3
+            led = reg.read()
+            assert led.count() <= 3
+            assert led.agg(F.min("batch")).first()[0] == 1
+    assert alerts["compacted"] == alerts["plain"]
+    assert [a[0] for a in alerts["plain"]] == [200, 300]
