@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterutil import truncate_plan
+
 HEX = "0123456789abcdef"
 
 
@@ -538,6 +540,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     max_iterations: int = 20,
     hops_per_round: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters.
 
@@ -568,12 +571,16 @@ def dedup_clusters(
       driver spends minutes PLANNING while executors idle. Checkpointing
       the round's label frame resets the plan to a leaf, the standard
       idiom for iterative Spark algorithms (GraphFrames' connected
-      components checkpoints the same way). This is iteration-internal
-      state, not cross-run durability: if an executor holding checkpoint
-      blocks dies, the job fails and the operator simply re-runs — no
-      ledger/registry state depends on it (contrast
+      components checkpoints the same way). By default this is
+      iteration-internal state, not cross-run durability: if an executor
+      holding checkpoint blocks dies, the job fails and the operator
+      simply re-runs — no ledger/registry state depends on it (contrast
       ``incremental_*_dedup``, whose recovery derives from the committed
-      registry, never from executor memory).
+      registry, never from executor memory). For long runs where a
+      restart-from-round-0 is too expensive (100 TB corpora), pass
+      ``checkpoint_dir=`` to switch the per-round truncation to a
+      RELIABLE checkpoint on fault-tolerant storage — executor loss then
+      costs a task retry, not the job.
 
     Returns (id, cluster, is_representative) for every node.
 
@@ -652,7 +659,7 @@ def dedup_clusters(
         # doubles per round and Catalyst analysis time explodes (see
         # docstring); after it, the frontier probe is a scan of the
         # materialized blocks
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = truncate_plan(stepped, checkpoint_dir)
         frontier = stepped.filter(F.col("new_label") != F.col("old_label")).select(
             "id", F.col("new_label").alias("label")
         )

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .iterutil import truncate_plan
+
 
 def _as_double(col: F.Column) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -310,6 +312,7 @@ def kmeans_fit(
     max_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) over the embedding column — the
     centroid trainer for a real IVF index (``ann_ivf_topk`` /
@@ -329,9 +332,11 @@ def kmeans_fit(
     the update is posexplode -> (cluster, dim) partial sums — k x dim
     result rows regardless of corpus size. Centroids are
     ``localCheckpoint``-ed per iteration to truncate lineage (the
-    iterative-algorithm idiom, same as ``dedup_clusters``); this is
-    iteration-internal state — executor loss fails the job and the fit
-    simply re-runs, nothing durable depends on it.
+    iterative-algorithm idiom, same as ``dedup_clusters``); by default
+    this is iteration-internal state — executor loss fails the job and
+    the fit simply re-runs, nothing durable depends on it. Pass
+    ``checkpoint_dir=`` to truncate with a RELIABLE checkpoint instead
+    (fault-tolerant storage), so long fits survive executor loss.
 
     Spherical = centroids live on the unit sphere and assignment is by
     max dot product; re-normalization makes the mean's 1/n cancel, so
@@ -359,8 +364,8 @@ def kmeans_fit(
             (F.row_number().over(wk) - 1).cast("bigint").alias("cluster"),
             F.col("v").alias("cv"),
         )
-        .localCheckpoint(eager=True)
     )
+    cents = truncate_plan(cents, checkpoint_dir)
     for _ in range(max_iters):
         assigned = (
             pts.crossJoin(F.broadcast(cents))
@@ -398,7 +403,7 @@ def kmeans_fit(
                 .alias("cv"),
             )
         )
-        cents = stepped.localCheckpoint(eager=True)
+        cents = truncate_plan(stepped, checkpoint_dir)
     return cents.select("cluster", F.col("cv").alias("centroid"))
 
 

@@ -203,3 +203,38 @@ def test_recall_at_k_requires_rank_on_both_sides(spark, emb):
     # without k the frames are compared as given — no rank needed
     rows = recall_at_k(no_rank, no_rank).collect()
     assert rows and all(r.recall == 1.0 for r in rows)
+
+
+def test_reliable_checkpoint_dir_matches_default(spark, emb, tmp_path):
+    """checkpoint_dir= switches the per-iteration truncation to a
+    reliable checkpoint (files actually land under the dir) without
+    changing any number — for k-means AND the CC loop."""
+    import os
+
+    from openmsistream_spark.llm.dedup import dedup_clusters
+
+    ck = str(tmp_path / "ck")
+    a = {r.cluster: r.centroid for r in kmeans_fit(emb, k=4, max_iters=2).collect()}
+    b = {
+        r.cluster: r.centroid
+        for r in kmeans_fit(emb, k=4, max_iters=2, checkpoint_dir=ck).collect()
+    }
+    assert a == b
+    written = [f for root, _, fs in os.walk(ck) for f in fs]
+    assert written, "reliable checkpoint wrote nothing under checkpoint_dir"
+
+    nodes = spark.range(8).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    plain = sorted(
+        (r.doc_id, r.cluster)
+        for r in dedup_clusters(nodes, pairs).collect()
+    )
+    ck2 = str(tmp_path / "ck2")
+    reliable = sorted(
+        (r.doc_id, r.cluster)
+        for r in dedup_clusters(nodes, pairs, checkpoint_dir=ck2).collect()
+    )
+    assert plain == reliable
+    assert [f for root, _, fs in os.walk(ck2) for f in fs]
