@@ -22,6 +22,7 @@ from openmsistream_spark.queries import QUERIES
 # does not dirty the byte-identity of every already-verified catalog
 # entry's source closure — see queries_extras.py module docstring.
 import openmsistream_spark.queries_extras  # noqa: E402,F401  isort: skip
+import openmsistream_spark.queries_extras2  # noqa: E402,F401  isort: skip
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,190 @@
+"""Round-7 catalog additions, registered OUT-OF-BAND.
+
+Same discipline as ``queries_extras.py`` (see its module docstring):
+this module is imported directly by the catalog entry points
+(``__spark_entry__.py``, ``bench.py``, ``tests/conftest.py``), never
+from ``queries.py``, so landing new queries does not dirty the source
+closure of already-verified catalog entries.
+
+Content:
+
+- ``duplicated_spans_docs`` / ``dup_span_ratio_docs``: exact-substring
+  (span-level) dedup — the Spark-shaped form of suffix-array duplicated
+  span removal (Lee et al. 2021) via fixed-k token-gram fingerprints +
+  interval merge, and the per-document duplication-load ratio built on
+  it (llm/spandedup.py);
+- ``tfidf_cosine_pairs_dense``: the uncapped-arithmetic twin of
+  ``tfidf_cosine_pairs``. The headline query now runs the library's
+  relative DF cap (the 100 TB-safe default), which on the driver's
+  deliberately dense synthetic corpus excludes most terms; this twin
+  disables the caps so the full TF-IDF/cosine arithmetic keeps a rich
+  (~14k-pair) oracle. It is a correctness instrument: deliberately
+  quadratic on this corpus, oracle-gated at sf0.01, NOT in bench
+  HEADLINE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import load, query
+
+_SPAN_CTE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+      FROM idx
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    sp AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM g JOIN dup USING (gram)),
+    m AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM sp
+    ),
+    grp AS (
+      SELECT doc_id, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM m
+    ),
+    merged AS (
+      SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+             CAST(max(e) AS BIGINT) AS span_end,
+             CAST(max(e) - min(s) AS BIGINT) AS span_tokens
+      FROM grp GROUP BY doc_id, gid
+    )
+"""
+
+
+@query(
+    "duplicated_spans_docs",
+    _SPAN_CTE
+    + """
+    SELECT doc_id, span_start, span_end, span_tokens FROM merged
+    """,
+    doc="exact-substring dedup: maximal duplicated token spans (k=8 "
+    "token-gram fingerprints, corpus-wide occurrence >= 2, "
+    "overlap/adjacency-merged) — suffix-array duplicate-span removal "
+    "at granularity k, Spark-shaped (Lee et al. 2021)",
+    survey="LLM dedup: exact-substring / duplicated-span detection",
+)
+def duplicated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.spandedup.duplicated_spans`` (its docstring
+    has the scale shape: fingerprint count + equi-join bounded by actual
+    duplication, per-doc window merge — never all-pairs, no global
+    sort). ``fingerprint="text"`` here so the DuckDB oracle compares the
+    exact same grouping keys; the library default is ``"hash"``
+    (xxhash64) so 100 TB shuffles move 8-byte keys."""
+    from .llm.spandedup import duplicated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicated_spans(docs, k=8, fingerprint="text").select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+    )
+
+
+@query(
+    "dup_span_ratio_docs",
+    _SPAN_CTE
+    + """
+    , per_doc AS (
+      SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+      FROM merged GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT t.doc_id, t.n_tokens,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           CAST((2 * coalesce(p.dup_tokens, 0) * 10000 + t.n_tokens)
+                // (2 * t.n_tokens) AS DOUBLE) / 10000.0 AS dup_ratio
+    FROM tot t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+    doc="per-document duplication load: fraction of tokens inside "
+    "duplicated spans (half-up 4 dp integer rounding) — the curation "
+    "signal separating mostly-boilerplate docs (drop/excise) from "
+    "lightly contaminated ones (keep)",
+    survey="LLM dedup: span-duplication ratio for curation policies",
+)
+def dup_span_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.spandedup.duplicated_span_ratio`` — spans
+    as in ``duplicated_spans_docs``, folded per doc against the doc's
+    token count, zero-filled for clean docs."""
+    from .llm.spandedup import duplicated_span_ratio
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicated_span_ratio(docs, k=8, fingerprint="text")
+
+
+@query(
+    "tfidf_cosine_pairs_dense",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    w AS (
+      SELECT doc_id, term,
+             round(tf * (ln((n + 1.0) / (df + 1.0)) + 1), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(sum(CAST(tfidf * tfidf AS DECIMAL(28,12))) AS DOUBLE))
+               AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(CAST(a.tfidf * b.tfidf AS DECIMAL(28,12))) AS DOUBLE)
+               AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.75
+    """,
+    doc="TF-IDF cosine pairs with ALL hot-term caps disabled — the "
+    "uncapped-arithmetic correctness twin of tfidf_cosine_pairs "
+    "(deliberately quadratic on the driver's dense corpus; "
+    "oracle-gated, never benched)",
+    survey="LLM similarity: TF-IDF cosine, uncapped correctness twin",
+)
+def tfidf_cosine_pairs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the full TF-IDF/cosine arithmetic with ``max_term_df=None``
+    and ``max_df_frac=None``: every term participates, so the driver's
+    dense corpus exercises the decimal norm/dot arithmetic over ~14k
+    pairs at sf0.01 — the rich oracle the capped headline query can no
+    longer provide there. A scale trap BY DESIGN; see
+    ``tfidf_cosine_pairs`` for the production shape."""
+    from .llm.tfidf import tfidf_cosine_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, threshold=0.75, max_term_df=None, max_df_frac=None
+    )

@@ -1,0 +1,139 @@
+"""Exact-substring (span) dedup vs a brute-force reference.
+
+``duplicated_spans`` must return exactly the intervals a literal
+implementation finds: every position whose k-gram occurs >= 2 times
+corpus-wide, merged into maximal spans. Planted duplicated runs of
+length m >= k must come back as ONE (start, start+m) span."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmsistream_spark.llm.spandedup import (
+    duplicated_span_ratio,
+    duplicated_spans,
+    kgram_positions,
+)
+
+
+def brute_spans(token_lists, k, min_occ=2):
+    """Literal reference: count k-grams, mark positions, merge intervals."""
+    from collections import Counter
+
+    counts = Counter(
+        tuple(toks[i : i + k])
+        for toks in token_lists.values()
+        for i in range(len(toks) - k + 1)
+    )
+    out = set()
+    for doc, toks in token_lists.items():
+        marks = [
+            (i, i + k)
+            for i in range(len(toks) - k + 1)
+            if counts[tuple(toks[i : i + k])] >= min_occ
+        ]
+        merged = []
+        for s, e in sorted(marks):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        for s, e in merged:
+            out.add((doc, s, e, e - s))
+    return out
+
+
+def _spark_spans(spark, token_lists, k, fingerprint):
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in token_lists.items()],
+        "doc_id long, text string",
+    )
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(docs, k=k, fingerprint=fingerprint).collect()
+    }
+
+
+CORPORA = {
+    # a 12-token run planted in two docs at different offsets -> one
+    # maximal span each, alignment-independent
+    "planted_run": {
+        0: [f"a{i}" for i in range(10)] + ["dup%d" % i for i in range(12)] + ["z0"],
+        1: ["dup%d" % i for i in range(12)] + [f"b{i}" for i in range(9)],
+        2: [f"c{i}" for i in range(15)],
+    },
+    # within-doc repeat counts as duplication
+    "within_doc": {
+        0: ["r%d" % (i % 4) for i in range(16)],  # period-4 repeat
+        1: [f"u{i}" for i in range(10)],
+    },
+    # doc shorter than k emits nothing even if its text recurs
+    "short_docs": {
+        0: ["x", "y"],
+        1: ["x", "y"],
+        2: [f"w{i}" for i in range(8)],
+    },
+    # two overlapping duplicated regions merge into one span
+    "overlap_merge": {
+        0: ["p%d" % i for i in range(10)] + [f"e{i}" for i in range(4)],
+        1: ["p%d" % i for i in range(7)] + [f"f{i}" for i in range(5)],
+        2: ["p%d" % i for i in range(3, 10)] + [f"g{i}" for i in range(5)],
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+@pytest.mark.parametrize("fingerprint", ["hash", "text"])
+def test_matches_bruteforce(spark, name, fingerprint):
+    toks = CORPORA[name]
+    k = 4
+    assert _spark_spans(spark, toks, k, fingerprint) == brute_spans(toks, k)
+
+
+def test_planted_run_is_one_maximal_span(spark):
+    toks = CORPORA["planted_run"]
+    got = _spark_spans(spark, toks, 4, "hash")
+    assert got == {(0, 10, 22, 12), (1, 0, 12, 12)}
+
+
+def test_randomized_corpus_matches_bruteforce(spark):
+    rng = random.Random(7)
+    toks = {
+        d: [f"t{rng.randrange(6)}" for _ in range(rng.randrange(0, 40))]
+        for d in range(12)
+    }
+    for k in (3, 5):
+        assert _spark_spans(spark, toks, k, "hash") == brute_spans(toks, k)
+
+
+def test_ratio_folds_spans_and_zero_fills(spark):
+    toks = CORPORA["planted_run"]
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in toks.items()], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_ratio)
+        for r in duplicated_span_ratio(docs, k=4).collect()
+    }
+    assert rows[0] == (23, 12, 0.5217)  # half-up 4dp of 12/23
+    assert rows[1] == (21, 12, 0.5714)
+    assert rows[2] == (15, 0, 0.0)
+
+
+def test_kgram_positions_skips_short_and_rejects_bad_fingerprint(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    assert kgram_positions(docs, k=4).count() == 0
+    assert kgram_positions(docs, k=3).count() == 1
+    with pytest.raises(ValueError):
+        kgram_positions(docs, k=2, fingerprint="md5")
+
+
+def test_plan_stays_jvm_side(spark):
+    """No Python stage anywhere in the span pipeline."""
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in CORPORA["planted_run"].items()],
+        "doc_id long, text string",
+    )
+    plan = duplicated_spans(docs, k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
