@@ -63,11 +63,15 @@ HEADLINE = [
     "unigram_surprisal_quality",
     "pack_training_sequences",
     "token_window_chunks",
-    # NOT tfidf_cosine_pairs: the driver's synthetic corpus has a ~50-word
-    # vocabulary, so every document shares terms with every other and the
-    # shared-term join degenerates to all-pairs (326 s at sf0.1 — measured;
-    # on a real corpus the hot-term cap keeps it sparse). The oracle gate
-    # still validates it at sf0.01.
+    # tfidf_cosine_pairs is benchable since the relative DF cap (r7):
+    # ubiquitous terms fall out the way stop-words would at corpus scale.
+    # Its uncapped twin tfidf_cosine_pairs_dense stays out of HEADLINE —
+    # deliberately quadratic on this corpus (326 s at sf0.1, measured in
+    # r6); the oracle gate validates the full arithmetic at sf0.01.
+    "tfidf_cosine_pairs",
+    "duplicated_spans_docs",
+    "dup_span_ratio_docs",
+    "span_excised_corpus",
     "bm25_topk_keywords",
     "bm25_topk_per_query",
     "containment_pairs_docs",

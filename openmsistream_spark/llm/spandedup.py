@@ -115,6 +115,15 @@ def duplicated_spans(
         F.col("pos").alias("s"),
         (F.col("pos") + k).alias("e"),
     )
+    return _merge_intervals(spans, id_col)
+
+
+def _merge_intervals(spans: DataFrame, id_col: str) -> DataFrame:
+    """Merge overlapping/adjacent (s, e) intervals per document into
+    maximal spans — the classic running-max window: an interval starts a
+    new group when its start lies past everything seen so far. Input
+    columns: (id_col, s, e); output (id_col, span_start, span_end,
+    span_tokens)."""
     w = Window.partitionBy(id_col).orderBy("s")
     prev_max_e = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -132,6 +141,91 @@ def duplicated_spans(
             (F.max("e") - F.min("s")).alias("span_tokens"),
         )
         .drop("_grp")
+    )
+
+
+def excise_duplicated_spans(
+    docs: DataFrame,
+    k: int = DEFAULT_SPAN_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+    fingerprint: str = "hash",
+) -> DataFrame:
+    """Keep-first exact-substring dedup: rewrite every document with its
+    duplicated spans REMOVED, keeping only the corpus-order-first
+    occurrence of each duplicated k-gram — the excision step of Lee et
+    al. 2021 (their suffix-array pipeline removes all but one copy of
+    each duplicated substring; here "one copy" = the occurrence with the
+    lexicographically smallest (doc_id, position)).
+
+    Mechanics: one aggregate per k-gram yields (count, first occurrence)
+    — map-side-combinable, no per-gram windows, so a boilerplate gram
+    occurring a million times never concentrates on one task. Every
+    non-first occurrence of a duplicated gram marks its k positions;
+    marks merge to maximal spans per doc; the rewrite drops the spanned
+    tokens with one array filter (no explode — the doc row never
+    leaves its partition).
+
+    Tokens are the unit (whitespace-split, lowercased, like every
+    text operator here), so the rewrite canonicalizes whitespace/case.
+    Docs shorter than k tokens pass through untouched. Removing a span
+    can abut tokens that now form NEW k-grams across the cut — the
+    standard artifact of excision-based dedup; run to fixpoint if that
+    matters (one pass removes the overwhelming bulk).
+
+    Returns (id_col, text, n_tokens, n_tokens_removed).
+    """
+    grams = kgram_positions(
+        docs, k=k, id_col=id_col, text_col=text_col, fingerprint=fingerprint
+    )
+    agg = grams.groupBy("gram").agg(
+        F.count("*").alias("_n"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "_first"
+        ),
+    )
+    marked = (
+        grams.join(agg.filter(F.col("_n") >= min_occurrences), "gram")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_first.d"))
+                & (F.col("pos") == F.col("_first.p"))
+            )
+        )
+        .select(
+            id_col,
+            F.col("pos").cast("bigint").alias("s"),
+            (F.col("pos") + k).cast("bigint").alias("e"),
+        )
+    )
+    per_doc = (
+        _merge_intervals(marked, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("sp")
+        )
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        ).alias("_t"),
+    )
+    kept = F.expr(
+        "CASE WHEN sp IS NULL THEN _t ELSE "
+        "filter(_t, (x, i) -> NOT exists(sp, q -> i >= q.s AND i < q.e)) END"
+    )
+    return toks.join(per_doc, id_col, "left").select(
+        id_col,
+        F.array_join(kept, " ").alias(text_col),
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
     )
 
 

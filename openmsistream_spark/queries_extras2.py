@@ -133,6 +133,90 @@ def dup_span_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_excised_corpus",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+      FROM idx
+    ),
+    agg AS (
+      SELECT gram, count(*) AS n,
+             min({'d': doc_id, 'p': pos}) AS first
+      FROM g GROUP BY gram
+    ),
+    marked AS (
+      SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s,
+             CAST(g.pos + 8 AS BIGINT) AS e
+      FROM g JOIN agg USING (gram)
+      WHERE agg.n >= 2
+        AND NOT (g.doc_id = agg.first.d AND g.pos = agg.first.p)
+    ),
+    m AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM marked
+    ),
+    grp AS (
+      SELECT doc_id, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM m
+    ),
+    merged AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid
+    ),
+    per_doc AS (
+      SELECT doc_id, list({'s': s, 'e': e}) AS sp FROM merged GROUP BY doc_id
+    ),
+    clean AS (
+      SELECT t.doc_id,
+             CASE WHEN p.sp IS NULL THEN t.t
+             ELSE list_filter(t.t, (x, i) ->
+                  len(list_filter(p.sp, q -> i - 1 >= q.s AND i - 1 < q.e)) = 0)
+             END AS kept,
+             t.t AS t
+      FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    )
+    -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    -- array_join([]) is '' (a fully-excised doc must compare equal)
+    SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_removed
+    FROM clean
+    """,
+    doc="keep-first exact-substring EXCISION: rewrite every document "
+    "with duplicated spans removed, retaining only the corpus-order-"
+    "first occurrence of each duplicated k-gram (k=8) — Lee et al. "
+    "2021's remove-all-but-one-copy step, Spark-shaped (one combinable "
+    "per-gram aggregate, per-doc span merge, one array-filter rewrite; "
+    "no explode of the corpus, no per-gram windows)",
+    survey="LLM dedup: exact-substring excision (keep-first rewrite)",
+)
+def span_excised_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.spandedup.excise_duplicated_spans`` — see
+    its docstring for semantics and the skew story (the per-gram
+    (count, first) aggregate replaces a per-gram window, so hot
+    boilerplate grams never concentrate on one task).
+    ``fingerprint="text"`` for oracle key parity; library default is
+    ``"hash"``."""
+    from .llm.spandedup import excise_duplicated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return excise_duplicated_spans(docs, k=8, fingerprint="text")
+
+
+@query(
     "tfidf_cosine_pairs_dense",
     r"""
     WITH toks AS (

@@ -137,3 +137,74 @@ def test_plan_stays_jvm_side(spark):
     )
     plan = duplicated_spans(docs, k=4)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def brute_excise(token_lists, k, min_occ=2):
+    """Literal keep-first reference: mark every non-first occurrence of
+    a duplicated k-gram, drop the marked token positions."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for doc in sorted(token_lists):
+        toks = token_lists[doc]
+        for i in range(len(toks) - k + 1):
+            occ[tuple(toks[i : i + k])].append((doc, i))
+    out = {}
+    for doc, toks in token_lists.items():
+        drop = set()
+        for gram, places in occ.items():
+            if len(places) < min_occ:
+                continue
+            first = min(places)
+            for d, p in places:
+                if d == doc and (d, p) != first:
+                    drop.update(range(p, p + k))
+        kept = [t for i, t in enumerate(toks) if i not in drop]
+        out[doc] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+def test_excision_matches_bruteforce(spark, name):
+    from openmsistream_spark.llm.spandedup import excise_duplicated_spans
+
+    toks = CORPORA[name]
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in toks.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_tokens_removed)
+        for r in excise_duplicated_spans(docs, k=4).collect()
+    }
+    assert got == brute_excise(toks, 4)
+
+
+def test_excision_randomized_matches_bruteforce(spark):
+    from openmsistream_spark.llm.spandedup import excise_duplicated_spans
+
+    rng = random.Random(11)
+    toks = {
+        d: [f"t{rng.randrange(5)}" for _ in range(rng.randrange(0, 35))]
+        for d in range(10)
+    }
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in toks.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_tokens_removed)
+        for r in excise_duplicated_spans(docs, k=3).collect()
+    }
+    assert got == brute_excise(toks, 3)
+
+
+def test_excision_keeps_exactly_one_copy_of_planted_run(spark):
+    """Two identical docs: the lower doc_id keeps its text, the higher
+    one is fully excised."""
+    from openmsistream_spark.llm.spandedup import excise_duplicated_spans
+
+    text = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(5, text), (9, text)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.text for r in excise_duplicated_spans(docs, k=4).collect()}
+    assert got == {5: text, 9: ""}
