@@ -72,6 +72,8 @@ HEADLINE = [
     "duplicated_spans_docs",
     "dup_span_ratio_docs",
     "span_excised_corpus",
+    "semdedup_pairs_seeded",
+    "semdedup_survivors_seeded",
     "bm25_topk_keywords",
     "bm25_topk_per_query",
     "containment_pairs_docs",

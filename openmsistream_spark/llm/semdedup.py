@@ -1,0 +1,130 @@
+"""Semantic deduplication: cluster-then-prune over the embedding space
+(SemDeDup, Abbas et al. 2023).
+
+Whole-corpus cosine near-dup is quadratic; SemDeDup's observation is
+that semantic duplicates land in the same k-means cluster, so it is
+enough to compare WITHIN clusters — the pair join becomes an equi-join
+on the cluster id, and total pair work drops from |corpus|² to
+Σ|cluster|² (the operator's scale knob is k: more clusters, smaller
+quadratic islands; the paper runs k in the tens of thousands at
+100 TB-class corpora so each island is a few thousand vectors).
+
+Pruning rule (deterministic): within a cluster, a vector is DROPPED when
+some lower-id vector of the same cluster has cosine >= threshold with
+it — every duplicate group keeps exactly its lowest-id member, ties
+never flap, and the result is reproducible run-to-run (the paper keeps
+a random member; a deterministic keeper is what makes the operation
+oracle-checkable and replay-stable).
+
+Centroids: ``centroids=None`` trains real spherical k-means
+(``kmeans_fit``, deterministic); passing a centroid table skips
+training — the catalog queries pass seed centroids (the k lowest-id
+vectors, the ``ann_ivf_topk`` convention) so a SQL oracle can reproduce
+the assignment without iterating Lloyd's.
+
+Zero-norm vectors have no direction, are assigned to no cluster, and
+always survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _dot, _with_norm, kmeans_fit
+
+
+def _assigned_normed(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, v unit-ish, nrm, cluster): nearest-centroid assignment by max
+    cosine, ties to the lowest cluster id, via one broadcast of the
+    centroid table and one map-side-combinable max_by — the corpus
+    never shuffles for assignment."""
+    pts = _with_norm(embeddings, vec_col).filter(F.col("_norm") > 0).select(
+        F.col(id_col).alias("id"), F.col("_vec").alias("v"), F.col("_norm").alias("nrm")
+    )
+    cents = _with_norm(centroids, "centroid").filter(F.col("_norm") > 0).select(
+        F.col("cluster"), F.col("_vec").alias("cv"), F.col("_norm").alias("cnrm")
+    )
+    return (
+        pts.crossJoin(F.broadcast(cents))
+        .withColumn("_c", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")))
+        .groupBy("id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+            F.max_by("cluster", F.struct(F.col("_c"), -F.col("cluster"))).alias(
+                "cluster"
+            ),
+        )
+    )
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster duplicate pairs: (id_a, id_b, cluster, cosine)
+    with id_a < id_b and cosine >= threshold, pairs generated ONLY
+    through the shared cluster (equi-join on cluster — never a corpus
+    cross join). Cosine is rounded to 4 dp (engine-parity discipline).
+    """
+    if centroids is None:
+        centroids = kmeans_fit(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    assigned = _assigned_normed(embeddings, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cluster",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cluster",
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("cluster", "id_a", "id_b", "cosine")
+    )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus after semantic dedup: input rows minus every vector
+    that has a LOWER-id same-cluster neighbor with cosine >= threshold
+    (each duplicate group survives through its lowest id). One anti-join
+    of the corpus against the distinct dropped-id set — the drop set is
+    duplicate-sized, tiny next to the corpus, so AQE broadcasts it.
+    Schema is unchanged (pass-through of the input columns)."""
+    if centroids is None:
+        centroids = kmeans_fit(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    dropped = (
+        semdedup_pairs(
+            embeddings,
+            threshold=threshold,
+            centroids=centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(dropped, id_col, "left_anti")

@@ -216,6 +216,88 @@ def span_excised_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return excise_duplicated_spans(docs, k=8, fingerprint="text")
 
 
+# Seeded-assignment CTE shared by the two SemDeDup queries: nearest of
+# the 8 lowest-id vectors by cosine (ties to the lowest cluster id) —
+# the ann_ivf_topk convention, so the oracle reproduces the assignment
+# without iterating Lloyd's. The library default trains real k-means.
+from .queries_llm import _EMB_NORM_CTE  # noqa: E402  (a string constant)
+
+_SEMDEDUP_CTE = (
+    _EMB_NORM_CTE
+    + """
+    , cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+                FROM normed WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, v, nrm, cent_id FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+                          c.cent_id) AS rn
+        FROM normed n CROSS JOIN cents c WHERE n.nrm > 0) t
+      WHERE rn = 1),
+    sd_pairs AS (
+      SELECT a.cent_id AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+      FROM assigned a JOIN assigned b
+        ON b.cent_id = a.cent_id AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4)
+"""
+)
+
+
+def _seed_centroids(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+    )
+
+
+@query(
+    "semdedup_pairs_seeded",
+    _SEMDEDUP_CTE + "\n    SELECT cluster, id_a, id_b, cosine FROM sd_pairs",
+    doc="SemDeDup (Abbas et al. 2023) duplicate pairs: k-means-assign "
+    "embeddings, cosine pairs WITHIN clusters only (equi-join on the "
+    "cluster id — pair work is sum of cluster^2, never corpus^2). "
+    "Seeded centroids here for oracle parity; the library trains "
+    "real spherical k-means",
+    survey="LLM dedup: semantic (embedding-cluster) dedup — pair stage",
+)
+def semdedup_pairs_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.semdedup.semdedup_pairs`` with seed
+    centroids (the 8 lowest-id vectors) and the corpus-appropriate
+    threshold 0.4 (this synthetic embedding table tops out at ~0.49
+    within-cluster cosine; real SemDeDup runs ~0.95+)."""
+    from .llm.semdedup import semdedup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, threshold=0.4, centroids=_seed_centroids(emb))
+
+
+@query(
+    "semdedup_survivors_seeded",
+    _SEMDEDUP_CTE
+    + """
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT id_b FROM sd_pairs)
+    """,
+    doc="SemDeDup survivor set: the corpus minus every vector with a "
+    "lower-id same-cluster neighbor at cosine >= threshold — each "
+    "duplicate group keeps exactly its lowest id (deterministic, "
+    "replay-stable; the drop set is duplicate-sized so the final "
+    "anti-join broadcasts)",
+    survey="LLM dedup: semantic (embedding-cluster) dedup — prune stage",
+)
+def semdedup_survivors_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.semdedup.semdedup_prune`` (seeded, t=0.4);
+    projects (vec_id, label) — embedding arrays stay out of the compare."""
+    from .llm.semdedup import semdedup_prune
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, threshold=0.4, centroids=_seed_centroids(emb)).select(
+        "vec_id", "label"
+    )
+
+
 @query(
     "tfidf_cosine_pairs_dense",
     r"""
