@@ -52,10 +52,13 @@ def test_tfidf_terms_match_reference(spark):
 
 
 def test_tfidf_cosine_pairs_match_reference(spark):
+    # max_df_frac=None: this test pins the UNCAPPED arithmetic against
+    # the literal formulas (on a 4-doc corpus the default relative cap
+    # floor(0.1*N)=0 would rightly drop every term)
     sdf = spark.createDataFrame(CORPUS, "doc_id long, text string")
     got = {
         (r.id_a, r.id_b): r.cosine
-        for r in tfidf_cosine_pairs(sdf, threshold=0.0).collect()
+        for r in tfidf_cosine_pairs(sdf, threshold=0.0, max_df_frac=None).collect()
     }
     vecs, _ = _ref_tfidf(CORPUS)
 
@@ -104,3 +107,22 @@ def test_tfidf_plan_stays_jvm_side(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_relative_df_cap(spark):
+    """max_df_frac drops terms by df/N regardless of corpus size — the
+    guard the absolute cap cannot provide on small-vocabulary corpora."""
+    # 'the' in 10/10 docs, 'hot' in 5/10, unique terms in 1/10
+    rows = [(i, f"the {'hot ' if i < 5 else ''}u{i} v{i} w{i}") for i in range(10)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    t = tfidf_terms(sdf, max_df_frac=0.5)
+    terms = {r.term for r in t.select("term").distinct().collect()}
+    assert "the" not in terms          # 10/10 > 0.5
+    assert "hot" in terms              # 5/10 <= 0.5 (boundary stays)
+    assert "u0" in terms
+    t2 = tfidf_terms(sdf, max_df_frac=0.1)
+    terms2 = {r.term for r in t2.select("term").distinct().collect()}
+    assert "hot" not in terms2 and "u0" in terms2
+    # composes with the absolute cap as a conjunction
+    t3 = tfidf_terms(sdf, max_term_df=0, max_df_frac=1.0)
+    assert t3.count() == 0
