@@ -102,6 +102,8 @@ def curate_corpus(
     quality_thresholds: dict[str, Any] | None = None,
     eval_docs: DataFrame | None = None,
     decontaminate_conf: dict[str, Any] | None = None,
+    excise_spans: bool = False,
+    excise_conf: dict[str, Any] | None = None,
     report: bool = True,
 ) -> "tuple[DataFrame, dict[str, int]]":
     """Run the batch curation pass over ``docs``.
@@ -112,6 +114,14 @@ def curate_corpus(
     a same-run_id re-run returns identical admissions (see
     ``incremental_exact_dedup``). Without ledgers, dedup is
     within-corpus only.
+
+    ``excise_spans=True`` adds exact-substring excision AFTER the
+    document-level dedups (which remove whole duplicate docs cheaply,
+    so the span pass only pays for partial overlap) and BEFORE the
+    quality gate (which must judge the post-rewrite text — a doc that
+    is mostly boilerplate should fail on what remains). Tuned by
+    ``excise_conf`` (k / min_occurrences / fingerprint; see
+    ``spandedup.excise_duplicated_spans``).
 
     ``eval_docs`` turns on benchmark decontamination (``decontaminate``,
     tuned by ``decontaminate_conf``: n / min_hits / eval_id_col /
@@ -160,6 +170,17 @@ def curate_corpus(
             run_id=run_id, **conf,
         )
         _note("after_lsh_ledger", docs)
+
+    if excise_spans:
+        from .spandedup import excise_duplicated_spans
+
+        rewritten = excise_duplicated_spans(
+            docs, id_col=id_col, text_col=text_col, **(excise_conf or {})
+        ).select(id_col, text_col)
+        # the rewrite canonicalizes whitespace/case and replaces the text
+        # column; every other input column passes through
+        docs = docs.drop(text_col).join(rewritten, id_col)
+        _note("after_span_excision", docs)
 
     if eval_docs is not None:
         docs = decontaminate(
