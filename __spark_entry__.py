@@ -69,93 +69,209 @@ def _last_green_round() -> dict[str, str]:
     return latest
 
 
-def _query_source_files(name: str) -> list[str]:
-    """Repo-relative source files implementing a query: the module that
-    defines its fn plus every package module that module pulls symbols
-    from (one-level import closure — catches e.g. queries_llm.py calling
-    into llm/similarity.py)."""
+_PKG = "openmsistream_spark"
+
+
+def _dotted_to_relpath(dotted: str) -> str | None:
+    """Repo-relative source file for an in-package dotted module name,
+    resolved from the filesystem (NOT sys.modules — a module referenced
+    only by a function-local import may never have been imported in this
+    process, and its file must still count toward the closure)."""
+    if not dotted.startswith(_PKG):
+        return None
+    rel = dotted.replace(".", os.sep)
+    for cand in (rel + ".py", os.path.join(rel, "__init__.py")):
+        if os.path.isfile(os.path.join(_HERE, cand)):
+            return cand
+    return None
+
+
+def _module_ast(dotted: str, _cache: dict = {}):
+    """(ast.Module, {name: top-level def node}, {name: provider dotted
+    module(s)}) for an in-package module, parsed from its CURRENT source.
+    The import map is textual (built from the module's import statements,
+    not runtime objects) so symbols that are plain values — schemas,
+    constants, compiled regexes — still map back to the module whose
+    edit would change them."""
+    import ast
     import inspect
+
+    if dotted in _cache:
+        return _cache[dotted]
+    mod = sys.modules.get(dotted)
+    rel = _dotted_to_relpath(dotted)
+    try:
+        if rel is not None:
+            src_file = os.path.join(_HERE, rel)
+        else:
+            src_file = inspect.getsourcefile(mod) if mod else None
+        with open(src_file) as f:
+            tree = ast.parse(f.read())
+    except Exception:
+        _cache[dotted] = (None, {}, {})
+        return _cache[dotted]
+    defs: dict = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            defs[node.name] = node
+    imports = _imports_in(tree, dotted, mod)
+    _cache[dotted] = (tree, defs, imports)
+    return _cache[dotted]
+
+
+def _imports_in(tree, dotted: str, mod) -> dict:
+    """{local_name: set of in-package provider dotted modules} from the
+    import statements anywhere in ``tree`` (module body OR a function
+    body — function-local imports count the same; round-6 finding:
+    cosine_topk_sq8 kept a stale green row after llm/similarity.py
+    changed because its import was local to the fn)."""
+    import ast
     import types
 
-    fn = QUERIES[name].fn
-    mod = sys.modules.get(fn.__module__)
-    mods = {mod} if mod is not None else set()
-    # modules that register their own catalog entries (queries.py pulls
-    # them in purely for registration) — following those edges would make
-    # every query depend on every query module, so one edit marks the
-    # whole catalog stale and a capped sweep starves never-verified names
-    registrars = {q.fn.__module__ for q in QUERIES.values()}
-    if mod is not None:
-        for obj in vars(mod).values():
-            if isinstance(obj, types.ModuleType):
-                # registration imports are module objects — skip those;
-                # helper imports (load/query/davg …) are function symbols
-                # and still count via their defining module below
-                if obj.__name__ in registrars and obj is not mod:
-                    continue
-                dep = obj
-            else:
-                dep = sys.modules.get(getattr(obj, "__module__", None) or "")
-            if dep is not None and (dep.__name__ or "").startswith(
-                "openmsistream_spark"
-            ):
-                mods.add(dep)
-    # function-LOCAL imports (``def q(): from .llm.x import f``) never
-    # appear in the module's vars(), so scan the query function's own
-    # source for them — without this, editing the imported module leaves
-    # the query falsely "fresh" (round-6 finding: cosine_topk_sq8 kept a
-    # stale green row after llm/similarity.py changed)
-    import ast
-    import textwrap
-
-    try:
-        fn_src = inspect.getsource(fn)
-    except (OSError, TypeError):
-        fn_src = ""
-    mod_parts = (fn.__module__ or "").split(".")
-    try:
-        tree = ast.parse(textwrap.dedent(fn_src)) if fn_src else None
-    except SyntaxError:
-        tree = None
-    for node in ast.walk(tree) if tree is not None else ():
+    mod_parts = dotted.split(".")
+    out: dict = {}
+    for node in ast.walk(tree):
         if isinstance(node, ast.Import):
             for alias in node.names:
-                if alias.name.startswith("openmsistream_spark"):
-                    dep = sys.modules.get(alias.name)
-                    if dep is not None:
-                        mods.add(dep)
-            continue
-        if not isinstance(node, ast.ImportFrom):
-            continue
-        if node.level > 0:
-            # resolve relative imports: N dots drop the last N
-            # components of the defining module's dotted path
-            base = mod_parts[: len(mod_parts) - node.level]
-            target = ".".join(base + ([node.module] if node.module else []))
-        else:
-            target = node.module or ""
-        if not target.startswith("openmsistream_spark"):
-            continue
-        dep = sys.modules.get(target)
-        if dep is None:
-            continue
-        mods.add(dep)
-        # a package target (`from openmsistream_spark.llm import x`)
-        # resolves to its __init__ — also add the modules DEFINING the
-        # imported names, else editing the real implementation module
-        # leaves the query falsely fresh
-        for alias in node.names:
-            obj = getattr(dep, alias.name, None)
-            if isinstance(obj, types.ModuleType):
-                sub = obj
+                if alias.name.startswith(_PKG):
+                    local = (alias.asname or alias.name).split(".")[0]
+                    out.setdefault(local, set()).add(alias.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level > 0:
+                # relative import, anchored at __package__ (the module's
+                # parent package, or the package itself for __init__s);
+                # each extra dot drops one more trailing component
+                pkg = getattr(mod, "__package__", None)
+                if pkg is None:
+                    rel = _dotted_to_relpath(dotted)
+                    is_pkg = bool(rel) and rel.endswith("__init__.py")
+                    pkg = dotted if is_pkg else ".".join(mod_parts[:-1])
+                parts = pkg.split(".") if pkg else []
+                if node.level > 1:
+                    parts = parts[: len(parts) - (node.level - 1)]
+                target = ".".join(
+                    parts + ([node.module] if node.module else [])
+                )
             else:
-                sub = sys.modules.get(getattr(obj, "__module__", None) or "")
-            if sub is not None and (sub.__name__ or "").startswith(
-                "openmsistream_spark"
-            ):
-                mods.add(sub)
+                target = node.module or ""
+            if not target.startswith(_PKG):
+                continue
+            for alias in node.names:
+                local = alias.asname or alias.name
+                providers = {target}
+                # `from pkg import x` may bind the submodule pkg.x, or a
+                # symbol pkg/__init__ re-exports from elsewhere — chase
+                # both so editing the REAL defining module is caught
+                sub = f"{target}.{alias.name}"
+                if _dotted_to_relpath(sub) is not None:
+                    providers.add(sub)
+                holder = sys.modules.get(target)
+                obj = getattr(holder, alias.name, None) if holder else None
+                if isinstance(obj, types.ModuleType):
+                    if (obj.__name__ or "").startswith(_PKG):
+                        providers.add(obj.__name__)
+                else:
+                    origin = getattr(obj, "__module__", None) or ""
+                    if origin.startswith(_PKG):
+                        providers.add(origin)
+                out.setdefault(local, set()).update(providers)
+    return out
+
+
+def _def_node_for(fn):
+    """The module-AST def node for a query function (matched by name,
+    nearest line number on duplicates) — walking the AST node covers the
+    decorator expressions, so an oracle-string edit in ``@query(...)``
+    dirties the closure too."""
+    dotted = fn.__module__ or ""
+    _, defs, _ = _module_ast(dotted)
+    return defs.get(getattr(fn, "__name__", ""))
+
+
+def _query_source_files(name: str) -> list[str]:
+    """Repo-relative source files a query's behavior depends on: the
+    defining module, plus — transitively, at function granularity — the
+    module of every in-package symbol the query function actually
+    REFERENCES (through same-module helpers and cross-module calls
+    alike). Name-usage precise: a module-level ``from .llm.dedup import
+    x`` in queries.py only counts for queries whose code reaches ``x``
+    (the round-7 coarse whole-module rule marked q1_pricing_summary
+    stale on dedup.py edits it never executes, wasting capped driver
+    sweep slots), while cross-module recursion now catches deep utils
+    the old one-level rule missed (kmeans → llm/iterutil.py)."""
+    import ast
+
+    fn = QUERIES[name].fn
+    root_mod = fn.__module__ or ""
+    dotted_mods = {root_mod}
+    root_node = _def_node_for(fn)
+    if root_node is None:
+        # source unavailable (REPL, exec) — fall back to the whole
+        # module import surface so staleness stays sound
+        _, _, imports = _module_ast(root_mod)
+        for providers in imports.values():
+            dotted_mods.update(providers)
+    seen: set = set()
+    stack = [(root_mod, root_node)] if root_node is not None else []
+    while stack:
+        dotted, node = stack.pop()
+        if (dotted, getattr(node, "name", id(node))) in seen:
+            continue
+        seen.add((dotted, getattr(node, "name", id(node))))
+        dotted_mods.add(dotted)
+        _, defs, mod_imports = _module_ast(dotted)
+        local_imports = _imports_in(node, dotted, sys.modules.get(dotted))
+        referenced = {
+            n.id for n in ast.walk(node) if isinstance(n, ast.Name)
+        }
+        # symbols brought in by function-local imports are dependencies
+        # even before use (the import executes)
+        referenced.update(local_imports)
+        for nm in referenced:
+            providers = set()
+            providers.update(local_imports.get(nm, ()))
+            providers.update(mod_imports.get(nm, ()))
+            if nm in defs and (dotted, nm) not in seen:
+                stack.append((dotted, defs[nm]))
+            for prov in providers:
+                dotted_mods.add(prov)
+                # recurse into the provider's def of this symbol so its
+                # own cross-module dependencies are tracked
+                _, pdefs, _ = _module_ast(prov)
+                if nm in pdefs and (prov, nm) not in seen:
+                    stack.append((prov, pdefs[nm]))
+        # module-attribute chains (``pkgmod.sub.fn(...)``): add every
+        # module along the dotted path that actually resolves
+        for anode in ast.walk(node):
+            if not isinstance(anode, ast.Attribute):
+                continue
+            chain = []
+            cur = anode
+            while isinstance(cur, ast.Attribute):
+                chain.append(cur.attr)
+                cur = cur.value
+            if not isinstance(cur, ast.Name):
+                continue
+            roots = local_imports.get(cur.id, set()) | mod_imports.get(
+                cur.id, set()
+            )
+            for root in roots:
+                path = root
+                for part in reversed(chain):
+                    path = f"{path}.{part}"
+                    if _dotted_to_relpath(path) is not None:
+                        dotted_mods.add(path)
+    import inspect
+
     paths = set()
-    for m in mods:
+    for dotted in dotted_mods:
+        rel = _dotted_to_relpath(dotted)
+        if rel is not None:
+            paths.add(rel)
+            continue
+        m = sys.modules.get(dotted)
+        if m is None:
+            continue
         try:
             src = inspect.getsourcefile(m)
         except TypeError:

@@ -55,6 +55,43 @@ def test_source_files_exclude_other_registrar_modules():
                 assert other_file not in files, (name, other_file)
 
 
+def test_closure_is_name_usage_precise():
+    """Round-8 refinement: a module-level import in queries.py only
+    counts for queries whose code actually reaches the symbol.
+    q1_pricing_summary never touches the dedup/similarity surface, so
+    editing llm/dedup.py must not stale it (the round-7 coarse rule
+    burned capped sweep slots re-verifying unchanged queries)."""
+    files = entry._query_source_files("q1_pricing_summary")
+    assert "openmsistream_spark/queries.py" in files
+    assert "openmsistream_spark/llm/dedup.py" not in files
+    assert "openmsistream_spark/llm/similarity.py" not in files
+
+
+def test_closure_keeps_genuine_dependencies():
+    """...while queries that DO call into a module keep the edge, both
+    for module-level imports (contamination_8gram → word_shingles) and
+    function-local ones (round-6 regression: cosine_topk_sq8)."""
+    assert "openmsistream_spark/llm/dedup.py" in entry._query_source_files(
+        "contamination_8gram"
+    )
+    assert (
+        "openmsistream_spark/llm/similarity.py"
+        in entry._query_source_files("cosine_topk_sq8")
+    )
+
+
+def test_closure_is_transitive_across_modules():
+    """Cross-module recursion the old one-level rule missed: the CC
+    queries call llm/dedup.py which calls llm/iterutil.py — editing the
+    deep util must dirty the query."""
+    files = entry._query_source_files("dedup_keep_canonical_lsh")
+    assert "openmsistream_spark/llm/iterutil.py" in files
+    # and through a function-local import chain two modules deep
+    files = entry._query_source_files("semdedup_pairs_seeded")
+    assert "openmsistream_spark/llm/semdedup.py" in files
+    assert "openmsistream_spark/llm/similarity.py" in files
+
+
 def test_oracle_names_subset_and_aligned():
     q = entry.queries()
     o = entry.oracle_sql()
