@@ -34,5 +34,27 @@ def truncate_plan(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
+    # Spark only deletes reliable checkpoint data when the context was
+    # created with spark.cleaner.referenceTracking.cleanCheckpoints=true
+    # (session.get_spark sets it; the ContextCleaner reads it ONCE at
+    # context creation, so it cannot be enabled here). Without it, every
+    # iteration leaks one full frame copy to durable storage for the
+    # life of the app — warn once so callers on foreign sessions know to
+    # clean the directory themselves.
+    conf_val = sc.getConf().get(
+        "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+    )
+    if conf_val != "true" and not getattr(truncate_plan, "_warned", False):
+        import warnings
+
+        warnings.warn(
+            "spark.cleaner.referenceTracking.cleanCheckpoints is not "
+            "enabled on this SparkContext: reliable checkpoints under "
+            f"{checkpoint_dir!r} will accumulate (one frame copy per "
+            "iteration) until the directory is cleaned manually.",
+            ResourceWarning,
+            stacklevel=2,
+        )
+        truncate_plan._warned = True
     sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=True)

@@ -1127,14 +1127,28 @@ def ensemble_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import (
         DEFAULT_MAX_SHINGLE_DF,
         cap_hot_shingles,
-        minhash_lsh_candidates,
-        minhash_signatures,
-        simhash_band_pairs,
         word_shingles,
     )
 
     docs = load(spark, sf_dir, "documents")
     sh = cap_hot_shingles(word_shingles(docs, n=3), DEFAULT_MAX_SHINGLE_DF).persist()
+    try:
+        return _ensemble_from_shingles(docs, sh)
+    finally:
+        # the result below is localCheckpoint-materialized before this
+        # runs, so unpersisting here cannot re-trigger the shingle
+        # pipeline — and a long-lived session (repeated driver sweeps)
+        # no longer accumulates one cached dataset per invocation
+        sh.unpersist()
+
+
+def _ensemble_from_shingles(docs: DataFrame, sh: DataFrame) -> DataFrame:
+    from .llm.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        simhash_band_pairs,
+    )
+
     cand = minhash_lsh_candidates(minhash_signatures(sh, num_hashes=8), rows_per_band=2)
     sim = simhash_band_pairs(docs, bits=32, bands=4, max_hamming=3)
     agreed = cand.join(sim, ["id_a", "id_b"])  # carries hamming once
@@ -1167,6 +1181,12 @@ def ensemble_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.1)
         .select("id_a", "id_b", "jaccard", "hamming")
+        # eager: the pair set (tiny next to the corpus) is materialized
+        # off the persisted shingles NOW, so the caller's unpersist is
+        # safe; localCheckpoint blocks are ContextCleaner-freed when the
+        # returned frame is garbage collected (unlike CacheManager
+        # entries, which only a matching unpersist() releases)
+        .localCheckpoint(eager=True)
     )
 
 

@@ -226,7 +226,7 @@ _SEMDEDUP_CTE = (
     _EMB_NORM_CTE
     + """
     , cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-                FROM normed WHERE vec_id < 8),
+                FROM normed WHERE vec_id < 8 AND nrm > 0),
     assigned AS (
       SELECT vec_id, v, nrm, cent_id FROM (
         SELECT n.vec_id, n.v, n.nrm, c.cent_id,

@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # reliable checkpoints (iterutil.truncate_plan with a
+        # checkpoint_dir) are one full frame copy per iteration; without
+        # this flag Spark never deletes them, so a long CC/k-means run
+        # leaks durable storage for the life of the app. Must be set at
+        # context creation — the ContextCleaner reads it once.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -51,6 +51,7 @@ def excise_batch_against_ledger(
     k: int = DEFAULT_SPAN_K,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprint: str = "hash",
 ) -> DataFrame:
     """The pure per-batch step (exposed for tests / batch backfills):
     rewrite ``batch_df`` with spans removed that duplicate (a) grams the
@@ -58,7 +59,7 @@ def excise_batch_against_ledger(
     occurrences within this batch. Returns
     (id_col, text_col, n_tokens, n_tokens_removed)."""
     grams = kgram_positions(
-        batch_df, k=k, id_col=id_col, text_col=text_col, fingerprint="hash"
+        batch_df, k=k, id_col=id_col, text_col=text_col, fingerprint=fingerprint
     )
     agg = grams.groupBy("gram").agg(
         F.count("*").alias("_n"),
@@ -132,12 +133,18 @@ def span_dedup_stream_sink(
     k: int = DEFAULT_SPAN_K,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprint: str = "hash",
 ):
     """foreachBatch sink: excise each micro-batch against the durable
     gram ledger, write the rewritten docs to ``batch=<id>``, then
     INSERT the batch's not-yet-seen grams as (gram, first_batch).
 
     ``gram_registry`` must be ``make_registry(spark, path, ["gram"])``.
+    ``fingerprint`` matches the batch operator's modes: ``"hash"``
+    (default — 8-byte xxhash64 ledger keys; an xxhash64 collision
+    between distinct k-grams would excise non-duplicate text) or
+    ``"text"`` (collision-free, string-keyed ledger — bigger state,
+    exact).
     Returns the configured ``DataStreamWriter`` — caller picks the
     trigger and calls ``.start()``."""
 
@@ -150,11 +157,13 @@ def span_dedup_stream_sink(
             k=k,
             id_col=id_col,
             text_col=text_col,
+            fingerprint=fingerprint,
         )
         excised.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         new_grams = (
             kgram_positions(
-                batch_df, k=k, id_col=id_col, text_col=text_col, fingerprint="hash"
+                batch_df, k=k, id_col=id_col, text_col=text_col,
+                fingerprint=fingerprint,
             )
             .select("gram")
             .distinct()

@@ -90,6 +90,44 @@ def test_replay_is_exactly_once(spark, tmp_path):
     assert fb == {0, 1}
 
 
+def test_text_fingerprint_mode_matches_batch(spark, tmp_path):
+    """The collision-free ``fingerprint="text"`` mode (round-7 ADVICE:
+    previously hardcoded to "hash" with no opt-out) flows through the
+    sink to the ledger keys and still matches the batch operator."""
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    reg = make_registry(spark, str(tmp_path / "grams"), ["gram"])
+    all_rows = []
+    for b, rows in enumerate(BATCHES):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/b={b}"
+        )
+        src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+        q = (
+            span_dedup_stream_sink(
+                src, reg, out_dir, ckpt, k=4, fingerprint="text"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        all_rows += rows
+    got = _out(spark, out_dir)
+    want = {
+        r.doc_id: (r.text, r.n_tokens, r.n_tokens_removed)
+        for r in excise_duplicated_spans(
+            spark.createDataFrame(all_rows, SCHEMA), k=4, fingerprint="text"
+        ).collect()
+    }
+    assert got == want
+    # ledger keys are the gram TEXT, not an 8-byte hash
+    gram = reg.read().select("gram").first().gram
+    assert isinstance(gram, str) and " " in gram
+
+
 def test_pure_step_scores_against_strictly_earlier_state(spark):
     """A batch whose grams are already ledgered AT ITS OWN id must not
     self-collide (the replay invariant), while earlier-batch grams
