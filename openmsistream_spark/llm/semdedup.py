@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _dot, _with_norm, kmeans_fit
+from .similarity import (
+    _argmax_struct,
+    _dot,
+    _pack_centroids,
+    _with_norm,
+    kmeans_fit,
+)
 
 
 def _assigned_normed(
@@ -41,25 +47,31 @@ def _assigned_normed(
     vec_col: str,
 ) -> DataFrame:
     """(id, v unit-ish, nrm, cluster): nearest-centroid assignment by max
-    cosine, ties to the lowest cluster id, via one broadcast of the
-    centroid table and one map-side-combinable max_by — the corpus
-    never shuffles for assignment."""
+    cosine, ties to the lowest cluster id. The centroid table is packed
+    into ONE broadcast array row and each vector takes a row-local
+    argmax over it — no corpus x k intermediate rows (the old
+    crossJoin shape paid a k-times row blowup per pass, ruinous at
+    SemDeDup-paper k ~ 10^4) and no shuffle (the old groupBy reduction
+    re-shuffled the corpus)."""
     pts = _with_norm(embeddings, vec_col).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("id"), F.col("_vec").alias("v"), F.col("_norm").alias("nrm")
     )
     cents = _with_norm(centroids, "centroid").filter(F.col("_norm") > 0).select(
         F.col("cluster"), F.col("_vec").alias("cv"), F.col("_norm").alias("cnrm")
     )
+    best = _argmax_struct(
+        lambda c: _dot(F.col("v"), c.getField("cv"))
+        / (F.col("nrm") * c.getField("cnrm"))
+    )
     return (
-        pts.crossJoin(F.broadcast(cents))
-        .withColumn("_c", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")))
-        .groupBy("id")
-        .agg(
-            F.first("v").alias("v"),
-            F.first("nrm").alias("nrm"),
-            F.max_by("cluster", F.struct(F.col("_c"), -F.col("cluster"))).alias(
-                "cluster"
-            ),
+        pts.crossJoin(F.broadcast(_pack_centroids(cents, "cnrm")))
+        # no usable centroids → no rows; size() not isNotNull(_b), which
+        # Catalyst would push into the join condition and re-evaluate
+        # the whole argmax per row
+        .filter(F.size(F.col("_cents")) > 0)
+        .withColumn("_b", best)
+        .select(
+            "id", "v", "nrm", (-F.col("_b").getField("negc")).alias("cluster")
         )
     )
 

@@ -43,6 +43,39 @@ def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_vec", vec).withColumn("_norm", F.sqrt(_dot(F.col("_vec"), F.col("_vec"))))
 
 
+def _pack_centroids(cents: DataFrame, *extra: str) -> DataFrame:
+    """The centroid table as ONE row holding a cluster-sorted array of
+    (cluster, cv, *extra) structs. Broadcast-cross-joined to the corpus
+    this costs bytes per partition instead of rows per vector: the old
+    ``crossJoin(broadcast(cents))`` assignment materialized corpus x k
+    intermediate rows and reduced them through a groupBy — i.e. a full
+    corpus shuffle — and at SemDeDup-paper k (~10^4) a 10^4x row blowup
+    per Lloyd pass. The packed form scores all k centroids inside one
+    row-local array expression (``_argmax_struct``): single pass, no
+    extra rows, no shuffle."""
+    cols = [
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("cv").alias("cv"),
+    ] + [F.col(c).alias(c) for c in extra]
+    return cents.agg(F.array_sort(F.collect_list(F.struct(*cols))).alias("_cents"))
+
+
+def _argmax_struct(score) -> F.Column:
+    """``struct(s=<best score>, negc=-<best cluster>)`` over the packed
+    ``_cents`` array: maximum score, ties to the LOWEST cluster id
+    (struct comparison on (s, -cluster) — the same tie rule as the old
+    ``max_by(cluster, struct(dot, -cluster))``). NULL when the centroid
+    set is empty. ``score(c)`` maps one centroid struct to its score."""
+    return F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                score(c).alias("s"), (-c.getField("cluster")).alias("negc")
+            ),
+        )
+    )
+
+
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Two-phase top-k over (query_id, neighbor_id, cosine) rows.
 
@@ -367,15 +400,12 @@ def kmeans_fit(
     )
     cents = truncate_plan(cents, checkpoint_dir)
     for _ in range(max_iters):
+        best = _argmax_struct(lambda c: _dot(F.col("v"), c.getField("cv")))
         assigned = (
-            pts.crossJoin(F.broadcast(cents))
-            .withColumn("dot", _dot(F.col("v"), F.col("cv")))
-            .groupBy("id")
-            .agg(
-                F.first("v").alias("v"),
-                F.max_by(
-                    "cluster", F.struct(F.col("dot"), -F.col("cluster"))
-                ).alias("cluster"),
+            pts.crossJoin(F.broadcast(_pack_centroids(cents)))
+            .withColumn("_b", best)
+            .select(
+                "id", "v", (-F.col("_b").getField("negc")).alias("cluster")
             )
         )
         sums = (
@@ -414,9 +444,11 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine; ties to
-    the lowest cluster id) — the IVF index build. One broadcast of the
-    centroid table, one map-side-combinable aggregation; the corpus
-    never shuffles. Zero-norm vectors are excluded (no direction).
+    the lowest cluster id) — the IVF index build. The centroid table is
+    packed into ONE broadcast array row and each vector takes a single
+    row-local argmax over it: no corpus x k intermediate rows, no
+    shuffle (the old groupBy reduction re-shuffled the whole corpus).
+    Zero-norm vectors are excluded (no direction).
 
     Returns (id_col, cluster, dot) — ``dot`` is the cosine to the
     assigned centroid (centroids are unit-norm from ``kmeans_fit``).
@@ -429,16 +461,20 @@ def kmeans_assign(
             F.transform(F.col("_vec"), lambda x: x / F.col("_norm")).alias("v"),
         )
     )
-    scored = pts.crossJoin(
-        F.broadcast(centroids.select("cluster", F.col("centroid").alias("cv")))
-    ).withColumn("dot", _dot(F.col("v"), F.col("cv")))
-    return scored.groupBy(id_col).agg(
-        F.max_by("cluster", F.struct(F.col("dot"), -F.col("cluster"))).alias(
-            "cluster"
-        ),
-        F.max(F.struct(F.col("dot"), -F.col("cluster"))).getField("dot").alias(
-            "dot"
-        ),
+    packed = _pack_centroids(centroids.select("cluster", F.col("centroid").alias("cv")))
+    best = _argmax_struct(lambda c: _dot(F.col("v"), c.getField("cv")))
+    return (
+        pts.crossJoin(F.broadcast(packed))
+        # empty centroid set → no rows; size() not isNotNull(_b), which
+        # Catalyst would push into the join condition and re-evaluate
+        # the whole argmax per row
+        .filter(F.size(F.col("_cents")) > 0)
+        .withColumn("_b", best)
+        .select(
+            id_col,
+            (-F.col("_b").getField("negc")).alias("cluster"),
+            F.col("_b").getField("s").alias("dot"),
+        )
     )
 
 

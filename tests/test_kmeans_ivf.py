@@ -109,6 +109,14 @@ def test_kmeans_plan_broadcasts_and_stays_jvm_side(spark, emb):
     # the centroid set rides a broadcast nested-loop cross join (k rows);
     # the corpus must never hit a shuffle-based join for assignment
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # round-8 shape: the broadcast side is ONE packed array row, the
+    # argmax is a row-local array expression — no corpus x k row blowup
+    # (no per-centroid join fan-out) and no groupBy reduction, so the
+    # only Exchanges in the plan are on the k-row centroid side
+    assert "array_max" in plan
+    assert "max_by" not in plan
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_side, corpus_side
 
 
 def test_ivf_index_search_matches_inmemory_and_prunes(spark, emb, tmp_path):
