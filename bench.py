@@ -192,12 +192,20 @@ def main() -> None:
     # of two runs is a far more stable estimator of the plan's true cost
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
 
+    def _timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     def best_of(fn) -> float:
-        best = float("inf")
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        best = min(_timed(fn) for _ in range(repeat))
+        # sub-5 s entries are dominated by stage-scheduling latency,
+        # where one GC/JIT hiccup reads as a 10% "regression"
+        # round-over-round (round-7 finding) — buy one extra trial for
+        # them; the reported metric is the min, so extra trials never
+        # inflate it
+        if best < 5.0 and repeat > 1:
+            best = min(best, _timed(fn))
         return round(best, 3)
 
     timings: dict[str, float] = {}

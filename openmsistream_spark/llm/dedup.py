@@ -324,6 +324,9 @@ def minhash_lsh_dedup(
     Hot shingles are capped once, up front, so signatures, candidates and
     the verify join all see the same capped shingle set (a high-DF
     shingle would otherwise be a quadratic hot key in the verify join).
+    The verify stage (sizes + exact-Jaccard join) runs on the shingles
+    of CANDIDATE docs only — a broadcast semi-join restriction, so its
+    shuffles are duplicate-set-sized even when the corpus is 100 TB.
     The capped set feeds four plan branches (signatures, sizes, both
     verify-join sides) — off by default because AQE's runtime exchange
     reuse collapses the identical subtrees (measured no-win at bench
@@ -344,10 +347,28 @@ def minhash_lsh_dedup(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
-    cand = minhash_lsh_candidates(sigs, rows_per_band=rows_per_band, id_col=id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # the candidate set feeds two subtrees below (the verify join and
+    # the doc restriction) — localCheckpoint it so the band pipeline
+    # runs once; non-eager, so the (lazy) returned plan triggers it,
+    # and the blocks are ContextCleaner-freed when the frame is GC'd
+    cand = minhash_lsh_candidates(
+        sigs, rows_per_band=rows_per_band, id_col=id_col
+    ).localCheckpoint(eager=False)
+    # verify only ever looks at CANDIDATE docs' shingles: restrict the
+    # shingle table once via a broadcast semi-join (the candidate id set
+    # is duplicate-set-sized, tiny next to the corpus). Without this the
+    # exact-Jaccard join shuffles the ENTIRE corpus shingle table on
+    # (id_b, shingle) — at 100 TB that one shuffle dwarfs the rest of
+    # the pipeline; after it, both verify sides are candidate-sized.
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_v = sh.join(F.broadcast(ids), id_col, "left_semi")
+    sizes = sh_v.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh_v.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh_v.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         cand.join(sa, "id_a")
         .join(sb, ["id_b", "shingle"])
