@@ -24,6 +24,7 @@ from openmsistream_spark.session import get_spark
 
 import openmsistream_spark.queries_extras  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras2  # noqa: E402,F401  registers extras
+import openmsistream_spark.queries_extras3  # noqa: E402,F401  registers extras
 
 HEADLINE = [
     "q1_pricing_summary",

@@ -2,17 +2,27 @@
 
 The Spark-side plumbing is real and tested — schema, partition-parallel
 ``mapInPandas`` batch shape, Arrow transfer, metadata structs. The codec
-step itself is pluggable: real decoders (PIL/librosa/av) register via
-``set_decoder`` when their libraries exist; this container has none, so
-the default is a deterministic fake decoder (for plumbing tests) and
-``strict`` mode raises NotImplementedError, clearly marking the stub.
+step is layered:
+
+- **Real decode, no dependencies**: uncompressed BMP (8/24/32-bpp),
+  binary PPM/PGM, and PCM WAV are parsed in pure Python/numpy
+  (``decode_bmp``/``decode_ppm``/``decode_wav``) — headers, row
+  padding, and sample widths per the published format specs. The
+  default decoder sniffs magic bytes and uses these.
+- **Heavyweight codecs** (JPEG/MP3/H.264 …) need external libraries
+  this container does not ship: register one via ``set_decoder``.
+- **Unknown formats** fall back to the deterministic fake decoder
+  (plumbing stays exercisable); ``strict=True`` raises instead, so a
+  production pipeline cannot silently ship hash-derived features.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,6 +73,168 @@ def fake_decoder(media_type: str, content: bytes) -> dict:
     }
 
 
+def _pixel_features(px: "np.ndarray", width: int, height: int, channels: int) -> dict:
+    """8-dim feature vector over a (h, w, c) uint8 pixel array — plain
+    summary statistics, each hand-computable for oracle tests."""
+    flat = px.astype(np.float64) / 255.0
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": 1,
+        "features": [
+            float(width),
+            float(height),
+            float(channels),
+            float(flat.mean()),
+            float(flat.std()),
+            float(flat.min()),
+            float(flat.max()),
+            float(width) / float(height),
+        ],
+    }
+
+
+def decode_bmp(content: bytes) -> dict:
+    """Uncompressed BMP (BITMAPINFOHEADER, 8/24/32 bpp): 14-byte file
+    header ('BM', pixel-data offset at byte 10), 40-byte info header
+    (width/height int32 — negative height = top-down), rows padded to
+    4-byte boundaries. Palette indices (8 bpp) are treated as grayscale
+    values; 24/32 bpp rows are BGR(A) order per the spec."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", content, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"{bpp}-bpp BMP unsupported")
+    top_down = height < 0
+    height = abs(height)
+    channels = bpp // 8
+    row_bytes = (width * channels + 3) & ~3  # pad to 4-byte boundary
+    need = data_off + row_bytes * height
+    if len(content) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)[:, : width * channels]
+    px = rows.reshape(height, width, channels)
+    if not top_down:
+        px = px[::-1]  # bottom-up storage → top-down array
+    if channels >= 3:
+        px = px[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]  # BGR(A)→RGB(A)
+    return _pixel_features(px, width, height, channels)
+
+
+def decode_ppm(content: bytes) -> dict:
+    """Binary PPM (P6, RGB) / PGM (P5, gray): ASCII header of magic,
+    width, height, maxval (whitespace/comment separated), then raw
+    samples, one or three bytes per pixel (maxval <= 255)."""
+    if content[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM")
+    channels = 3 if content[:2] == b"P6" else 1
+    # tokenize the header: magic + 3 ints, '#' comments run to newline
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(content[start:pos]))
+    width, height, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    pos += 1  # single whitespace after maxval, per spec
+    need = width * height * channels
+    if len(content) < pos + need:
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(content, dtype=np.uint8, count=need, offset=pos).reshape(
+        height, width, channels
+    )
+    return _pixel_features(px, width, height, channels)
+
+
+def decode_wav(content: bytes) -> dict:
+    """PCM WAV: RIFF/WAVE container, 'fmt ' chunk (format 1 = integer
+    PCM, 8- or 16-bit), 'data' chunk of interleaved little-endian
+    samples. Features are summary statistics over samples normalized to
+    [-1, 1]; ``n_frames`` is the per-channel sample count."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"non-PCM or {bits}-bit WAV unsupported")
+    if bits == 16:
+        samples = (
+            np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.float64)
+            / 32768.0
+        )
+    else:  # 8-bit WAV is unsigned, midpoint 128
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    n_frames = len(samples) // max(1, n_channels)
+    rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
+    return {
+        "width": None,
+        "height": None,
+        "n_frames": int(n_frames),
+        "features": [
+            float(n_channels),
+            float(sample_rate),
+            float(n_frames),
+            float(n_frames) / float(sample_rate) if sample_rate else 0.0,
+            float(samples.mean()) if len(samples) else 0.0,
+            rms,
+            float(samples.min()) if len(samples) else 0.0,
+            float(samples.max()) if len(samples) else 0.0,
+        ],
+    }
+
+
+def default_decoder(media_type: str, content: bytes) -> dict:
+    """Magic-byte-sniffing decoder: real parse for the dependency-free
+    formats (BMP, PPM/PGM, PCM WAV), deterministic fake for anything
+    else — so known formats always yield REAL byte-derived features
+    while exotic codecs keep the plumbing testable. ``strict`` mode in
+    ``decode_features`` refuses the fake branch instead."""
+    try:
+        if content[:2] == b"BM":
+            return decode_bmp(content)
+        if content[:2] in (b"P5", b"P6"):
+            return decode_ppm(content)
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            return decode_wav(content)
+    except ValueError:
+        pass  # malformed header → fall through to the fake
+    return fake_decoder(media_type, content)
+
+
+def _is_known_format(content: bytes) -> bool:
+    return (
+        content[:2] in (b"BM", b"P5", b"P6")
+        or (content[:4] == b"RIFF" and content[8:12] == b"WAVE")
+    )
+
+
 def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode/feature-extract media rows via partition-parallel
     ``mapInPandas`` (one Arrow batch per call — the batch shape a real
@@ -72,11 +244,20 @@ def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
     decoder = _DECODER
     if decoder is None:
         if strict:
-            raise NotImplementedError(
-                "no media decoder registered: install codec libraries and call "
-                "set_decoder(); the container image ships none (stub by design)"
-            )
-        decoder = fake_decoder
+            # built-ins really decode BMP/PPM/PGM/PCM-WAV; strict mode
+            # refuses only the hash-derived FAKE branch for formats that
+            # need external codec libraries
+            def decoder(media_type: str, content: bytes) -> dict:
+                if not _is_known_format(content):
+                    raise NotImplementedError(
+                        "no decoder for this format: built-ins cover "
+                        "BMP/PPM/PGM/PCM-WAV; install codec libraries and "
+                        "call set_decoder() for others (stub by design)"
+                    )
+                return default_decoder(media_type, content)
+
+        else:
+            decoder = default_decoder
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

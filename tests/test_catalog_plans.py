@@ -12,6 +12,7 @@ PYTHON_ALLOWED = {
     "multimodal_decode_features",  # mapInPandas codec stage (by design)
     "multimodal_frame_sample",
     "multimodal_resize",
+    "multimodal_pgm_decode",  # REAL decode through the same codec stage
     "wire_roundtrip_docs",  # msgpack serde pandas UDFs (by design)
     # two-phase top-k: one bounded per-partition mapInPandas stage keeps the
     # global window over partitions*queries*k survivors instead of the whole

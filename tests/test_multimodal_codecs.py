@@ -1,0 +1,174 @@
+"""Real dependency-free media decode (round-8): uncompressed BMP,
+binary PPM/PGM, and PCM WAV parsed in pure Python/numpy, verified
+against HAND-COMPUTED oracles (fixtures built byte-by-byte in the test,
+expected features derived with plain-Python arithmetic, never by
+calling the code under test)."""
+
+import math
+import struct
+
+import pytest
+
+from openmsistream_spark.llm.multimodal import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    default_decoder,
+    fake_decoder,
+)
+
+
+def _bmp(width, height, pixels_rgb_topdown, bpp=24, top_down=False):
+    """Build an uncompressed BMP byte string. ``pixels_rgb_topdown`` is
+    row-major top-down [(r, g, b), ...]; storage converts to the file's
+    bottom-up BGR rows with 4-byte padding unless ``top_down``."""
+    channels = bpp // 8
+    row_bytes = (width * channels + 3) & ~3
+    rows = [
+        pixels_rgb_topdown[r * width : (r + 1) * width] for r in range(height)
+    ]
+    if not top_down:
+        rows = rows[::-1]
+    body = b""
+    for row in rows:
+        raw = b""
+        for px in row:
+            if channels == 1:
+                raw += bytes([px])
+            else:
+                r, g, b = px[:3]
+                raw += bytes([b, g, r]) + (b"\xff" if channels == 4 else b"")
+        body += raw + b"\x00" * (row_bytes - len(raw))
+    stored_h = -height if top_down else height
+    info = struct.pack("<IiiHHIIiiII", 40, width, stored_h, 1, bpp, 0, 0, 0, 0, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    return hdr + info + body
+
+
+RED, GREEN, BLUE, WHITE = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+
+
+def test_bmp_24bpp_hand_oracle():
+    # 2x2: [red green / blue white] — 6 of 12 samples are 255, rest 0
+    content = _bmp(2, 2, [RED, GREEN, BLUE, WHITE])
+    d = decode_bmp(content)
+    assert (d["width"], d["height"], d["n_frames"]) == (2, 2, 1)
+    w, h, c, mean, std, lo, hi, aspect = d["features"]
+    assert (w, h, c) == (2.0, 2.0, 3.0)
+    assert mean == pytest.approx(0.5)  # 6 ones, 6 zeros
+    assert std == pytest.approx(0.5)  # Bernoulli(1/2) spread
+    assert (lo, hi, aspect) == (0.0, 1.0, 1.0)
+
+
+def test_bmp_row_padding_and_rgb_order():
+    # 3x1 24bpp: raw row is 9 bytes, padded to 12 — padding must NOT
+    # leak into the stats; an asymmetric pixel proves BGR→RGB swap
+    content = _bmp(3, 1, [(255, 0, 0), (0, 0, 0), (0, 0, 0)])
+    d = decode_bmp(content)
+    assert d["features"][3] == pytest.approx(1.0 / 9.0)  # one 255 of 9
+    assert len(content) == 54 + 12
+
+
+def test_bmp_topdown_equals_bottomup():
+    px = [RED, GREEN, BLUE, WHITE]
+    assert decode_bmp(_bmp(2, 2, px)) == decode_bmp(_bmp(2, 2, px, top_down=True))
+
+
+def test_bmp_8bpp_grayscale():
+    content = _bmp(2, 1, [0, 255], bpp=8)
+    d = decode_bmp(content)
+    assert d["features"][2] == 1.0  # single channel
+    assert d["features"][3] == pytest.approx(0.5)
+
+
+def test_bmp_rejects_compressed_and_truncated():
+    good = _bmp(2, 2, [RED, GREEN, BLUE, WHITE])
+    compressed = good[:30] + struct.pack("<I", 1) + good[34:]
+    with pytest.raises(ValueError, match="compressed"):
+        decode_bmp(compressed)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:-4])
+
+
+def test_pgm_with_comment_header():
+    content = b"P5 # a comment\n3 1 255\n" + bytes([0, 128, 255])
+    d = decode_ppm(content)
+    assert (d["width"], d["height"]) == (3, 1)
+    expect_mean = (0 / 255 + 128 / 255 + 255 / 255) / 3
+    assert d["features"][3] == pytest.approx(expect_mean)
+
+
+def test_ppm_p6_rgb():
+    content = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    d = decode_ppm(content)
+    assert d["features"][2] == 3.0
+    assert d["features"][3] == pytest.approx(2 / 6)
+
+
+def _wav(samples, rate=8000, channels=1):
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_pcm16_hand_oracle():
+    samples = [0, 16384, -32768, 32767]
+    d = decode_wav(_wav(samples))
+    norm = [s / 32768.0 for s in samples]
+    assert d["n_frames"] == 4
+    ch, rate, nf, dur, mean, rms, lo, hi = d["features"]
+    assert (ch, rate, nf) == (1.0, 8000.0, 4.0)
+    assert dur == pytest.approx(4 / 8000)
+    assert mean == pytest.approx(sum(norm) / 4)
+    assert rms == pytest.approx(math.sqrt(sum(v * v for v in norm) / 4))
+    assert (lo, hi) == (-1.0, norm[3])
+
+
+def test_wav_stereo_frames_are_per_channel():
+    d = decode_wav(_wav([0, 0, 1000, -1000], channels=2))
+    assert d["n_frames"] == 2
+    assert d["features"][0] == 2.0
+
+
+def test_wav_rejects_float_format():
+    wav = bytearray(_wav([0, 1]))
+    wav[20:22] = struct.pack("<H", 3)  # IEEE float format code
+    with pytest.raises(ValueError, match="non-PCM"):
+        decode_wav(bytes(wav))
+
+
+def test_default_decoder_sniffs_and_falls_back():
+    bmp = _bmp(2, 2, [RED, GREEN, BLUE, WHITE])
+    assert default_decoder("image", bmp) == decode_bmp(bmp)
+    wav = _wav([0, 100])
+    assert default_decoder("audio", wav) == decode_wav(wav)
+    # unknown magic → deterministic fake (plumbing path), never raises
+    blob = b"\x89PNG\r\n\x1a\nnot-actually-decodable"
+    assert default_decoder("image", blob) == fake_decoder("image", blob)
+    # malformed header of a known magic also falls back instead of dying
+    assert default_decoder("image", b"BMgarbage") == fake_decoder(
+        "image", b"BMgarbage"
+    )
+
+
+def test_decode_features_end_to_end_real_formats(spark):
+    """The Spark mapInPandas stage carries real decodes: features arrive
+    as float32, so compare with relative tolerance."""
+    from openmsistream_spark.llm.multimodal import decode_features
+
+    bmp = _bmp(2, 2, [RED, GREEN, BLUE, WHITE])
+    wav = _wav([0, 16384, -32768, 32767])
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp), None),
+            (2, "audio", bytearray(wav), None),
+        ],
+        "media_id long, media_type string, content binary, meta map<string,string>",
+    )
+    rows = {r.media_id: r for r in decode_features(media).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_frames) == (2, 2, 1)
+    assert rows[1].features[3] == pytest.approx(0.5, rel=1e-6)
+    assert rows[2].width is None and rows[2].n_frames == 4
+    assert rows[2].features[1] == pytest.approx(8000.0)

@@ -222,11 +222,24 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_strict_stub(spark):
+    """strict refuses the hash-derived FAKE branch for unknown formats —
+    at execution time now (the format check is per row, since BMP/PPM/
+    WAV decode for real); a known format sails through strict mode."""
+    from pyspark.errors import PythonException
+
     from openmsistream_spark.llm.multimodal import decode_features
 
     media = spark.createDataFrame(
         [(1, "image", bytearray(b"x"), None)],
         "media_id long, media_type string, content binary, meta map<string,string>",
     )
-    with pytest.raises(NotImplementedError, match="stub by design"):
-        decode_features(media, strict=True)
+    with pytest.raises(PythonException, match="stub by design"):
+        decode_features(media, strict=True).collect()
+
+    pgm = b"P5 2 1 255\n" + bytes([10, 20])
+    ok = spark.createDataFrame(
+        [(1, "image", bytearray(pgm), None)],
+        "media_id long, media_type string, content binary, meta map<string,string>",
+    )
+    row = decode_features(ok, strict=True).collect()[0]
+    assert (row.width, row.height) == (2, 1)
