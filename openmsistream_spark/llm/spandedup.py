@@ -151,6 +151,7 @@ def excise_duplicated_spans(
     text_col: str = "text",
     min_occurrences: int = 2,
     fingerprint: str = "hash",
+    max_passes: int = 1,
 ) -> DataFrame:
     """Keep-first exact-substring dedup: rewrite every document with its
     duplicated spans REMOVED, keeping only the corpus-order-first
@@ -171,11 +172,68 @@ def excise_duplicated_spans(
     text operator here), so the rewrite canonicalizes whitespace/case.
     Docs shorter than k tokens pass through untouched. Removing a span
     can abut tokens that now form NEW k-grams across the cut — the
-    standard artifact of excision-based dedup; run to fixpoint if that
-    matters (one pass removes the overwhelming bulk).
+    standard artifact of excision-based dedup. ``max_passes`` (default 1
+    — the catalog/oracle contract) re-runs excision on the rewritten
+    corpus until a pass removes nothing or the cap is reached, each pass
+    one full distributed job over a localCheckpoint-truncated frame (the
+    iterative-algorithm idiom); ``n_tokens`` stays the ORIGINAL count
+    and ``n_tokens_removed`` accumulates across passes, so the output
+    contract is identical at any pass count.
 
     Returns (id_col, text, n_tokens, n_tokens_removed).
     """
+    out = _excise_pass(
+        docs,
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        min_occurrences=min_occurrences,
+        fingerprint=fingerprint,
+    )
+    if max_passes <= 1:
+        return out
+    from .iterutil import truncate_plan
+
+    cur = truncate_plan(out)
+    for _ in range(max_passes - 1):
+        nxt = truncate_plan(
+            _excise_pass(
+                cur.select(id_col, text_col),
+                k=k,
+                id_col=id_col,
+                text_col=text_col,
+                min_occurrences=min_occurrences,
+                fingerprint=fingerprint,
+            )
+        )
+        removed = nxt.agg(F.sum("n_tokens_removed")).first()[0] or 0
+        if removed == 0:
+            break  # fixpoint: nothing cut, text unchanged
+        cur = cur.select(
+            id_col, "n_tokens", F.col("n_tokens_removed").alias("_prev")
+        ).join(
+            nxt.select(
+                id_col, text_col, F.col("n_tokens_removed").alias("_now")
+            ),
+            id_col,
+        ).select(
+            id_col,
+            text_col,
+            "n_tokens",
+            (F.col("_prev") + F.col("_now")).alias("n_tokens_removed"),
+        )
+    return cur
+
+
+def _excise_pass(
+    docs: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+    min_occurrences: int,
+    fingerprint: str,
+) -> DataFrame:
+    """One excision pass (the whole operator when ``max_passes=1``)."""
     grams = kgram_positions(
         docs, k=k, id_col=id_col, text_col=text_col, fingerprint=fingerprint
     )

@@ -208,3 +208,75 @@ def test_excision_keeps_exactly_one_copy_of_planted_run(spark):
     )
     got = {r.doc_id: r.text for r in excise_duplicated_spans(docs, k=4).collect()}
     assert got == {5: text, 9: ""}
+
+
+def test_fixpoint_removes_cross_cut_duplicates(spark):
+    """Pass 1 provably leaves a duplicate k-gram that only EXISTS after
+    the cut (the documented single-pass artifact); max_passes=2 removes
+    it, and a higher cap is a no-op once the fixpoint is reached."""
+    from openmsistream_spark.llm.spandedup import excise_duplicated_spans
+
+    # A holds both "w x y z" and the run "d1 d2 d3 d4"; B interleaves
+    # the run INSIDE w x | y z, so B's only pass-1 duplicate is the run.
+    # Excising it from B joins "w x"+"y z" into a NEW "w x y z" gram
+    # duplicating A's — invisible to pass 1 by construction.
+    a = "w x y z a b c d1 d2 d3 d4"
+    b = "p1 w x d1 d2 d3 d4 y z p2"
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+
+    one = {r.doc_id: r for r in excise_duplicated_spans(docs, k=4).collect()}
+    assert one[1].text == a
+    assert one[2].text == "p1 w x y z p2"  # cross-cut dup survives pass 1
+    assert one[2].n_tokens_removed == 4
+
+    two = {
+        r.doc_id: r
+        for r in excise_duplicated_spans(docs, k=4, max_passes=2).collect()
+    }
+    assert two[1].text == a
+    assert two[2].text == "p1 p2"  # pass 2 excised the cross-cut gram
+    assert two[2].n_tokens == 10  # ORIGINAL token count, not post-pass-1
+    assert two[2].n_tokens_removed == 8  # cumulative across passes
+
+    # fixpoint: a generous cap changes nothing beyond pass 2
+    five = {
+        r.doc_id: (r.text, r.n_tokens, r.n_tokens_removed)
+        for r in excise_duplicated_spans(docs, k=4, max_passes=5).collect()
+    }
+    assert five == {
+        d: (r.text, r.n_tokens, r.n_tokens_removed) for d, r in two.items()
+    }
+
+
+def test_planted_corpus_wide_boilerplate_gram_no_concentration(spark):
+    """The realistic 100 TB skew case (VERDICT r7 #5): ONE boilerplate
+    k-gram occurring in every document. The per-gram aggregate is
+    map-side combinable (count + min — partials collapse before the
+    shuffle, so the hot gram arrives at its reducer as a handful of
+    partial rows), and the positions-side join against the duplicated
+    gram set must not re-shuffle all occurrences onto one task: at this
+    dup-set size Catalyst broadcasts the dup set (occurrences never
+    leave their source partitions); past the broadcast threshold the
+    session's AQE skew-join splits the skewed partition."""
+    from openmsistream_spark.llm.spandedup import excise_duplicated_spans
+
+    boiler = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i}a unique{i}b unique{i}c") for i in range(500)],
+        "doc_id long, text string",
+    )
+    out = excise_duplicated_spans(docs, k=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    # AQE picks the join strategy at runtime — read the FINAL plan
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "isFinalPlan=true" in plan
+    # the hot-gram join is a broadcast of the (tiny) duplicated-gram
+    # aggregate — the occurrence rows are the streamed side
+    assert "BroadcastHashJoin" in plan
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert len(rows) == 500
+    assert rows[0].text.startswith(boiler)  # corpus-first copy survives
+    removed = sum(r.n_tokens_removed for r in rows.values())
+    assert removed == 4 * 499  # every other doc loses exactly the run
