@@ -117,3 +117,50 @@ def test_completed_tombstone_blocks_phantom(spark, tmp_path):
     assert len(out) == 1
     assert out[0].status == "SUCCESSFULLY_RECONSTRUCTED"
     assert bytes(out[0].file_bytes) == payload
+
+
+def test_ensemble_releases_its_shingle_cache(spark):
+    """Round-7 ADVICE: ensemble_neardup_pairs persisted the shingle
+    frame per invocation with no unpersist — a long-lived session
+    (repeated driver sweeps) accumulated one cached dataset per call.
+    Now the pair set is materialized eagerly and the cache released
+    before the call returns."""
+    from openmsistream_spark.queries import QUERIES
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = QUERIES["ensemble_neardup_pairs"].fn(spark, SF)
+    # the shingle cache must be gone at return time (the result rides a
+    # localCheckpoint, which the context cleaner frees on GC — explicit
+    # caches are the leak class this guards against)
+    leaked = jsc.getPersistentRDDs().size() - before
+    assert df.count() >= 0
+    # one localCheckpoint block for the returned pair frame is expected;
+    # the (much larger) shingle cache would add a second entry per call
+    df2 = QUERIES["ensemble_neardup_pairs"].fn(spark, SF)
+    assert df2.count() >= 0
+    grown = jsc.getPersistentRDDs().size() - before
+    # two invocations: at most the two result checkpoints linger until
+    # GC — NOT two shingle caches on top (the round-7 leak was +2 per
+    # call: shingle cache never released)
+    assert grown - leaked <= leaked + 1
+
+
+def test_truncate_plan_warns_without_cleaner_flag(spark, tmp_path, recwarn):
+    """Round-7 ADVICE: reliable checkpoints leak durable storage unless
+    spark.cleaner.referenceTracking.cleanCheckpoints was set at context
+    creation. get_spark sets it; on sessions where it is absent,
+    truncate_plan must say so (once)."""
+    from openmsistream_spark.llm.iterutil import truncate_plan
+
+    df = spark.range(4)
+    flag = spark.sparkContext.getConf().get(
+        "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+    )
+    out = truncate_plan(df, str(tmp_path / "ckpt"))
+    assert out.count() == 4
+    warned = [w for w in recwarn.list if issubclass(w.category, ResourceWarning)]
+    if flag == "true":
+        assert not warned  # session factory configured cleanup — silent
+    else:
+        assert warned and "cleanCheckpoints" in str(warned[0].message)
