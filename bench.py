@@ -89,6 +89,9 @@ HEADLINE = [
     "key_skew_profile",
     "ensemble_neardup_pairs",
     "token_collocation_lift",
+    # round-8 additions
+    "multimodal_pgm_decode",
+    "dedup_keep_best",
 ]
 
 
