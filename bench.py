@@ -92,6 +92,7 @@ HEADLINE = [
     # round-8 additions
     "multimodal_pgm_decode",
     "dedup_keep_best",
+    "dsir_importance_rank",
 ]
 
 

@@ -169,3 +169,61 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cluster", "kept_id", "kept_n_tokens", "n_members")
     )
+
+
+@query(
+    "dsir_importance_rank",
+    """
+    WITH per_doc AS (
+      SELECT doc_id, token, count(*) AS cnt
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                      x -> x <> '')) AS token
+            FROM documents)
+      GROUP BY 1, 2),
+    raw_tok AS (SELECT token, sum(cnt) AS cnt_r FROM per_doc GROUP BY 1),
+    tgt_tok AS (SELECT token, sum(cnt) AS cnt_t
+                FROM per_doc p JOIN documents d USING (doc_id)
+                WHERE d.source = 'src0' GROUP BY 1),
+    vocab AS (SELECT coalesce(r.token, g.token) AS token,
+                     coalesce(cnt_r, 0) AS cnt_r, coalesce(cnt_t, 0) AS cnt_t
+              FROM raw_tok r FULL OUTER JOIN tgt_tok g ON r.token = g.token),
+    sc AS (SELECT sum(cnt_r) AS n_raw, sum(cnt_t) AS n_tgt, count(*) AS v
+           FROM vocab),
+    rt AS (SELECT token,
+                  (2 * CAST((cnt_t + 1) AS HUGEINT) * (n_raw + v) * 1000000
+                   + (CAST(n_tgt AS HUGEINT) + v) * (cnt_r + 1))
+                  // (2 * (CAST(n_tgt AS HUGEINT) + v) * (cnt_r + 1)) AS r_micro
+           FROM vocab, sc)
+    SELECT doc_id,
+           CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+           CAST((2 * sum(CAST(p.cnt AS HUGEINT) * r_micro) + 100) // 200
+                AS DOUBLE) / 10000.0 AS score
+    FROM per_doc p JOIN rt USING (token)
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023): rank the raw corpus "
+    "by unigram importance under a target (in-domain) distribution — here "
+    "the src0 slice as the seed set — with Laplace smoothing over the "
+    "union vocabulary. Engine-exact ratio mode: per-token likelihood "
+    "ratios are exact rationals, half-up-rounded at 6 dp in widened "
+    "integer arithmetic (DECIMAL(38,0)/HUGEINT), so the whole scoring "
+    "pipeline hash-matches the oracle. One map-side-combinable token-count "
+    "shuffle; the per-token ratio table is a vocab-sized broadcast, so "
+    "scoring adds no further corpus shuffle",
+    survey="LLM curation: importance resampling for data selection (round-8)",
+)
+def dsir_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 raw docs by target-likeness (ties to lowest doc_id)."""
+    from .llm.dsir import dsir_importance
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    scored = dsir_importance(docs, target)
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", "n_tokens", "score")
+    )

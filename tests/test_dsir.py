@@ -1,0 +1,70 @@
+"""DSIR importance scoring (llm/dsir.py): target-likeness ordering,
+Laplace smoothing of unseen tokens, and log/ratio mode agreement."""
+
+import math
+
+import pytest
+
+from openmsistream_spark.llm.dsir import dsir_importance
+
+SCHEMA = "doc_id long, text string"
+ROWS = [
+    (1, "aa bb cc aa bb"),  # pure target-language
+    (2, "xx yy zz xx yy"),  # pure raw-only language
+    (3, "aa bb xx yy"),  # mixed
+    (4, "aa aa aa aa"),  # target-heavy
+]
+TARGET = [(100, "aa bb cc aa bb cc aa")]
+
+
+def _scores(spark, mode):
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    tgt = spark.createDataFrame(TARGET, SCHEMA)
+    return {
+        r.doc_id: (r.score, r.n_tokens)
+        for r in dsir_importance(docs, tgt, mode=mode).collect()
+    }
+
+
+def test_target_like_docs_outrank_raw_only(spark):
+    s = _scores(spark, "ratio")
+    assert s[1][0] > s[3][0] > s[2][0]  # pure target > mixed > raw-only
+    assert s[1][1] == 5  # n_tokens preserved
+
+
+def test_log_mode_matches_hand_computation(spark):
+    """Paper-faithful estimator on a hand-checkable corpus: doc 2's
+    tokens never occur in the target, so every contribution is the
+    smoothed floor ln((0+1)(n_raw+V) / ((n_tgt+V)(cnt_r+1)))."""
+    s = _scores(spark, "log")
+    # corpus: aa:7 bb:3 cc:1 xx:3 yy:3 zz:1 → n_raw=18, V=6; target:
+    # aa:3 bb:2 cc:2 → n_tgt=7
+    n_raw, v, n_tgt = 18, 6, 7
+    def lr(cnt_t, cnt_r):
+        return math.log((cnt_t + 1) * (n_raw + v) / ((n_tgt + v) * (cnt_r + 1)))
+    expect_doc2 = 2 * lr(0, 3) + 2 * lr(0, 3) + 1 * lr(0, 1)  # xx yy zz
+    assert s[2][0] == pytest.approx(expect_doc2, rel=1e-12)
+    expect_doc4 = 4 * lr(3, 7)
+    assert s[4][0] == pytest.approx(expect_doc4, rel=1e-12)
+    # ordering agrees with ratio mode
+    r = _scores(spark, "ratio")
+    assert sorted(s, key=lambda d: -s[d][0]) == sorted(r, key=lambda d: -r[d][0])
+
+
+def test_rejects_unknown_mode(spark):
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError, match="mode must be"):
+        dsir_importance(docs, docs, mode="softmax")
+
+
+def test_ratio_table_is_broadcast(spark):
+    """The per-token ratio join must broadcast the vocab-sized table —
+    the corpus side takes no extra shuffle beyond the token count."""
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    tgt = spark.createDataFrame(TARGET, SCHEMA)
+    out = dsir_importance(docs, tgt)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
