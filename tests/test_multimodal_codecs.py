@@ -172,3 +172,67 @@ def test_decode_features_end_to_end_real_formats(spark):
     assert rows[1].features[3] == pytest.approx(0.5, rel=1e-6)
     assert rows[2].width is None and rows[2].n_frames == 4
     assert rows[2].features[1] == pytest.approx(8000.0)
+
+
+# --------------------------------------------------------------------------
+# property tests: random fixtures, plain-Python independent oracles
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+rgb = st.tuples(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    data=st.data(),
+    top_down=st.booleans(),
+)
+def test_bmp_decode_matches_plain_python(w, h, data, top_down):
+    px = data.draw(st.lists(rgb, min_size=w * h, max_size=w * h))
+    d = decode_bmp(_bmp(w, h, px, top_down=top_down))
+    flat = [c / 255.0 for p in px for c in p]
+    mean = sum(flat) / len(flat)
+    var = sum((x - mean) ** 2 for x in flat) / len(flat)
+    f = d["features"]
+    assert (d["width"], d["height"]) == (w, h)
+    assert f[3] == pytest.approx(mean, abs=1e-12)
+    assert f[4] == pytest.approx(math.sqrt(var), abs=1e-9)
+    assert f[5] == min(flat) and f[6] == max(flat)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_decode_matches_plain_python(samples, rate):
+    d = decode_wav(_wav(samples, rate=rate))
+    norm = [s / 32768.0 for s in samples]
+    f = d["features"]
+    assert d["n_frames"] == len(samples)
+    assert f[4] == pytest.approx(sum(norm) / len(norm), abs=1e-12)
+    assert f[5] == pytest.approx(
+        math.sqrt(sum(v * v for v in norm) / len(norm)), abs=1e-12
+    )
+    assert f[6] == min(norm) and f[7] == max(norm)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 8),
+    data=st.data(),
+)
+def test_pgm_decode_matches_plain_python(w, h, data):
+    pix = bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)))
+    content = f"P5\n{w} {h}\n255\n".encode() + pix
+    d = decode_ppm(content)
+    flat = [b / 255.0 for b in pix]
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["features"][3] == pytest.approx(sum(flat) / len(flat), abs=1e-12)
