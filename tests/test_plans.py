@@ -215,3 +215,23 @@ def test_hybrid_rrf_arms_stay_bounded(spark):
     w = plan.find("Window")
     assert w != -1, plan
     assert "GlobalLimit" in plan[w:] or "TakeOrderedAndProject" in plan[w:], plan
+
+
+def test_pgm_decode_prunes_scan_to_needed_columns(spark):
+    """Column pruning must reach the parquet scan THROUGH the
+    mapInPandas codec stage: the PGM framing needs only doc_id + text,
+    so lang/source/n_chars must not be read."""
+    plan = plan_of(spark, "multimodal_pgm_decode")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    assert "doc_id" in cols and "text" in cols
+    assert "source" not in cols and "n_chars" not in cols and "lang" not in cols
+
+
+def test_dsir_rank_is_take_ordered(spark):
+    """Top-50 by score must be a bounded TakeOrderedAndProject, never a
+    global sort of the scored corpus."""
+    plan = plan_of(spark, "dsir_importance_rank")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
