@@ -115,6 +115,17 @@ def _module_ast(dotted: str, _cache: dict = {}):
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             defs[node.name] = node
+        elif isinstance(node, ast.Assign):
+            # module-level constants count too: an oracle CTE string
+            # built from an imported fragment (_SEMDEDUP_CTE =
+            # _EMB_NORM_CTE + ...) must pull the fragment's module into
+            # the closure, or editing it leaves queries falsely fresh
+            for tgt in node.targets:
+                for n2 in ast.walk(tgt):
+                    if isinstance(n2, ast.Name):
+                        defs[n2.id] = node
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            defs[node.target.id] = node
     imports = _imports_in(tree, dotted, mod)
     _cache[dotted] = (tree, defs, imports)
     return _cache[dotted]

@@ -365,7 +365,11 @@ def minhash_lsh_dedup(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh_v = sh.join(F.broadcast(ids), id_col, "left_semi")
+    # no broadcast HINT: on a pathologically duplicated corpus the
+    # candidate-id set is not small, and a forced broadcast would be a
+    # driver-OOM cliff — AQE picks broadcast at runtime when it fits
+    # and degrades to a shuffle join when it does not
+    sh_v = sh.join(ids, id_col, "left_semi")
     sizes = sh_v.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh_v.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh_v.select(F.col(id_col).alias("id_b"), "shingle")

@@ -210,29 +210,33 @@ def decode_wav(content: bytes) -> dict:
     }
 
 
+def _sniff(content: bytes):
+    """The one magic-byte dispatch both the strict and non-strict paths
+    share (a single source of truth, so adding a codec cannot diverge
+    them): the matching built-in decoder, or None for unknown bytes."""
+    if content[:2] == b"BM":
+        return decode_bmp
+    if content[:2] in (b"P5", b"P6"):
+        return decode_ppm
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav
+    return None
+
+
 def default_decoder(media_type: str, content: bytes) -> dict:
     """Magic-byte-sniffing decoder: real parse for the dependency-free
     formats (BMP, PPM/PGM, PCM WAV), deterministic fake for anything
     else — so known formats always yield REAL byte-derived features
     while exotic codecs keep the plumbing testable. ``strict`` mode in
-    ``decode_features`` refuses the fake branch instead."""
-    try:
-        if content[:2] == b"BM":
-            return decode_bmp(content)
-        if content[:2] in (b"P5", b"P6"):
-            return decode_ppm(content)
-        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-            return decode_wav(content)
-    except ValueError:
-        pass  # malformed header → fall through to the fake
+    ``decode_features`` refuses every fake path instead (unknown format
+    AND malformed known format)."""
+    dec = _sniff(content)
+    if dec is not None:
+        try:
+            return dec(content)
+        except (ValueError, struct.error):
+            pass  # malformed/truncated header → fall through to the fake
     return fake_decoder(media_type, content)
-
-
-def _is_known_format(content: bytes) -> bool:
-    return (
-        content[:2] in (b"BM", b"P5", b"P6")
-        or (content[:4] == b"RIFF" and content[8:12] == b"WAVE")
-    )
 
 
 def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
@@ -245,16 +249,19 @@ def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
     if decoder is None:
         if strict:
             # built-ins really decode BMP/PPM/PGM/PCM-WAV; strict mode
-            # refuses only the hash-derived FAKE branch for formats that
-            # need external codec libraries
+            # refuses EVERY hash-derived fake path: unknown formats
+            # raise NotImplementedError, and malformed known-format
+            # content lets the decoder's own ValueError/struct.error
+            # surface instead of silently shipping fake features
             def decoder(media_type: str, content: bytes) -> dict:
-                if not _is_known_format(content):
+                dec = _sniff(content)
+                if dec is None:
                     raise NotImplementedError(
                         "no decoder for this format: built-ins cover "
                         "BMP/PPM/PGM/PCM-WAV; install codec libraries and "
                         "call set_decoder() for others (stub by design)"
                     )
-                return default_decoder(media_type, content)
+                return dec(content)
 
         else:
             decoder = default_decoder

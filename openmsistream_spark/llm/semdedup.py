@@ -52,7 +52,9 @@ def _assigned_normed(
     argmax over it — no corpus x k intermediate rows (the old
     crossJoin shape paid a k-times row blowup per pass, ruinous at
     SemDeDup-paper k ~ 10^4) and no shuffle (the old groupBy reduction
-    re-shuffled the corpus)."""
+    re-shuffled the corpus). Precondition: ids unique (a duplicated id
+    yields one row per input row; the old groupBy shape collapsed them,
+    at the price of a corpus shuffle for every well-formed input)."""
     pts = _with_norm(embeddings, vec_col).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("id"), F.col("_vec").alias("v"), F.col("_norm").alias("nrm")
     )

@@ -452,6 +452,11 @@ def kmeans_assign(
 
     Returns (id_col, cluster, dot) — ``dot`` is the cosine to the
     assigned centroid (centroids are unit-norm from ``kmeans_fit``).
+
+    Precondition: ``id_col`` is unique (embedding tables are keyed by
+    vec_id). A duplicated id now yields one output row per input row —
+    the old groupBy shape silently collapsed duplicates, but only by
+    paying a full corpus shuffle for well-formed inputs too.
     """
     pts = (
         _with_norm(embeddings, vec_col)

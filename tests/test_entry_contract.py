@@ -28,11 +28,15 @@ def test_every_query_resolves_source_files():
             assert os.path.isfile(os.path.join(REPO, rel)), (name, rel)
 
 
-def test_source_files_exclude_other_registrar_modules():
-    """queries.py imports every queries_* module purely to register them;
-    those edges must NOT count as dependencies, else one edit to any
-    query module marks the whole catalog stale and a capped driver sweep
-    starves never-verified names."""
+def test_source_files_exclude_registration_only_edges():
+    """queries.py imports every queries_* module purely to register
+    them; those edges must NOT count as dependencies, else one edit to
+    any query module marks the whole catalog stale and a capped driver
+    sweep starves never-verified names. Under the name-usage-precise
+    closure this holds by construction — only REFERENCED symbols create
+    edges — so a registrar MAY legitimately appear when a query imports
+    a symbol from it (semdedup_pairs_seeded → queries_llm._EMB_NORM_CTE)
+    but never from registration alone."""
     agg = "openmsistream_spark.queries"
     registrars = {q.fn.__module__ for q in QUERIES.values()}
     for name, q in QUERIES.items():
@@ -40,19 +44,19 @@ def test_source_files_exclude_other_registrar_modules():
         own_file = os.path.relpath(own_mod.__file__, REPO)
         files = entry._query_source_files(name)
         assert own_file in files, name
-        # the shared-helper edge (queries_*.py importing load/query from
-        # queries.py) is a real dependency and allowed; other registrar
-        # modules must never appear
-        for other in registrars - {q.fn.__module__, agg}:
+    # queries defined IN the aggregator reference no other registrar's
+    # symbols, so none may appear in their closures
+    for name, q in QUERIES.items():
+        if q.fn.__module__ != agg:
+            continue
+        files = entry._query_source_files(name)
+        for other in registrars - {agg}:
             other_file = os.path.relpath(sys.modules[other].__file__, REPO)
             assert other_file not in files, (name, other_file)
-        if q.fn.__module__ == agg:
-            # queries.py queries must not depend on the submodules it
-            # imports purely for registration
-            assert files.count(own_file) == 1
-            for other in registrars - {agg}:
-                other_file = os.path.relpath(sys.modules[other].__file__, REPO)
-                assert other_file not in files, (name, other_file)
+    # a TPC-H query references nothing from the curation/llm registrars
+    files = entry._query_source_files("q6_forecast_revenue")
+    for other in ("queries_curation", "queries_llm", "queries_extras"):
+        assert f"openmsistream_spark/{other}.py" not in files, files
 
 
 def test_closure_is_name_usage_precise():
@@ -136,3 +140,12 @@ def test_changed_source_marks_query_stale(tmp_path):
         srcs = entry._query_source_files(name)
         if any(s in changed_since for s in srcs):
             assert entry._is_stale(name, os.path.join(REPO, first)), name
+
+
+def test_closure_traces_module_level_constants():
+    """Round-8 review finding: an oracle CTE built from an IMPORTED
+    constant (_SEMDEDUP_CTE = _EMB_NORM_CTE + ...) must pull the
+    constant's defining module into the closure — editing the fragment
+    changes the registered oracle, so the query cannot stay fresh."""
+    files = entry._query_source_files("semdedup_pairs_seeded")
+    assert "openmsistream_spark/queries_llm.py" in files

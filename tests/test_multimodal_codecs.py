@@ -236,3 +236,29 @@ def test_pgm_decode_matches_plain_python(w, h, data):
     flat = [b / 255.0 for b in pix]
     assert (d["width"], d["height"]) == (w, h)
     assert d["features"][3] == pytest.approx(sum(flat) / len(flat), abs=1e-12)
+
+
+def test_strict_mode_raises_on_malformed_known_format(spark):
+    """Round-8 review finding: strict must refuse EVERY fake path — a
+    corrupt BMP under strict surfaces the decode error instead of
+    silently shipping sha256-derived features."""
+    from pyspark.errors import PythonException
+
+    from openmsistream_spark.llm.multimodal import decode_features
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"BMgarbage-not-a-real-header"), None)],
+        "media_id long, media_type string, content binary, meta map<string,string>",
+    )
+    with pytest.raises(PythonException, match="not a BMP|truncated|unpack"):
+        decode_features(media, strict=True).collect()
+
+
+def test_default_decoder_survives_struct_error():
+    """A WAV truncated inside its fmt chunk raises struct.error (not
+    ValueError) from the parser; the non-strict path must fall back to
+    the fake decoder, not crash the Spark task."""
+    bad = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 2) + b"ab"
+    with pytest.raises(struct.error):
+        decode_wav(bad)  # the parser itself raises
+    assert default_decoder("audio", bad) == fake_decoder("audio", bad)
