@@ -246,3 +246,49 @@ def test_reliable_checkpoint_dir_matches_default(spark, emb, tmp_path):
     )
     assert plain == reliable
     assert [f for root, _, fs in os.walk(ck2) for f in fs]
+
+
+def test_assignment_matches_plain_python_argmax(spark):
+    """The packed-argmax assignment (round-8) must agree with a plain
+    Python nearest-centroid computation, including the max-cosine /
+    lowest-cluster-id tie rule, on vectors engineered to tie."""
+    import math
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 1.0]),   # equidistant from both axis centroids → ties
+        (3, [-1.0, 0.0]),
+        (4, [0.6, 0.8]),
+    ]
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>",  # no float32 rounding,
+        # so the plain-Python oracle's arithmetic matches exactly
+    )
+    cdf = spark.createDataFrame(
+        [(c, [x / math.hypot(*v) for x in v]) for c, v in cents],
+        "cluster long, centroid array<double>",
+    )
+    got = {
+        r.vec_id: (r.cluster, r.dot)
+        for r in kmeans_assign(emb, cdf).collect()
+    }
+
+    def expect(v):
+        n = math.hypot(*v)
+        best = None
+        for c, cv in cents:
+            cn = math.hypot(*cv)
+            d = sum(a / n * b / cn for a, b in zip(v, cv))
+            # max dot; ties to LOWEST cluster id (strictly-greater keeps
+            # the earlier, lower id)
+            if best is None or d > best[1] + 1e-15:
+                best = (c, d)
+        return best
+
+    for i, v in vecs:
+        c, d = expect(v)
+        assert got[i][0] == c, (i, got[i], (c, d))
+        assert got[i][1] == pytest.approx(d, abs=1e-9)

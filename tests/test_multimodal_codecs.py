@@ -262,3 +262,23 @@ def test_default_decoder_survives_struct_error():
     with pytest.raises(struct.error):
         decode_wav(bad)  # the parser itself raises
     assert default_decoder("audio", bad) == fake_decoder("audio", bad)
+
+
+def test_resize_and_frames_on_real_media(spark):
+    """resize_media / sample_frames over REALLY decoded content: the
+    dimension math runs on true decoded width/height, and a WAV's frame
+    count drives the sampling explode."""
+    from openmsistream_spark.llm.multimodal import resize_media, sample_frames
+
+    bmp = _bmp(4, 2, [RED, GREEN, BLUE, WHITE, RED, GREEN, BLUE, WHITE])
+    wav = _wav(list(range(0, 25)))  # 25 frames
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), None), (2, "audio", bytearray(wav), None)],
+        "media_id long, media_type string, content binary, meta map<string,string>",
+    )
+    rs = {r.media_id: r for r in resize_media(media, target_width=128).collect()}
+    assert (rs[1].orig_width, rs[1].orig_height) == (4, 2)
+    assert (rs[1].width, rs[1].height) == (128, 64)  # aspect preserved
+
+    frames = [r for r in sample_frames(media, every_nth=10).collect() if r.media_id == 2]
+    assert sorted(r.frame_i for r in frames) == [0, 10, 20]
