@@ -56,23 +56,22 @@ def _doc_token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def dsir_importance(
-    docs: DataFrame,
+def unigram_ratio_table(
+    raw_docs: DataFrame,
     target: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "ratio",
 ) -> DataFrame:
-    """(id_col, n_tokens, score): importance of each ``docs`` row under
-    the ``target`` unigram distribution relative to the raw one.
-
-    ``target`` is any frame with ``text_col`` (an in-domain seed set —
-    typically a few thousand documents next to a huge raw corpus).
-    Laplace smoothing over the UNION vocabulary keeps every ratio
-    finite, including for raw tokens the target never saw."""
+    """The per-token importance table: (token, r) in log mode or
+    (token, r_micro) in ratio mode — the frozen artifact a selection
+    run (or its streaming twin) scores documents against. Vocab-sized,
+    so it broadcasts; build it ONCE from the raw-corpus sample + target
+    seed, then reuse."""
     if mode not in ("ratio", "log"):
         raise ValueError(f"mode must be 'ratio' or 'log', got {mode!r}")
-    per_doc = _doc_token_counts(docs, id_col, text_col)
+    per_doc = _doc_token_counts(
+        raw_docs.select(F.lit(0).alias("_rid"), text_col), "_rid", text_col
+    )
     raw_tok = per_doc.groupBy("token").agg(F.sum("cnt").alias("cnt_r"))
     tgt_tok = (
         _doc_token_counts(target.select(F.lit(0).alias("_tid"), text_col), "_tid", text_col)
@@ -107,8 +106,22 @@ def dsir_importance(
                 " div (2 * (CAST(n_tgt AS DECIMAL(38,0)) + v) * (cnt_r + 1))"
             )
         ).alias("r_micro")
-    tok_table = scored_tok.select("token", ratio)
-    joined = per_doc.join(F.broadcast(tok_table), "token")
+    return scored_tok.select("token", ratio)
+
+
+def score_with_table(
+    docs: DataFrame,
+    table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a prebuilt ratio table (either mode —
+    detected from the column name). One broadcast join + one combinable
+    per-doc aggregate; usable identically on a batch frame or inside a
+    streaming micro-batch."""
+    mode = "log" if "r" in table.columns else "ratio"
+    per_doc = _doc_token_counts(docs, id_col, text_col)
+    joined = per_doc.join(F.broadcast(table), "token")
     if mode == "log":
         return joined.groupBy(id_col).agg(
             F.sum("cnt").cast("bigint").alias("n_tokens"),
@@ -126,3 +139,24 @@ def dsir_importance(
             / 1e4
         ).alias("score"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "ratio",
+) -> DataFrame:
+    """(id_col, n_tokens, score): importance of each ``docs`` row under
+    the ``target`` unigram distribution relative to the raw one.
+
+    ``target`` is any frame with ``text_col`` (an in-domain seed set —
+    typically a few thousand documents next to a huge raw corpus).
+    Laplace smoothing over the UNION vocabulary keeps every ratio
+    finite, including for raw tokens the target never saw. Equivalent
+    to ``score_with_table(docs, unigram_ratio_table(docs, target))`` —
+    the two stages exist separately so a selection run can freeze the
+    table once and reuse it (the streaming twin requires this)."""
+    table = unigram_ratio_table(docs, target, text_col=text_col, mode=mode)
+    return score_with_table(docs, table, id_col=id_col, text_col=text_col)
