@@ -346,6 +346,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
+    tol: float = 1e-9,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) over the embedding column — the
     centroid trainer for a real IVF index (``ann_ivf_topk`` /
@@ -400,6 +401,7 @@ def kmeans_fit(
     )
     cents = truncate_plan(cents, checkpoint_dir)
     for _ in range(max_iters):
+        prev = cents
         best = _argmax_struct(lambda c: _dot(F.col("v"), c.getField("cv")))
         assigned = (
             pts.crossJoin(F.broadcast(_pack_centroids(cents)))
@@ -434,6 +436,20 @@ def kmeans_fit(
             )
         )
         cents = truncate_plan(stepped, checkpoint_dir)
+        # early stop at the fixpoint: both frames are k unit vectors on
+        # materialized leaves, so the movement probe is a k-row join
+        # (cos >= 1 - tol per cluster means no centroid moved) — at 10
+        # scheduled Lloyd passes on an already-converged clustering the
+        # probe is ~free and the saved passes are full corpus scans
+        moved = (
+            cents.join(
+                prev.select("cluster", F.col("cv").alias("_pv")), "cluster"
+            )
+            .filter(_dot(F.col("cv"), F.col("_pv")) < 1.0 - tol)
+            .count()
+        )
+        if moved == 0:
+            break
     return cents.select("cluster", F.col("cv").alias("centroid"))
 
 
