@@ -42,18 +42,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _doc_token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return (
-        docs.select(
-            F.col(id_col),
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-                "token"
-            ),
-        )
-        .filter(F.col("token") != "")
-        .groupBy(id_col, "token")
-        .agg(F.count("*").alias("cnt"))
+def _doc_token_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 1,
+    hash_buckets: int | None = None,
+) -> DataFrame:
+    """(id, token, cnt). ``ngram=2`` switches to word bigrams and
+    ``hash_buckets`` maps each feature to ``xxhash64 % buckets`` — the
+    paper's hashed n-gram features, which bound the ratio-table size to
+    the bucket count regardless of corpus vocabulary (the reason DSIR
+    scales: the table stays broadcastable at any corpus size)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
+    if ngram == 1:
+        feat = docs.select(F.col(id_col), F.explode(toks).alias("token"))
+    else:
+        grams = F.expr(
+            f"CASE WHEN size(_t) >= {ngram} THEN "
+            f"transform(sequence(1, size(_t)-{ngram - 1}), "
+            f"i -> concat_ws(' ', slice(_t, i, {ngram}))) "
+            "ELSE array() END"
+        )
+        feat = docs.withColumn("_t", toks).select(
+            F.col(id_col), F.explode(grams).alias("token")
+        )
+    if hash_buckets is not None:
+        feat = feat.select(
+            id_col,
+            F.pmod(F.xxhash64("token"), F.lit(hash_buckets))
+            .cast("string")
+            .alias("token"),
+        )
+    return feat.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
 
 
 def unigram_ratio_table(
@@ -61,6 +84,8 @@ def unigram_ratio_table(
     target: DataFrame,
     text_col: str = "text",
     mode: str = "ratio",
+    ngram: int = 1,
+    hash_buckets: int | None = None,
 ) -> DataFrame:
     """The per-token importance table: (token, r) in log mode or
     (token, r_micro) in ratio mode — the frozen artifact a selection
@@ -70,11 +95,15 @@ def unigram_ratio_table(
     if mode not in ("ratio", "log"):
         raise ValueError(f"mode must be 'ratio' or 'log', got {mode!r}")
     per_doc = _doc_token_counts(
-        raw_docs.select(F.lit(0).alias("_rid"), text_col), "_rid", text_col
+        raw_docs.select(F.lit(0).alias("_rid"), text_col), "_rid", text_col,
+        ngram=ngram, hash_buckets=hash_buckets,
     )
     raw_tok = per_doc.groupBy("token").agg(F.sum("cnt").alias("cnt_r"))
     tgt_tok = (
-        _doc_token_counts(target.select(F.lit(0).alias("_tid"), text_col), "_tid", text_col)
+        _doc_token_counts(
+            target.select(F.lit(0).alias("_tid"), text_col), "_tid", text_col,
+            ngram=ngram, hash_buckets=hash_buckets,
+        )
         .groupBy("token")
         .agg(F.sum("cnt").alias("cnt_t"))
     )
@@ -114,13 +143,17 @@ def score_with_table(
     table: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram: int = 1,
+    hash_buckets: int | None = None,
 ) -> DataFrame:
     """Score documents against a prebuilt ratio table (either mode —
     detected from the column name). One broadcast join + one combinable
     per-doc aggregate; usable identically on a batch frame or inside a
     streaming micro-batch."""
     mode = "log" if "r" in table.columns else "ratio"
-    per_doc = _doc_token_counts(docs, id_col, text_col)
+    per_doc = _doc_token_counts(
+        docs, id_col, text_col, ngram=ngram, hash_buckets=hash_buckets
+    )
     joined = per_doc.join(F.broadcast(table), "token")
     if mode == "log":
         return joined.groupBy(id_col).agg(

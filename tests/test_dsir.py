@@ -68,3 +68,32 @@ def test_ratio_table_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hashed_bigram_features(spark):
+    """The paper's hashed n-gram option: bigram features bucketed by
+    xxhash64 bound the table to hash_buckets rows regardless of vocab,
+    and target-like ordering is preserved."""
+    from openmsistream_spark.llm.dsir import (
+        score_with_table,
+        unigram_ratio_table,
+    )
+
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    tgt = spark.createDataFrame(TARGET, SCHEMA)
+    table = unigram_ratio_table(docs, tgt, ngram=2, hash_buckets=64)
+    assert table.count() <= 64
+    s = {
+        r.doc_id: r.score
+        for r in score_with_table(
+            docs, table, ngram=2, hash_buckets=64
+        ).collect()
+    }
+    # pure target bigrams ("aa bb", "bb cc"...) outrank pure raw-only
+    assert s[1] > s[2]
+    # n_tokens now counts FEATURES (bigrams): doc 1 has 5 tokens → 4
+    out = {
+        r.doc_id: r.n_tokens
+        for r in score_with_table(docs, table, ngram=2, hash_buckets=64).collect()
+    }
+    assert out[1] == 4
