@@ -280,3 +280,42 @@ def test_planted_corpus_wide_boilerplate_gram_no_concentration(spark):
     assert rows[0].text.startswith(boiler)  # corpus-first copy survives
     removed = sum(r.n_tokens_removed for r in rows.values())
     assert removed == 4 * 499  # every other doc loses exactly the run
+
+
+def test_fixpoint_matches_iterated_bruteforce_randomized(spark):
+    """Randomized corpora (tiny alphabet → dense duplication → frequent
+    cross-cut grams): running the brute-force reference to ITS fixpoint
+    must equal max_passes=8 of the distributed operator, with cumulative
+    removal accounting against the ORIGINAL token counts."""
+    import random
+
+    from openmsistream_spark.llm.spandedup import excise_duplicated_spans
+
+    rng = random.Random(80)
+    k = 3
+    for trial in range(4):
+        toks = {
+            d: [rng.choice("abcd") for _ in range(rng.randint(0, 14))]
+            for d in range(6)
+        }
+        # brute fixpoint: re-run single-pass brute on its own output
+        cur = {d: list(t) for d, t in toks.items()}
+        for _ in range(8):
+            res = brute_excise(cur, k)
+            nxt = {d: res[d][0].split() if res[d][0] else [] for d in res}
+            if nxt == cur:
+                break
+            cur = nxt
+        want = {
+            d: (" ".join(cur[d]), len(toks[d]), len(toks[d]) - len(cur[d]))
+            for d in toks
+        }
+        docs = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in toks.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.text, r.n_tokens, r.n_tokens_removed)
+            for r in excise_duplicated_spans(docs, k=k, max_passes=8).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
