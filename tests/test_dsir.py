@@ -83,17 +83,63 @@ def test_hashed_bigram_features(spark):
     tgt = spark.createDataFrame(TARGET, SCHEMA)
     table = unigram_ratio_table(docs, tgt, ngram=2, hash_buckets=64)
     assert table.count() <= 64
-    s = {
-        r.doc_id: r.score
-        for r in score_with_table(
-            docs, table, ngram=2, hash_buckets=64
-        ).collect()
-    }
+    # config travels WITH the table (round-8 review: per-call-site
+    # re-specification let a unigram tokenizer run against a bigram
+    # table and match nothing) — score_with_table needs no params
+    out = {r.doc_id: r for r in score_with_table(docs, table).collect()}
     # pure target bigrams ("aa bb", "bb cc"...) outrank pure raw-only
-    assert s[1] > s[2]
-    # n_tokens now counts FEATURES (bigrams): doc 1 has 5 tokens → 4
-    out = {
-        r.doc_id: r.n_tokens
-        for r in score_with_table(docs, table, ngram=2, hash_buckets=64).collect()
-    }
-    assert out[1] == 4
+    assert out[1].score > out[2].score
+    # n_tokens counts FEATURES (bigrams): doc 1 has 5 tokens → 4
+    assert out[1].n_tokens == 4
+
+
+def test_oov_tokens_score_at_laplace_floor_not_dropped(spark):
+    """Round-8 review finding: the frozen-table path must keep the
+    smoothing contract — a doc of entirely unseen vocabulary scores at
+    the OOV floor instead of vanishing from the output, and n_tokens
+    counts unmatched tokens too."""
+    from openmsistream_spark.llm.dsir import score_with_table, unigram_ratio_table
+
+    raw = spark.createDataFrame([(1, "aa bb"), (2, "cc dd")], SCHEMA)
+    tgt = spark.createDataFrame([(100, "aa bb")], SCHEMA)
+    for mode in ("ratio", "log"):
+        table = unigram_ratio_table(raw, tgt, mode=mode)
+        newdocs = spark.createDataFrame(
+            [(10, "zz qq"), (11, "aa zz zz zz")], SCHEMA
+        )
+        out = {r.doc_id: r for r in score_with_table(newdocs, table).collect()}
+        assert set(out) == {10, 11}, "fully-OOV doc must not vanish"
+        assert out[10].n_tokens == 2 and out[11].n_tokens == 4
+        # the floor: raw n=4, tgt n=2, V=4 → oov ratio (4+4)/(2+4) = 4/3
+        import math
+        per_tok = 4.0 / 3.0 if mode == "ratio" else math.log(4.0 / 3.0)
+        import pytest as _pytest
+        assert out[10].score == _pytest.approx(2 * per_tok, abs=1e-3)
+
+
+def test_streaming_sink_scores_hashed_bigram_table(spark, tmp_path):
+    """Round-8 review finding: the sink must tokenize the way the table
+    was frozen. With a bigram/hashed table it previously matched
+    nothing and silently dropped every document."""
+    from openmsistream_spark.llm.dsir import score_with_table, unigram_ratio_table
+    from openmsistream_spark.streaming.dsir import dsir_select_stream_sink
+
+    raw = spark.createDataFrame(ROWS, SCHEMA)
+    tgt = spark.createDataFrame(TARGET, SCHEMA)
+    table = unigram_ratio_table(raw, tgt, ngram=2, hash_buckets=64).localCheckpoint(
+        eager=True
+    )
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.parquet(f"{in_dir}/b=0")
+    src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+    q = (
+        dsir_select_stream_sink(src, table, out_dir, ckpt, threshold=float("-inf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {r.doc_id: r.score for r in spark.read.parquet(out_dir).collect()}
+    want = {r.doc_id: r.score for r in score_with_table(raw, table).collect()}
+    assert got == want and len(got) == len(ROWS)

@@ -254,14 +254,17 @@ def test_assignment_matches_plain_python_argmax(spark):
     lowest-cluster-id tie rule, on vectors engineered to tie."""
     import math
 
+    # NO centroid at [1,1]: vector 2 must genuinely TIE between the two
+    # axis centroids at its argmax (cos 0.7071 each), so a wrong
+    # tie-break (highest id) would flip its assignment and fail
     vecs = [
         (0, [1.0, 0.0]),
         (1, [0.0, 1.0]),
-        (2, [1.0, 1.0]),   # equidistant from both axis centroids → ties
+        (2, [1.0, 1.0]),   # equidistant from both centroids → tie
         (3, [-1.0, 0.0]),
         (4, [0.6, 0.8]),
     ]
-    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])]
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
     emb = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in vecs],
         "vec_id long, embedding array<double>",  # no float32 rounding,
