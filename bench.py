@@ -93,6 +93,7 @@ HEADLINE = [
     "multimodal_pgm_decode",
     "dedup_keep_best",
     "dsir_importance_rank",
+    "span_excised_fixpoint2",
 ]
 
 

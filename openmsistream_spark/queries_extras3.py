@@ -227,3 +227,100 @@ def dsir_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "n_tokens", "score")
     )
+
+
+def _span_pass_sql(i: int) -> str:
+    """One keep-first excision pass as a CTE chain over ``toks{i}``
+    (doc_id, t LIST) ending in ``clean{i}`` (doc_id, kept, t) — the
+    span_excised_corpus oracle's chain, suffixed so it can be UNROLLED:
+    pass i+1 re-derives k-grams from pass i's kept tokens, which is
+    exactly the cross-cut-duplicate artifact the fixpoint removes."""
+    return f"""
+    , idx{i} AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks{i}
+    ),
+    g{i} AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+      FROM idx{i}
+    ),
+    agg{i} AS (
+      SELECT gram, count(*) AS n, min({{'d': doc_id, 'p': pos}}) AS first
+      FROM g{i} GROUP BY gram
+    ),
+    marked{i} AS (
+      SELECT g{i}.doc_id, CAST(g{i}.pos AS BIGINT) AS s,
+             CAST(g{i}.pos + 8 AS BIGINT) AS e
+      FROM g{i} JOIN agg{i} USING (gram)
+      WHERE agg{i}.n >= 2
+        AND NOT (g{i}.doc_id = agg{i}.first.d AND g{i}.pos = agg{i}.first.p)
+    ),
+    m{i} AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM marked{i}
+    ),
+    grp{i} AS (
+      SELECT doc_id, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM m{i}
+    ),
+    merged{i} AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e FROM grp{i} GROUP BY doc_id, gid
+    ),
+    per_doc{i} AS (
+      SELECT doc_id, list({{'s': s, 'e': e}}) AS sp FROM merged{i} GROUP BY doc_id
+    ),
+    clean{i} AS (
+      SELECT t.doc_id,
+             CASE WHEN p.sp IS NULL THEN t.t
+             ELSE list_filter(t.t, (x, i) ->
+                  len(list_filter(p.sp, q -> i - 1 >= q.s AND i - 1 < q.e)) = 0)
+             END AS kept,
+             t.t AS t
+      FROM toks{i} t LEFT JOIN per_doc{i} p ON t.doc_id = p.doc_id
+    )"""
+
+
+_SPAN_FIXPOINT2_SQL = (
+    r"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    )"""
+    + _span_pass_sql(0)
+    + """
+    , toks1 AS (SELECT doc_id, kept AS t FROM clean0)"""
+    + _span_pass_sql(1)
+    + """
+    SELECT c.doc_id, coalesce(array_to_string(c.kept, ' '), '') AS text,
+           CAST(len(o.t) AS BIGINT) AS n_tokens,
+           CAST(len(o.t) - len(c.kept) AS BIGINT) AS n_tokens_removed
+    FROM clean1 c JOIN toks0 o USING (doc_id)
+    """
+)
+
+
+@query(
+    "span_excised_fixpoint2",
+    _SPAN_FIXPOINT2_SQL,
+    doc="two-pass exact-substring excision (the fixpoint path of "
+    "llm.spandedup.excise_duplicated_spans, VERDICT r7 #4): pass 2 "
+    "re-derives k-grams from pass 1's rewritten corpus and removes "
+    "cross-cut duplicates that only exist after the first excision. "
+    "The oracle UNROLLS the full keep-first pipeline twice in SQL, so "
+    "the fixpoint semantics are hash-verified, not just property-tested; "
+    "n_tokens stays the original count and n_tokens_removed accumulates",
+    survey="LLM dedup: exact-substring excision to fixpoint (round-8)",
+)
+def span_excised_fixpoint2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.spandedup import excise_duplicated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return excise_duplicated_spans(
+        docs, k=8, fingerprint="text", max_passes=2
+    )
