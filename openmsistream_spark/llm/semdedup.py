@@ -32,9 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import (
-    _argmax_struct,
+    _assign_nearest,
     _dot,
-    _pack_centroids,
     _with_norm,
     kmeans_fit,
 )
@@ -47,34 +46,30 @@ def _assigned_normed(
     vec_col: str,
 ) -> DataFrame:
     """(id, v unit-ish, nrm, cluster): nearest-centroid assignment by max
-    cosine, ties to the lowest cluster id. The centroid table is packed
-    into ONE broadcast array row and each vector takes a row-local
-    argmax over it — no corpus x k intermediate rows (the old
-    crossJoin shape paid a k-times row blowup per pass, ruinous at
-    SemDeDup-paper k ~ 10^4) and no shuffle (the old groupBy reduction
-    re-shuffled the corpus). Precondition: ids unique (a duplicated id
-    yields one row per input row; the old groupBy shape collapsed them,
-    at the price of a corpus shuffle for every well-formed input)."""
+    cosine, ties to the lowest cluster id. The centroid matrix is
+    broadcast once per executor and each Arrow batch takes a vectorized
+    argmax over it (``similarity._assign_nearest``) — no corpus x k
+    intermediate rows (the old crossJoin shape paid a k-times row
+    blowup per pass, ruinous at SemDeDup-paper k ~ 10^4), no shuffle
+    (the old groupBy reduction re-shuffled the corpus), and SIMD dot
+    products in pinned fold order (score bits identical to the SQL
+    fold, so the assignment stays oracle-reproducible). Precondition:
+    ids unique (a duplicated id yields one row per input row; the old
+    groupBy shape collapsed them, at the price of a corpus shuffle for
+    every well-formed input)."""
     pts = _with_norm(embeddings, vec_col).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("id"), F.col("_vec").alias("v"), F.col("_norm").alias("nrm")
     )
     cents = _with_norm(centroids, "centroid").filter(F.col("_norm") > 0).select(
         F.col("cluster"), F.col("_vec").alias("cv"), F.col("_norm").alias("cnrm")
     )
-    best = _argmax_struct(
-        lambda c: _dot(F.col("v"), c.getField("cv"))
-        / (F.col("nrm") * c.getField("cnrm"))
-    )
-    return (
-        pts.crossJoin(F.broadcast(_pack_centroids(cents, "cnrm")))
-        # no usable centroids → no rows; size() not isNotNull(_b), which
-        # Catalyst would push into the join condition and re-evaluate
-        # the whole argmax per row
-        .filter(F.size(F.col("_cents")) > 0)
-        .withColumn("_b", best)
-        .select(
-            "id", "v", "nrm", (-F.col("_b").getField("negc")).alias("cluster")
-        )
+    return _assign_nearest(
+        pts,
+        cents,
+        keep=["id", "v", "nrm"],
+        vec_col="v",
+        row_norm_col="nrm",
+        cent_norm_col="cnrm",
     )
 
 

@@ -21,9 +21,11 @@ instead shuffle EVERY scored candidate of a query to one reducer —
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from .iterutil import truncate_plan
 
@@ -43,37 +45,96 @@ def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_vec", vec).withColumn("_norm", F.sqrt(_dot(F.col("_vec"), F.col("_vec"))))
 
 
-def _pack_centroids(cents: DataFrame, *extra: str) -> DataFrame:
-    """The centroid table as ONE row holding a cluster-sorted array of
-    (cluster, cv, *extra) structs. Broadcast-cross-joined to the corpus
-    this costs bytes per partition instead of rows per vector: the old
-    ``crossJoin(broadcast(cents))`` assignment materialized corpus x k
-    intermediate rows and reduced them through a groupBy — i.e. a full
-    corpus shuffle — and at SemDeDup-paper k (~10^4) a 10^4x row blowup
-    per Lloyd pass. The packed form scores all k centroids inside one
-    row-local array expression (``_argmax_struct``): single pass, no
-    extra rows, no shuffle."""
-    cols = [
-        F.col("cluster").cast("bigint").alias("cluster"),
-        F.col("cv").alias("cv"),
-    ] + [F.col(c).alias(c) for c in extra]
-    return cents.agg(F.array_sort(F.collect_list(F.struct(*cols))).alias("_cents"))
+def _fold_dots(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """All row-x-centroid dot products, accumulated dimension-by-
+    dimension in float64 — the SAME multiply/add sequence as the SQL
+    fold ``aggregate(zip_with(v, cv, *), 0.0, +)`` this stage replaced
+    (and as a sequential list dot product in any other engine), so the
+    scores are bit-identical to the JVM expression they supersede. A
+    BLAS GEMM (``V @ C.T``) would be faster still but sums pairwise,
+    which can flip an argmax between two near-tied centroids across
+    engines; d vectorized multiply-adds keep SIMD throughput AND the
+    pinned summation order."""
+    acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+    for j in range(V.shape[1]):
+        acc += V[:, j][:, None] * C[:, j][None, :]
+    return acc
 
 
-def _argmax_struct(score) -> F.Column:
-    """``struct(s=<best score>, negc=-<best cluster>)`` over the packed
-    ``_cents`` array: maximum score, ties to the LOWEST cluster id
-    (struct comparison on (s, -cluster) — the same tie rule as the old
-    ``max_by(cluster, struct(dot, -cluster))``). NULL when the centroid
-    set is empty. ``score(c)`` maps one centroid struct to its score."""
-    return F.array_max(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                score(c).alias("s"), (-c.getField("cluster")).alias("negc")
-            ),
-        )
+def _assign_nearest(
+    pts: DataFrame,
+    cents: DataFrame,
+    *,
+    keep: list[str],
+    vec_col: str = "v",
+    row_norm_col: str | None = None,
+    cent_norm_col: str | None = None,
+    cluster_col: str = "cluster",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched map stage:
+    appends ``cluster_col`` (and optionally ``score_col``) to the
+    ``keep`` columns of ``pts``; score is dot(v, cv), divided by
+    ``row_norm * cent_norm`` when the norm columns are given (cosine
+    against un-normalized centroids). Ties go to the LOWEST cluster id
+    (centroids are scored in cluster order and ``argmax`` keeps the
+    first maximum — the same tie rule as the previous
+    ``max_by(cluster, struct(score, -cluster))`` expression).
+
+    Scale shape: the centroid table is collected (bounded — k rows; the
+    caller sizes k corpus-proportionally, see ``resolve_k``) and shipped
+    once per executor via ``SparkContext.broadcast`` as a packed numpy
+    matrix; each Arrow batch then takes a vectorized argmax over it —
+    zero corpus-side shuffle, no corpus x k intermediate rows, and the
+    arithmetic runs SIMD instead of one interpreted lambda per
+    (row, centroid, dim), which round-8 measured at ~2x the whole
+    SemDeDup pipeline. An empty centroid set assigns nothing (no rows).
+    """
+    sel = ["cluster", "cv"] + ([cent_norm_col] if cent_norm_col else [])
+    rows = cents.select(*sel).orderBy("cluster").collect()  # bounded: k rows
+    out_fields = [pts.schema[c] for c in keep] + [
+        StructField(cluster_col, LongType())
+    ]
+    if score_col:
+        out_fields.append(StructField(score_col, DoubleType()))
+    schema = StructType(out_fields)
+    if not rows:
+        return pts.sparkSession.createDataFrame([], schema)
+    clusters = np.asarray([r["cluster"] for r in rows], dtype=np.int64)
+    cmat = np.asarray([list(r["cv"]) for r in rows], dtype=np.float64)
+    cnrm = (
+        np.asarray([r[cent_norm_col] for r in rows], dtype=np.float64)
+        if cent_norm_col
+        else None
     )
+    bc = pts.sparkSession.sparkContext.broadcast((clusters, cmat, cnrm))
+    cols = list(
+        dict.fromkeys(keep + [vec_col] + ([row_norm_col] if row_norm_col else []))
+    )
+    inp = pts.select(*cols)
+
+    def assign(batches):
+        cl, cm, cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            s = _fold_dots(vm, cm)
+            if cn is not None:
+                s = s / (
+                    pdf[row_norm_col].to_numpy(dtype=np.float64)[:, None]
+                    * cn[None, :]
+                )
+            idx = s.argmax(axis=1)
+            out = pdf[keep].copy()
+            out[cluster_col] = cl[idx]
+            if score_col:
+                out[score_col] = s[np.arange(len(idx)), idx]
+            yield out
+
+    return inp.mapInPandas(assign, schema=schema)
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -361,10 +422,11 @@ def kmeans_fit(
     pinning run-to-run equality.
 
     Scale shape, per iteration: ONE corpus scan. Assignment broadcasts
-    the k x dim centroid table (bytes, never a corpus shuffle) and
-    reduces with a single map-side-combinable ``max_by`` aggregation;
-    the update is posexplode -> (cluster, dim) partial sums — k x dim
-    result rows regardless of corpus size. Centroids are
+    the k x dim centroid matrix (bytes, never a corpus shuffle) and
+    takes a vectorized per-row argmax in one Arrow map stage
+    (``_assign_nearest`` — no corpus x k rows, no shuffle, SIMD
+    arithmetic); the update is posexplode -> (cluster, dim) partial
+    sums — k x dim result rows regardless of corpus size. Centroids are
     ``localCheckpoint``-ed per iteration to truncate lineage (the
     iterative-algorithm idiom, same as ``dedup_clusters``); by default
     this is iteration-internal state — executor loss fails the job and
@@ -402,14 +464,7 @@ def kmeans_fit(
     cents = truncate_plan(cents, checkpoint_dir)
     for _ in range(max_iters):
         prev = cents
-        best = _argmax_struct(lambda c: _dot(F.col("v"), c.getField("cv")))
-        assigned = (
-            pts.crossJoin(F.broadcast(_pack_centroids(cents)))
-            .withColumn("_b", best)
-            .select(
-                "id", "v", (-F.col("_b").getField("negc")).alias("cluster")
-            )
-        )
+        assigned = _assign_nearest(pts, cents, keep=["v"], vec_col="v")
         sums = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
             .groupBy("cluster", "dim")
@@ -460,10 +515,12 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine; ties to
-    the lowest cluster id) — the IVF index build. The centroid table is
-    packed into ONE broadcast array row and each vector takes a single
-    row-local argmax over it: no corpus x k intermediate rows, no
-    shuffle (the old groupBy reduction re-shuffled the whole corpus).
+    the lowest cluster id) — the IVF index build. The centroid matrix
+    is broadcast once per executor and each Arrow batch takes a
+    vectorized argmax over it (``_assign_nearest``): no corpus x k
+    intermediate rows, no shuffle (the old groupBy reduction
+    re-shuffled the whole corpus), and the dot products run SIMD
+    instead of one interpreted lambda per (row, centroid, dim).
     Zero-norm vectors are excluded (no direction).
 
     Returns (id_col, cluster, dot) — ``dot`` is the cosine to the
@@ -482,20 +539,12 @@ def kmeans_assign(
             F.transform(F.col("_vec"), lambda x: x / F.col("_norm")).alias("v"),
         )
     )
-    packed = _pack_centroids(centroids.select("cluster", F.col("centroid").alias("cv")))
-    best = _argmax_struct(lambda c: _dot(F.col("v"), c.getField("cv")))
-    return (
-        pts.crossJoin(F.broadcast(packed))
-        # empty centroid set → no rows; size() not isNotNull(_b), which
-        # Catalyst would push into the join condition and re-evaluate
-        # the whole argmax per row
-        .filter(F.size(F.col("_cents")) > 0)
-        .withColumn("_b", best)
-        .select(
-            id_col,
-            (-F.col("_b").getField("negc")).alias("cluster"),
-            F.col("_b").getField("s").alias("dot"),
-        )
+    return _assign_nearest(
+        pts,
+        centroids.select("cluster", F.col("centroid").alias("cv")),
+        keep=[id_col],
+        vec_col="v",
+        score_col="dot",
     )
 
 

@@ -25,6 +25,13 @@ PYTHON_ALLOWED = {
     # sanctioned two-phase top-k Arrow stage (the BM25 arm and the
     # fusion itself are pure JVM)
     "hybrid_rrf_topk",
+    # nearest-centroid assignment is ONE Arrow-batched argmax over the
+    # broadcast centroid matrix (llm/similarity._assign_nearest —
+    # round-9 shape: zero shuffle, SIMD fold-ordered dot products; the
+    # interpreted higher-order-function argmax it replaced benched ~2x
+    # the whole pipeline)
+    "semdedup_pairs_seeded",
+    "semdedup_survivors_seeded",
 }
 
 

@@ -105,18 +105,16 @@ def test_kmeans_plan_broadcasts_and_stays_jvm_side(spark, emb):
             "formatted"
         )
     )
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the centroid set rides a broadcast nested-loop cross join (k rows);
-    # the corpus must never hit a shuffle-based join for assignment
+    # row-at-a-time Python is never acceptable; the sanctioned stage is
+    # the Arrow-batched argmax map
+    assert "BatchEvalPython" not in plan
+    # the corpus must never hit a join for assignment at all — the
+    # centroid matrix ships as a SparkContext broadcast inside the
+    # Arrow stage's closure (round-9 shape), so the whole plan is
+    # scan -> project -> MapInPandas: zero Exchange, zero join
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    # round-8 shape: the broadcast side is ONE packed array row, the
-    # argmax is a row-local array expression — no corpus x k row blowup
-    # (no per-centroid join fan-out) and no groupBy reduction, so the
-    # only Exchanges in the plan are on the k-row centroid side
-    assert "array_max" in plan
-    assert "max_by" not in plan
-    corpus_side = plan.split("BroadcastExchange")[0]
-    assert "Exchange" not in corpus_side, corpus_side
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
 
 
 def test_ivf_index_search_matches_inmemory_and_prunes(spark, emb, tmp_path):
