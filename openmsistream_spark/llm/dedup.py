@@ -306,6 +306,26 @@ def minhash_lsh_candidates(
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame, in bytes — read off the
+    optimized logical plan's statistics, so it costs no job (for a
+    parquet scan it is the summed file size after partition pruning;
+    for derived frames, the propagated estimate). An estimate is all
+    the auto-restriction crossover below needs: both branches are
+    correct, only constant factors differ."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+# corpus-size crossover for restrict_verify="auto": below this the
+# candidate semi-join restriction costs more than the corpus-wide verify
+# shuffle it avoids (measured +1.4 s at sf0.1 for zero saved work);
+# above it the restriction is what keeps the exact-Jaccard verify
+# duplicate-set-sized instead of corpus-sized. 1 GiB of (compressed)
+# input is deliberately early — the restriction's fixed cost is one
+# duplicate-set-sized semi-join, cheap insurance long before 100 TB.
+RESTRICT_VERIFY_MIN_BYTES = 1 << 30
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     n: int = 3,
@@ -317,6 +337,7 @@ def minhash_lsh_dedup(
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     persist_shingles: bool = False,
     shingles: DataFrame | None = None,
+    restrict_verify: bool | str = "auto",
 ) -> DataFrame:
     """Near-dup pipeline: shingle → minhash → band → candidate pairs →
     exact Jaccard verify on candidates only.
@@ -324,14 +345,31 @@ def minhash_lsh_dedup(
     Hot shingles are capped once, up front, so signatures, candidates and
     the verify join all see the same capped shingle set (a high-DF
     shingle would otherwise be a quadratic hot key in the verify join).
-    The verify stage (sizes + exact-Jaccard join) runs on the shingles
-    of CANDIDATE docs only — a broadcast semi-join restriction, so its
-    shuffles are duplicate-set-sized even when the corpus is 100 TB.
-    The capped set feeds four plan branches (signatures, sizes, both
-    verify-join sides) — off by default because AQE's runtime exchange
-    reuse collapses the identical subtrees (measured no-win at bench
-    scale); turn ``persist_shingles`` on when the upstream is expensive
-    to re-execute (UDF-decoded or remote sources AQE can't collapse).
+
+    ``restrict_verify`` gates the verify stage's input: when on, the
+    sizes + exact-Jaccard joins run on the shingles of CANDIDATE docs
+    only (a semi-join restriction), so their shuffles are
+    duplicate-set-sized even when the corpus is 100 TB — without it the
+    exact-Jaccard join shuffles the ENTIRE corpus shingle table on
+    (id_b, shingle). The restriction itself costs one candidate-id
+    semi-join, which at small corpus sizes exceeds what it saves
+    (round-8 measured +1.4 s at sf0.1 for zero saved work) — ``"auto"``
+    (the default) turns it on once Catalyst's size estimate for
+    ``docs`` crosses ``RESTRICT_VERIFY_MIN_BYTES``; a frame with NO
+    usable estimate (RDD-backed / in-memory inputs report
+    Long.MaxValue) therefore restricts — the safe default, since the
+    unknown input may be huge. Pass True/False to pin either shape. Results are identical either way (the restriction
+    is semantics-preserving: verify only ever reads candidate rows).
+
+    The capped shingle set feeds multiple plan branches (signatures,
+    sizes, both verify-join sides), and the candidate set feeds two when
+    the restriction is on — no checkpoint/persist is forced on either,
+    because AQE's runtime exchange reuse collapses the identical
+    subtrees (round-9 measured: a non-eager localCheckpoint of the
+    candidate set was +0.5 s at sf0.1, a MEMORY_AND_DISK persist +3 s —
+    both strictly worse than letting ReusedExchange do it). Turn
+    ``persist_shingles`` on when the upstream is expensive to re-execute
+    (UDF-decoded or remote sources AQE can't collapse).
     NOTE ``persist_shingles`` has no unpersist hook (the returned plan
     needs the cache when it eventually executes) — for a handle on the
     cache's lifetime, pass ``shingles`` instead: a pre-built
@@ -347,29 +385,27 @@ def minhash_lsh_dedup(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
-    # the candidate set feeds two subtrees below (the verify join and
-    # the doc restriction) — localCheckpoint it so the band pipeline
-    # runs once; non-eager, so the (lazy) returned plan triggers it,
-    # and the blocks are ContextCleaner-freed when the frame is GC'd
-    cand = minhash_lsh_candidates(
-        sigs, rows_per_band=rows_per_band, id_col=id_col
-    ).localCheckpoint(eager=False)
-    # verify only ever looks at CANDIDATE docs' shingles: restrict the
-    # shingle table once via a broadcast semi-join (the candidate id set
-    # is duplicate-set-sized, tiny next to the corpus). Without this the
-    # exact-Jaccard join shuffles the ENTIRE corpus shingle table on
-    # (id_b, shingle) — at 100 TB that one shuffle dwarfs the rest of
-    # the pipeline; after it, both verify sides are candidate-sized.
-    ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    # no broadcast HINT: on a pathologically duplicated corpus the
-    # candidate-id set is not small, and a forced broadcast would be a
-    # driver-OOM cliff — AQE picks broadcast at runtime when it fits
-    # and degrades to a shuffle join when it does not
-    sh_v = sh.join(ids, id_col, "left_semi")
+    cand = minhash_lsh_candidates(sigs, rows_per_band=rows_per_band, id_col=id_col)
+    if restrict_verify == "auto":
+        restrict = _plan_size_bytes(docs) >= RESTRICT_VERIFY_MIN_BYTES
+    else:
+        restrict = bool(restrict_verify)
+    if restrict:
+        # verify only ever looks at CANDIDATE docs' shingles: restrict
+        # the shingle table once via a semi-join (the candidate id set
+        # is duplicate-set-sized, tiny next to the corpus). No broadcast
+        # HINT: on a pathologically duplicated corpus the candidate-id
+        # set is not small, and a forced broadcast would be a driver-OOM
+        # cliff — AQE picks broadcast at runtime when it fits and
+        # degrades to a shuffle join when it does not
+        ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh_v = sh.join(ids, id_col, "left_semi")
+    else:
+        sh_v = sh
     sizes = sh_v.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh_v.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh_v.select(F.col(id_col).alias("id_b"), "shingle")

@@ -54,6 +54,56 @@ def test_minhash_pipeline_ignores_hot_shingle(spark):
     assert out == []
 
 
+def test_restrict_verify_knob_same_pairs_any_shape(spark):
+    # duplicate pairs are identical whether the verify stage reads the
+    # whole shingle table or only candidate docs' shingles — the
+    # restriction is semantics-preserving (verify only ever consumes
+    # candidate rows); "auto" must resolve to one of the two shapes
+    # docs 1 and 2 are exact duplicates: identical shingle sets give
+    # identical minhash signatures, so the pair survives banding with
+    # probability 1 (no flakiness from band-collision chance)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon"),
+         (3, "one two three four five six"), (4, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    outs = {
+        mode: sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_dedup(
+                docs, threshold=0.1, restrict_verify=mode
+            ).collect()
+        )
+        for mode in (True, False, "auto")
+    }
+    assert outs[True] == outs[False] == outs["auto"]
+    assert (1, 2) in {(a, b) for a, b, _ in outs[True]}
+
+    # the restriction is the pipeline's only left-semi join, so the plan
+    # shows the knob
+    def plan(frame, mode):
+        return (
+            minhash_lsh_dedup(frame, threshold=0.1, restrict_verify=mode)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        )
+
+    assert "LeftSemi" in plan(docs, True)
+    assert "LeftSemi" not in plan(docs, False)
+    # auto, in-memory frame: createDataFrame inputs carry NO size
+    # estimate (Long.MaxValue) and must take the safe (restricted) shape
+    assert "LeftSemi" in plan(docs, "auto")
+    # auto, small parquet scan: the estimate is real and far below the
+    # crossover, so the semi-join (which costs more than it saves on a
+    # small corpus) must be skipped
+    small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "LeftSemi" not in plan(small, "auto")
+
+
 def test_two_phase_topk_matches_bruteforce_window(spark):
     import numpy as np
 
