@@ -172,10 +172,66 @@ def _incremental_lsh_ingest(spark, sf_dir):
     return incremental_minhash_dedup(b2, reg, run_id="bench-b2").select("doc_id")
 
 
+def _keep_both_shared(spark, sf_dir):
+    """Both keep policies (canonical min-id + quality-aware best) off ONE
+    pair pipeline + ONE connected-components run, via the pairs=/
+    clusters= injection points — the shared-cost path a real curation
+    run takes. The two independent catalog entries
+    (dedup_keep_canonical_lsh, dedup_keep_best) stay as they are for the
+    oracle; this entry demonstrates that a user wanting both pays the
+    pipeline once (~the cost of one entry, not two)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from openmsistream_spark.llm.dedup import (
+        DEFAULT_MAX_SHINGLE_DF,
+        cap_hot_shingles,
+        dedup_clusters,
+        keep_best,
+        keep_canonical,
+        minhash_lsh_dedup,
+        word_shingles,
+    )
+    from openmsistream_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")
+    sh = cap_hot_shingles(
+        word_shingles(docs, n=3), DEFAULT_MAX_SHINGLE_DF
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pairs = minhash_lsh_dedup(
+            docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.12, shingles=sh
+        )
+        # CC runs once; its label frame is a checkpointed leaf, so both
+        # policies below re-run only the cheap fold-back join
+        clusters = dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+        toks = docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        canon = keep_canonical(docs, clusters=clusters)
+        best = keep_best(
+            docs, toks, clusters=clusters, quality_col="n_tokens"
+        ).drop("n_members")
+        return canon.join(
+            best, canon.representative_id == best.cluster, "inner"
+        ).select("representative_id", "n_members", "kept_id", "kept_quality")
+    finally:
+        sh.unpersist()
+
+
 EXTRA = {
     "assembly_100_chunks": _adversarial_assembly(100),
     "assembly_5k_chunks": _adversarial_assembly(5000),
     "incremental_lsh_ingest_2batch": _incremental_lsh_ingest,
+    "dedup_keep_both_shared": _keep_both_shared,
 }
 
 

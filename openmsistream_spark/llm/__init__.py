@@ -15,6 +15,8 @@ from .dedup import (
     incremental_exact_dedup,
     incremental_minhash_dedup,
     jaccard_pairs,
+    keep_best,
+    keep_canonical,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     minhash_signatures,

@@ -757,6 +757,95 @@ def dedup_clusters(
     return result
 
 
+def _clusters_for_keep(
+    docs: DataFrame,
+    pairs: DataFrame | None,
+    clusters: DataFrame | None,
+    id_col: str,
+    lsh_kwargs: dict,
+) -> DataFrame:
+    """Shared front half of the keep_* policies: resolve the cluster
+    labels from whatever the caller already paid for. ``clusters=``
+    (a ``dedup_clusters`` output) skips everything; ``pairs=`` skips the
+    LSH pair pipeline; bare ``docs`` runs ``minhash_lsh_dedup`` with
+    ``lsh_kwargs``. The pair pipeline is ~80% of the end-to-end cost, so
+    a caller wanting BOTH policies should compute pairs (or clusters)
+    once and inject them into each call — paying the pipeline once, not
+    per policy."""
+    if clusters is not None:
+        return clusters
+    if pairs is None:
+        pairs = minhash_lsh_dedup(docs, id_col=id_col, **lsh_kwargs)
+    return dedup_clusters(docs.select(id_col), pairs, id_col=id_col)
+
+
+def keep_canonical(
+    docs: DataFrame,
+    *,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Canonical dedup: one representative per near-dup cluster — the
+    LOWEST id (deterministic, replay-stable). Returns
+    (representative_id, n_members); singletons appear with n_members=1,
+    so the representative set IS the surviving corpus.
+
+    Injection points (pay the expensive stages once across policies):
+    ``clusters=`` takes a precomputed ``dedup_clusters`` output;
+    ``pairs=`` takes precomputed near-dup pairs (any generator — banded
+    LSH, SimHash, embedding cosine); with neither, runs the full
+    ``minhash_lsh_dedup`` pipeline (``lsh_kwargs`` pass through). The
+    final aggregate is one map-side-combinable count over the cluster
+    id — corpus-sized input, cluster-sized output."""
+    cl = _clusters_for_keep(docs, pairs, clusters, id_col, lsh_kwargs)
+    return cl.groupBy(F.col("cluster").alias("representative_id")).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+
+
+def keep_best(
+    docs: DataFrame,
+    quality: DataFrame,
+    *,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Quality-aware canonical dedup: per near-dup cluster keep the
+    member with the HIGHEST ``quality_col`` (ties to the lowest id) —
+    the curation policy when duplicates are truncated or mangled copies
+    of each other. ``quality`` is any (id_col, quality_col) frame —
+    token counts, classifier scores, source priorities. Returns
+    (cluster, kept_id, kept_quality, n_members).
+
+    Same ``pairs=`` / ``clusters=`` injection points as
+    ``keep_canonical`` — computing the pair pipeline once and feeding
+    both policies halves the end-to-end cost of running both. The
+    keeper rule is one per-cluster ``max_by`` over
+    (quality, -id): map-side-combinable, never a window over the
+    corpus."""
+    cl = _clusters_for_keep(docs, pairs, clusters, id_col, lsh_kwargs)
+    q = quality.select(F.col(id_col), F.col(quality_col).alias("_q"))
+    return (
+        cl.join(q, id_col)
+        .groupBy("cluster")
+        .agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col("_q"), -F.col(id_col))
+            ).alias("kept_id"),
+            F.max(F.struct(F.col("_q"), -F.col(id_col)))
+            .getField("_q")
+            .alias("kept_quality"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+        .select("cluster", "kept_id", "kept_quality", "n_members")
+    )
+
+
 def drop_boilerplate_lines(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .llm.dedup import (
-    dedup_clusters,
     drop_boilerplate_lines,
     jaccard_pairs,
     minhash_lsh_dedup,
@@ -126,15 +125,14 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_keep_canonical_lsh`` (same output contract, banded LSH
     candidates, hot-shingle caps).
     """
+    from .llm.dedup import keep_canonical
+
     docs = load(spark, sf_dir, "documents")
     sh = word_shingles(docs, n=3)
     # exact pairs (the oracle is exact); at corpus scale pass
     # max_shingle_df and/or swap in minhash_lsh_dedup's banded pairs
     pairs = jaccard_pairs(sh, threshold=0.12)
-    clusters = dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
-    return clusters.groupBy(F.col("cluster").alias("representative_id")).agg(
-        F.count("*").cast("bigint").alias("n_members")
-    )
+    return keep_canonical(docs, pairs=pairs)
 
 
 @query(
@@ -174,7 +172,12 @@ def dedup_keep_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can be released immediately instead of leaking until session end.
     from pyspark import StorageLevel
 
-    from .llm.dedup import DEFAULT_MAX_SHINGLE_DF, cap_hot_shingles, word_shingles
+    from .llm.dedup import (
+        DEFAULT_MAX_SHINGLE_DF,
+        cap_hot_shingles,
+        keep_canonical,
+        word_shingles,
+    )
 
     sh = cap_hot_shingles(
         word_shingles(docs, n=3), DEFAULT_MAX_SHINGLE_DF
@@ -183,14 +186,13 @@ def dedup_keep_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = minhash_lsh_dedup(
             docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.12, shingles=sh
         )
-        clusters = dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+        out = keep_canonical(docs, pairs=pairs)
     finally:
         # also on failure (e.g. CC non-convergence) — the cache must not
-        # outlive the call either way
+        # outlive the call either way; keep_canonical's dedup_clusters
+        # has materialized its labels before returning
         sh.unpersist()
-    return clusters.groupBy(F.col("cluster").alias("representative_id")).agg(
-        F.count("*").cast("bigint").alias("n_members")
-    )
+    return out
 
 
 @query(

@@ -131,7 +131,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import (
         DEFAULT_MAX_SHINGLE_DF,
         cap_hot_shingles,
-        dedup_clusters,
+        keep_best,
         minhash_lsh_dedup,
         word_shingles,
     )
@@ -140,13 +140,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = cap_hot_shingles(
         word_shingles(docs, n=3), DEFAULT_MAX_SHINGLE_DF
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        pairs = minhash_lsh_dedup(
-            docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.12, shingles=sh
-        )
-        clusters = dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
-    finally:
-        sh.unpersist()
     toks = docs.select(
         "doc_id",
         F.size(
@@ -155,20 +148,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
-    return (
-        clusters.join(toks, "doc_id")
-        .groupBy("cluster")
-        .agg(
-            F.max_by(
-                F.col("doc_id"), F.struct(F.col("n_tokens"), -F.col("doc_id"))
-            ).alias("kept_id"),
-            F.max(F.struct(F.col("n_tokens"), -F.col("doc_id")))
-            .getField("n_tokens")
-            .alias("kept_n_tokens"),
-            F.count("*").cast("bigint").alias("n_members"),
+    try:
+        pairs = minhash_lsh_dedup(
+            docs, n=3, num_hashes=8, rows_per_band=2, threshold=0.12, shingles=sh
         )
-        .select("cluster", "kept_id", "kept_n_tokens", "n_members")
-    )
+        out = keep_best(docs, toks, pairs=pairs, quality_col="n_tokens")
+    finally:
+        # safe here: keep_best's dedup_clusters has materialized its
+        # labels (checkpointed leaf) before returning
+        sh.unpersist()
+    return out.withColumnRenamed("kept_quality", "kept_n_tokens")
 
 
 @query(

@@ -104,6 +104,51 @@ def test_restrict_verify_knob_same_pairs_any_shape(spark):
     assert "LeftSemi" not in plan(small, "auto")
 
 
+def test_keep_policies_share_one_pair_pipeline(spark):
+    # the pairs=/clusters= injection points: both keep policies fed from
+    # ONE pair pipeline + ONE connected-components run must equal the
+    # independent end-to-end runs (the library's pay-once contract)
+    from pyspark.sql import functions as F
+
+    from openmsistream_spark.llm.dedup import (
+        dedup_clusters,
+        keep_best,
+        keep_canonical,
+        minhash_lsh_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(n=3, num_hashes=8, rows_per_band=2, threshold=0.12)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+    pairs = minhash_lsh_dedup(docs, **kw).persist()
+    try:
+        clusters = dedup_clusters(docs.select("doc_id"), pairs)
+        canon_shared = keep_canonical(docs, clusters=clusters)
+        best_shared = keep_best(
+            docs, toks, clusters=clusters, quality_col="n_tokens"
+        )
+
+        canon_full = keep_canonical(docs, **kw)
+        best_full = keep_best(docs, toks, quality_col="n_tokens", **kw)
+
+        as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+        assert as_set(canon_shared) == as_set(canon_full)
+        assert as_set(best_shared) == as_set(best_full)
+        # sanity: every cluster keeps exactly one member, best keeps the
+        # max-quality one
+        canon = as_set(canon_shared)
+        assert len(canon) == len({c for c, _ in canon})
+        assert sum(n for _, n in canon) == docs.count()
+    finally:
+        pairs.unpersist()
+
+
 def test_two_phase_topk_matches_bruteforce_window(spark):
     import numpy as np
 
