@@ -126,16 +126,25 @@ def _ratio_from_counts(
         ).alias("_oov")
     else:
         # half-up round of the exact rational num/den at 6 dp, in
-        # widened integers (counts can push num past bigint at 100 TB)
+        # widened integers (counts can push num past bigint at 100 TB).
+        # Spark's `div` (IntegralDivide) returns BIGINT even on decimal
+        # operands, so the quotient is cast straight back to
+        # DECIMAL(38,0) — without it, r_micro (~1e6 · n_raw with a
+        # disjoint target) re-narrows to 64-bit and can overflow past
+        # n_raw ≈ 9e12 tokens while the DuckDB twin's HUGEINT `//` does
+        # not (round-8 advisory): the cast keeps the widened-integer
+        # invariant end to end on BOTH engines.
         ratio = F.expr(
-            "(2 * CAST((cnt_t + 1) AS DECIMAL(38,0)) * (n_raw + v) * 1000000"
+            "CAST((2 * CAST((cnt_t + 1) AS DECIMAL(38,0)) * (n_raw + v) * 1000000"
             " + (CAST(n_tgt AS DECIMAL(38,0)) + v) * (cnt_r + 1))"
             " div (2 * (CAST(n_tgt AS DECIMAL(38,0)) + v) * (cnt_r + 1))"
+            " AS DECIMAL(38,0))"
         ).alias("r_micro")
         oov = F.expr(
-            "(2 * CAST(n_raw + v AS DECIMAL(38,0)) * 1000000"
+            "CAST((2 * CAST(n_raw + v AS DECIMAL(38,0)) * 1000000"
             " + (CAST(n_tgt AS DECIMAL(38,0)) + v))"
             " div (2 * (CAST(n_tgt AS DECIMAL(38,0)) + v))"
+            " AS DECIMAL(38,0))"
         ).alias("_oov")
     return scored_tok.select("token", ratio, *cfg, oov)
 
@@ -209,11 +218,27 @@ def _score_counts(per_doc: DataFrame, table: DataFrame, id_col: str) -> DataFram
     )
 
 
+def table_feature_config(table: DataFrame) -> tuple[int, int | None]:
+    """Read a ratio table's frozen feature config — (ngram,
+    hash_buckets) — off its self-describing columns. One driver action
+    against the table's plan: a caller that scores REPEATEDLY against
+    one table (the streaming sink, a selection loop) should call this
+    ONCE and pass the result to ``score_with_table(config=...)``, so no
+    per-batch driver action can ever re-execute an unmaterialized table
+    build."""
+    cfg = table.select("_ngram", "_hash_buckets").first()
+    return (
+        int(cfg["_ngram"]),
+        None if cfg["_hash_buckets"] is None else int(cfg["_hash_buckets"]),
+    )
+
+
 def score_with_table(
     docs: DataFrame,
     table: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    config: tuple[int, int | None] | None = None,
 ) -> DataFrame:
     """Score documents against a prebuilt ratio table. The feature
     config (n-gram size, hash buckets) is read FROM the table — the
@@ -223,12 +248,18 @@ def score_with_table(
     the table, as its contract says), then one broadcast join + one
     combinable per-doc aggregate; usable identically on a batch frame or
     inside a streaming micro-batch. Documents with no features at all
-    (shorter than the n-gram size) produce no output row."""
-    cfg = table.select("_ngram", "_hash_buckets").first()
+    (shorter than the n-gram size) produce no output row.
+
+    ``config=`` takes a ``table_feature_config(table)`` result so
+    repeat scorers pay the driver read once — it exists for call-site
+    hoisting, not for overriding the table's frozen config (passing
+    anything else re-opens the mismatched-tokenization hole the
+    self-describing columns closed)."""
+    ngram, hash_buckets = (
+        table_feature_config(table) if config is None else config
+    )
     per_doc = _doc_token_counts(
-        docs, id_col, text_col,
-        ngram=int(cfg["_ngram"]),
-        hash_buckets=None if cfg["_hash_buckets"] is None else int(cfg["_hash_buckets"]),
+        docs, id_col, text_col, ngram=ngram, hash_buckets=hash_buckets
     )
     return _score_counts(per_doc, table, id_col)
 

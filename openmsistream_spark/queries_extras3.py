@@ -40,7 +40,13 @@ from .queries import LSH_SCORED_CTE, load, query
              'P5 8 1 255' || chr(10) || substr(text, 1, 8) AS pgm,
              list_transform(range(1, 9),
                             i -> ascii(substr(text, CAST(i AS INT), 1))) AS codes
-      FROM documents WHERE length(text) >= 8)
+      FROM documents
+      WHERE length(text) >= 8
+        -- ASCII-safe prefixes only: the Spark side frames the first 8
+        -- characters' UTF-8 BYTES as pixels while this oracle uses code
+        -- points; the two agree exactly iff every prefix char is 1-byte
+        -- UTF-8 (octet_length == char length)
+        AND octet_length(encode(substr(text, 1, 8))) = 8)
     SELECT media_id,
            CAST(octet_length(encode(pgm)) AS BIGINT) AS n_bytes,
            sha256(pgm) AS content_sha256,
@@ -63,12 +69,24 @@ def multimodal_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decodable the fake branch would raise instead of silently shipping
     hash-derived features. Pixel sum/min/max are recovered from the
     float32 feature vector by inverting the known normalizations —
-    integers survive the float32 roundtrip exactly (sums < 2^24)."""
+    integers survive the float32 roundtrip exactly (sums < 2^24).
+
+    Only ASCII-safe prefixes are framed (the prefix's UTF-8 byte count
+    must equal its char count): the decoder consumes the first 8 BYTES
+    of the payload while the oracle enumerates the first 8 characters'
+    code points, and a multi-byte character would silently diverge the
+    two (round-8 advisory; the sf corpora are ASCII, so this filter
+    changes nothing there — it pins the contract for corpora that
+    aren't)."""
     from .llm.multimodal import decode_features
 
     docs = load(spark, sf_dir, "documents")
-    pgm = F.concat(F.lit("P5 8 1 255\n"), F.substring("text", 1, 8))
-    media = docs.filter(F.length("text") >= 8).select(
+    prefix = F.substring("text", 1, 8)
+    pgm = F.concat(F.lit("P5 8 1 255\n"), prefix)
+    media = docs.filter(
+        (F.length("text") >= 8)
+        & (F.octet_length(F.encode(prefix, "UTF-8")) == 8)
+    ).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
         F.encode(pgm, "UTF-8").alias("content"),

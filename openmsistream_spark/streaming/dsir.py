@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..llm.dsir import score_with_table
+from ..llm.dsir import score_with_table, table_feature_config
 
 
 def dsir_select_stream_sink(
@@ -45,10 +45,15 @@ def dsir_select_stream_sink(
 
     Returns the configured ``DataStreamWriter`` — caller picks the
     trigger and calls ``.start()``."""
+    # the frozen feature config is read ONCE, here, not per micro-batch:
+    # reading it is a driver action against the table's plan, and a
+    # caller who ignored the freeze/materialize contract would otherwise
+    # re-execute the full table build every batch (round-8 advisory)
+    cfg = table_feature_config(ratio_table)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         scored = score_with_table(
-            batch_df, ratio_table, id_col=id_col, text_col=text_col
+            batch_df, ratio_table, id_col=id_col, text_col=text_col, config=cfg
         )
         admitted = (
             batch_df.select(id_col, text_col)

@@ -282,3 +282,48 @@ def test_resize_and_frames_on_real_media(spark):
 
     frames = [r for r in sample_frames(media, every_nth=10).collect() if r.media_id == 2]
     assert sorted(r.frame_i for r in frames) == [0, 10, 20]
+
+
+def test_pgm_catalog_entry_skips_non_ascii_prefix(spark, tmp_path):
+    """The catalog query frames a doc's first 8 BYTES as pixels while its
+    oracle enumerates the first 8 characters' CODE POINTS — the two agree
+    only for ASCII prefixes, so both sides filter to them (round-8
+    advisory). A multi-byte char inside the prefix must drop the doc on
+    BOTH engines; one after the prefix must not."""
+    import duckdb
+
+    from openmsistream_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plainasciidoc body"),
+            (2, "café latte brewed"),  # é inside the 8-char prefix
+            (3, "ascii hdr then café"),  # non-ASCII after the prefix
+            (4, "short"),  # < 8 chars
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    spec = QUERIES["multimodal_pgm_decode"]
+    got = {r.media_id: r for r in spec.fn(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 3}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: r
+        for r in con.execute(
+            spec.oracle + " ORDER BY media_id"
+        ).fetchall()
+    }
+    assert set(want) == {1, 3}
+    for mid in (1, 3):
+        g = got[mid]
+        # (n_bytes, sha, pixel stats) bit-identical across engines
+        assert (
+            g.n_bytes, g.content_sha256, g.pixel_sum, g.px_min, g.px_max
+        ) == (want[mid][1], want[mid][2], want[mid][6], want[mid][7], want[mid][8])
