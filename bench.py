@@ -25,6 +25,7 @@ from openmsistream_spark.session import get_spark
 import openmsistream_spark.queries_extras  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras2  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras3  # noqa: E402,F401  registers extras
+import openmsistream_spark.queries_extras4  # noqa: E402,F401  registers extras
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -94,6 +95,9 @@ HEADLINE = [
     "dedup_keep_best",
     "dsir_importance_rank",
     "span_excised_fixpoint2",
+    # round-9 additions
+    "quality_classifier_rank",
+    "quality_classifier_survivors",
 ]
 
 

@@ -26,6 +26,12 @@ from .dedup import (
     word_shingles,
 )
 from .curate import curate_corpus, decontaminate
+from .quality import (
+    count_difference_weights,
+    quality_classifier_filter,
+    score_with_weights,
+    train_quality_classifier,
+)
 from .packing import (
     mixture_sample,
     pack_sequences,

@@ -100,6 +100,8 @@ def curate_corpus(
     lsh_ledger=None,
     run_id: str | None = None,
     quality_thresholds: dict[str, Any] | None = None,
+    quality_weights: DataFrame | None = None,
+    quality_margin_threshold: float = 0.0,
     eval_docs: DataFrame | None = None,
     decontaminate_conf: dict[str, Any] | None = None,
     excise_spans: bool = False,
@@ -126,6 +128,16 @@ def curate_corpus(
     ``eval_docs`` turns on benchmark decontamination (``decontaminate``,
     tuned by ``decontaminate_conf``: n / min_hits / eval_id_col /
     eval_text_col) after dedup, before the quality gate.
+
+    ``quality_weights`` turns on MODEL-BASED quality filtering
+    (``quality.quality_classifier_filter``): a frozen classifier weight
+    table (``train_quality_classifier`` or the exact
+    ``count_difference_weights`` anchor) applied at
+    ``quality_margin_threshold`` (default 0 — the decision boundary),
+    after decontamination and before the heuristic quality gate (both
+    judge text, so they run on the post-rewrite corpus; the trained
+    filter first, since it is the stronger signal and one broadcast
+    join next to the heuristics' column expressions).
 
     Returns ``(curated, stage_counts)``; ``stage_counts`` is {} when
     ``report=False`` (no extra jobs). The curated frame carries
@@ -191,6 +203,18 @@ def curate_corpus(
             **(decontaminate_conf or {}),
         )
         _note("after_decontamination", docs)
+
+    if quality_weights is not None:
+        from .quality import quality_classifier_filter
+
+        docs = quality_classifier_filter(
+            docs,
+            quality_weights,
+            threshold=quality_margin_threshold,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        _note("after_quality_classifier", docs)
 
     # columns the quality/redaction stages compute themselves; same-named
     # input columns (e.g. a source-side n_chars) would be ambiguous, so

@@ -1,0 +1,179 @@
+"""Model-based quality filtering (llm/quality.py): exact
+count-difference anchor vs plain Python, the float trainer's
+convergence and its rank-equality with the anchor at step 1,
+determinism, hashed-feature mode, the filter form, and the curate
+integration."""
+
+from collections import Counter
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmsistream_spark.llm.quality import (
+    count_difference_weights,
+    quality_classifier_filter,
+    score_with_weights,
+    train_quality_classifier,
+)
+
+SCHEMA = "doc_id long, text string"
+POS = [
+    (1, "good prose flows with clear structure"),
+    (2, "clear careful prose and good structure"),
+    (3, "structure and prose read well"),
+]
+NEG = [
+    (10, "buy now buy now spam spam"),
+    (11, "click click spam offer now"),
+    (12, "offer spam buy click"),
+    (13, "now now now spam"),
+]
+
+
+def _toks(text):
+    return [t for t in text.lower().strip().split() if t]
+
+
+def _py_weights(pos, neg, balanced=True):
+    cp, cn = Counter(), Counter()
+    for _, t in pos:
+        cp.update(_toks(t))
+    for _, t in neg:
+        cn.update(_toks(t))
+    np_, nn = len(pos), len(neg)
+    vocab = set(cp) | set(cn)
+    if balanced:
+        return {w: nn * cp[w] - np_ * cn[w] for w in vocab}
+    return {w: cp[w] - cn[w] for w in vocab}
+
+
+def test_count_difference_weights_match_plain_python(spark):
+    pos = spark.createDataFrame(POS, SCHEMA)
+    neg = spark.createDataFrame(NEG, SCHEMA)
+    for balanced in (True, False):
+        got = {
+            r.token: int(r.w)
+            for r in count_difference_weights(
+                pos, neg, balanced=balanced
+            ).collect()
+        }
+        assert got == _py_weights(POS, NEG, balanced=balanced)
+
+
+def test_score_is_exact_integer_margin(spark):
+    pos = spark.createDataFrame(POS, SCHEMA)
+    neg = spark.createDataFrame(NEG, SCHEMA)
+    docs = pos.unionByName(neg)
+    w = count_difference_weights(pos, neg)
+    pyw = _py_weights(POS, NEG)
+    got = {r.doc_id: (r.n_tokens, r.score) for r in score_with_weights(docs, w).collect()}
+    for did, text in POS + NEG:
+        toks = _toks(text)
+        want = float(sum(pyw[t] for t in toks))
+        assert got[did] == (len(toks), want)
+    # unknown tokens score zero but still count toward n_tokens
+    new = spark.createDataFrame([(99, "good unseen unseen")], SCHEMA)
+    r = score_with_weights(new, w).collect()[0]
+    assert r.n_tokens == 3 and r.score == float(pyw["good"])
+
+
+def test_trainer_separates_planted_corpus(spark):
+    pos = spark.createDataFrame(POS, SCHEMA)
+    neg = spark.createDataFrame(NEG, SCHEMA)
+    w = train_quality_classifier(pos, neg, steps=30, lr=2.0)
+    docs = pos.unionByName(neg)
+    scores = {r.doc_id: r.score for r in score_with_weights(docs, w).collect()}
+    pos_m = [scores[d] for d, _ in POS]
+    neg_m = [scores[d] for d, _ in NEG]
+    # the planted corpus is linearly separable on disjoint-ish vocab:
+    # every positive must outrank every negative, with the decision
+    # boundary between them
+    assert min(pos_m) > 0.0 > max(neg_m)
+
+
+def test_trainer_step1_ranks_like_exact_anchor(spark):
+    # at w=0 the residual is exactly y - 1/2, so ONE float step is a
+    # positive scale (1/2n) + intercept shift of the unbalanced
+    # count-difference margin: the document ranking must be identical
+    pos = spark.createDataFrame(POS, SCHEMA)
+    neg = spark.createDataFrame(NEG, SCHEMA)
+    docs = pos.unionByName(neg)
+    trained = train_quality_classifier(pos, neg, steps=1, lr=1.0)
+    anchor = count_difference_weights(pos, neg, balanced=False)
+    ts = {r.doc_id: r.score for r in score_with_weights(docs, trained).collect()}
+    es = {r.doc_id: r.score for r in score_with_weights(docs, anchor).collect()}
+    for a in ts:
+        for b in ts:
+            if es[a] > es[b]:
+                assert ts[a] > ts[b], (a, b, ts[a], ts[b], es[a], es[b])
+
+
+def test_training_is_deterministic_and_partitioning_free(spark):
+    pos = spark.createDataFrame(POS, SCHEMA)
+    neg = spark.createDataFrame(NEG, SCHEMA)
+    w1 = {(r.token, r.w) for r in train_quality_classifier(pos, neg, steps=5).collect()}
+    w2 = {
+        (r.token, r.w)
+        for r in train_quality_classifier(
+            pos.repartition(7), neg.repartition(3), steps=5
+        ).collect()
+    }
+    assert w1 == w2  # bit-equal: decimal-accumulated sums, no float order
+
+
+def test_hashed_feature_mode_bounds_table(spark):
+    pos = spark.createDataFrame(POS, SCHEMA)
+    neg = spark.createDataFrame(NEG, SCHEMA)
+    w = count_difference_weights(pos, neg, hash_buckets=8)
+    assert w.count() <= 8
+    docs = pos.unionByName(neg)
+    scored = score_with_weights(docs, w)
+    # config rides the table: the scorer hashes identically
+    assert scored.count() == docs.count()
+    kept = quality_classifier_filter(docs, w, threshold=0.0)
+    ids = {r.doc_id for r in kept.collect()}
+    want = {r.doc_id for r in scored.filter("score >= 0").collect()}
+    assert ids == want
+
+
+def test_filter_form_threshold_semantics(spark):
+    pos = spark.createDataFrame(POS, SCHEMA)
+    neg = spark.createDataFrame(NEG, SCHEMA)
+    docs = pos.unionByName(neg)
+    w = count_difference_weights(pos, neg)
+    kept = {r.doc_id for r in quality_classifier_filter(docs, w).collect()}
+    assert kept == {1, 2, 3}  # the planted positives
+    # a featureless doc is dropped (no evidence), not admitted
+    with_empty = docs.unionByName(
+        spark.createDataFrame([(50, "   ")], SCHEMA)
+    )
+    kept2 = {r.doc_id for r in quality_classifier_filter(with_empty, w).collect()}
+    assert 50 not in kept2
+
+
+def test_curate_corpus_applies_classifier_stage(spark):
+    from openmsistream_spark.llm.curate import curate_corpus
+
+    pos = spark.createDataFrame(POS, SCHEMA)
+    neg = spark.createDataFrame(NEG, SCHEMA)
+    docs = pos.unionByName(neg)
+    w = count_difference_weights(pos, neg)
+    curated, counts = curate_corpus(
+        docs,
+        quality_weights=w,
+        quality_margin_threshold=0.0,
+        # loosen the heuristic gate: the planted docs are tiny
+        quality_thresholds={"min_tokens": 1, "min_distinct_ratio": 0.0},
+    )
+    assert counts["after_quality_classifier"] == 3
+    assert {r.doc_id for r in curated.select("doc_id").collect()} <= {1, 2, 3}
+
+
+def test_weights_decimal_type_is_exact(spark):
+    pos = spark.createDataFrame(POS, SCHEMA)
+    neg = spark.createDataFrame(NEG, SCHEMA)
+    w = count_difference_weights(pos, neg)
+    assert dict(w.dtypes)["w"] == "decimal(38,0)"
+    row = w.filter("token = 'spam'").collect()[0]
+    assert row.w == Decimal(_py_weights(POS, NEG)["spam"])
