@@ -61,6 +61,11 @@ def _fold_dots(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     return acc
 
 
+# elements (rows x centroids) of the per-slice score matrix inside
+# _assign_nearest — 4M float64 elements = ~32 MB peak per task
+_ASSIGN_SLICE_ELEMS = 4 << 20
+
+
 def _assign_nearest(
     pts: DataFrame,
     cents: DataFrame,
@@ -113,26 +118,34 @@ def _assign_nearest(
     )
     inp = pts.select(*cols)
 
+    # bound the (rows x k) score matrix per slice to ~32 MB of float64:
+    # at SemDeDup-paper k (~10^4) a whole 10k-row Arrow batch would
+    # otherwise materialize an ~800 MB intermediate per task — the
+    # argmax is row-local, so slicing changes nothing but peak memory
+    rows_per_slice = max(1, _ASSIGN_SLICE_ELEMS // max(1, len(clusters)))
+
     def assign(batches):
         cl, cm, cn = bc.value
         for pdf in batches:
-            if not len(pdf):
-                continue
-            vm = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-            )
-            s = _fold_dots(vm, cm)
-            if cn is not None:
-                s = s / (
-                    pdf[row_norm_col].to_numpy(dtype=np.float64)[:, None]
-                    * cn[None, :]
+            for lo in range(0, len(pdf), rows_per_slice):
+                sl = pdf.iloc[lo : lo + rows_per_slice]
+                if not len(sl):
+                    continue
+                vm = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in sl[vec_col]]
                 )
-            idx = s.argmax(axis=1)
-            out = pdf[keep].copy()
-            out[cluster_col] = cl[idx]
-            if score_col:
-                out[score_col] = s[np.arange(len(idx)), idx]
-            yield out
+                s = _fold_dots(vm, cm)
+                if cn is not None:
+                    s = s / (
+                        sl[row_norm_col].to_numpy(dtype=np.float64)[:, None]
+                        * cn[None, :]
+                    )
+                idx = s.argmax(axis=1)
+                out = sl[keep].copy()
+                out[cluster_col] = cl[idx]
+                if score_col:
+                    out[score_col] = s[np.arange(len(idx)), idx]
+                yield out
 
     return inp.mapInPandas(assign, schema=schema)
 

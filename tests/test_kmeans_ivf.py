@@ -293,3 +293,16 @@ def test_assignment_matches_plain_python_argmax(spark):
         c, d = expect(v)
         assert got[i][0] == c, (i, got[i], (c, d))
         assert got[i][1] == pytest.approx(d, abs=1e-9)
+
+
+def test_assignment_slicing_is_result_invariant(spark, emb, monkeypatch):
+    """The per-slice score-matrix bound inside _assign_nearest is a peak-
+    memory knob only: forcing one-row slices must not change a single
+    assignment or score (the argmax is row-local)."""
+    from openmsistream_spark.llm import similarity
+
+    cents = kmeans_fit(emb, k=4, max_iters=2)
+    whole = sorted(tuple(r) for r in kmeans_assign(emb, cents).collect())
+    monkeypatch.setattr(similarity, "_ASSIGN_SLICE_ELEMS", 1)
+    sliced = sorted(tuple(r) for r in kmeans_assign(emb, cents).collect())
+    assert sliced == whole
