@@ -145,6 +145,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     avg_cluster_size: int = 1024,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus after semantic dedup: input rows minus every vector
     that has a LOWER-id same-cluster neighbor with cosine >= threshold
@@ -152,19 +153,26 @@ def semdedup_prune(
     of the corpus against the distinct dropped-id set — the drop set is
     duplicate-sized, tiny next to the corpus, so AQE broadcasts it.
     Schema is unchanged (pass-through of the input columns).
-    ``k="auto"`` as in ``semdedup_pairs``."""
-    if centroids is None:
-        k = resolve_k(embeddings, k, avg_cluster_size)
-        centroids = kmeans_fit(embeddings, k=k, id_col=id_col, vec_col=vec_col)
-    dropped = (
-        semdedup_pairs(
+    ``k="auto"`` as in ``semdedup_pairs``.
+
+    ``pairs=`` injects a precomputed ``semdedup_pairs`` output (or any
+    (id_a, id_b) near-dup pair frame) so a caller wanting BOTH the pair
+    report and the pruned corpus pays the assignment + pair pipeline
+    once — the same injection contract as ``dedup.keep_canonical`` /
+    ``keep_best``. With ``pairs=`` given, ``threshold``/``centroids``/
+    ``k`` are ignored (they were the pair generator's knobs)."""
+    if pairs is None:
+        if centroids is None:
+            k = resolve_k(embeddings, k, avg_cluster_size)
+            centroids = kmeans_fit(
+                embeddings, k=k, id_col=id_col, vec_col=vec_col
+            )
+        pairs = semdedup_pairs(
             embeddings,
             threshold=threshold,
             centroids=centroids,
             id_col=id_col,
             vec_col=vec_col,
         )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return embeddings.join(dropped, id_col, "left_anti")

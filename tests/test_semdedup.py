@@ -123,3 +123,21 @@ def test_auto_k_scales_with_corpus(spark):
     survivors = semdedup_prune(emb, threshold=0.99, k="auto",
                                avg_cluster_size=100).count()
     assert 0 < survivors <= n
+
+
+def test_prune_pairs_injection_matches_full_run(spark):
+    """pairs= lets one assignment+pair pipeline feed both the pair
+    report and the pruned corpus (the keep_canonical/keep_best
+    injection contract): injected == end-to-end."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = _seeds(emb, 8)
+    pairs = semdedup_pairs(emb, threshold=0.4, centroids=cents).persist()
+    try:
+        shared = {r.vec_id for r in semdedup_prune(emb, pairs=pairs).collect()}
+        full = {
+            r.vec_id
+            for r in semdedup_prune(emb, threshold=0.4, centroids=cents).collect()
+        }
+        assert shared == full
+    finally:
+        pairs.unpersist()
