@@ -47,7 +47,10 @@ def test_catalog_is_jvm_side(spark):
                 )
             )
         )
-        has_python = "EvalPython" in plan or "MapInPandas" in plan
+        has_python = any(
+            t in plan
+            for t in ("EvalPython", "MapInPandas", "GroupsInPandas", "InArrow")
+        )
         if has_python and name not in PYTHON_ALLOWED:
             offenders.append(name)
         if not has_python and name in PYTHON_ALLOWED:
