@@ -126,80 +126,19 @@ def semdedup_pairs(
 
 def _cluster_pair_candidates(assigned: DataFrame, threshold: float) -> DataFrame:
     """(cluster, id_a, id_b, _raw): every within-cluster pair whose raw
-    cosine can round to >= ``threshold``, as ONE grouped Arrow stage.
+    cosine can round to >= ``threshold``, via the shared grouped Arrow
+    pair stage (``similarity._grouped_pair_candidates`` — see its
+    docstring for the shape, parity, and slack-margin contract).
+    Round-9 profiling here: the equi-join shape materialized 251k
+    Σ|cluster|² JVM pair rows carrying BOTH vectors at sf0.1, with the
+    interpreted fold alone costing 1.46 s of the 2.5 s entry; the
+    grouped stage ships each cluster's vectors once. Cluster size is
+    the operator's bounded knob (``resolve_k``)."""
+    from .similarity import _grouped_pair_candidates
 
-    Shape: each cluster's vectors cross Arrow ONCE (Σ|cluster| rows) and
-    the quadratic pair scoring happens vectorized in numpy — the
-    previous equi-join materialized Σ|cluster|² JVM pair rows carrying
-    BOTH vectors (round-9 profiling: 251k pairs × 2×64 doubles at
-    sf0.1, with the interpreted fold alone costing 1.46 s of the 2.5 s
-    entry). Skew is unchanged — an equi-join on the cluster key already
-    put all of a cluster's pairs on one task; cluster size is the
-    operator's bounded knob (``resolve_k``). Row blocks cap the
-    (block × n) score matrix at ~32 MB per task.
-
-    Parity: dots accumulate dimension-by-dimension in float64 — the
-    same multiply/add sequence as the SQL fold this replaced, so the
-    raw doubles are bit-identical. The Python-side filter keeps a SLACK
-    margin below the threshold (1e-4 > the 5e-5 half-up boundary at
-    4 dp) and the exact round + ``>= threshold`` happens JVM-side — no
-    numpy rounding semantics (half-to-even) can ever decide an edge."""
-    import numpy as np
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    id_field = assigned.schema["id"]
-    schema = StructType(
-        [
-            assigned.schema["cluster"],
-            StructField("id_a", id_field.dataType),
-            StructField("id_b", id_field.dataType),
-            StructField("_raw", DoubleType()),
-        ]
+    return _grouped_pair_candidates(
+        assigned, group_col="cluster", threshold=threshold
     )
-    slack = threshold - 1e-4
-
-    def per_cluster(pdf):
-        n = len(pdf)
-        if n < 2:
-            return
-        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
-        ids = pdf["id"].to_numpy()
-        vm = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-        cluster = pdf["cluster"].iloc[0]
-        block = max(1, (4 << 20) // n)
-        cols = np.arange(n)
-        for lo in range(0, n - 1, block):
-            hi = min(lo + block, n - 1)
-            acc = np.zeros((hi - lo, n), dtype=np.float64)
-            for j in range(vm.shape[1]):
-                acc += vm[lo:hi, j][:, None] * vm[:, j][None, :]
-            raw = acc / (nrm[lo:hi][:, None] * nrm[None, :])
-            # ids ascend with the index, so j > i row-index IS id_a < id_b
-            ii, jj = np.nonzero((raw >= slack) & (cols[None, :] > (cols[lo:hi][:, None])))
-            if len(ii):
-                import pandas as pd
-
-                yield pd.DataFrame(
-                    {
-                        "cluster": cluster,
-                        "id_a": ids[ii + lo],
-                        "id_b": ids[jj],
-                        "_raw": raw[ii, jj],
-                    }
-                )
-
-    def apply(key, pdf):
-        import pandas as pd
-
-        frames = list(per_cluster(pdf))
-        if not frames:
-            return pd.DataFrame(
-                {"cluster": [], "id_a": [], "id_b": [], "_raw": []}
-            ).astype({"_raw": "float64"})
-        return pd.concat(frames, ignore_index=True)
-
-    return assigned.groupBy("cluster").applyInPandas(apply, schema=schema)
 
 
 def semdedup_prune(

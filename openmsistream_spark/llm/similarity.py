@@ -66,6 +66,94 @@ def _fold_dots(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
 _ASSIGN_SLICE_ELEMS = 4 << 20
 
 
+def _grouped_pair_candidates(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str = "id",
+    vec_col: str = "v",
+    norm_col: str = "nrm",
+    threshold: float,
+) -> DataFrame:
+    """(group_col, id_a, id_b, _raw): every within-group pair whose raw
+    cosine dot(va, vb)/(na·nb) can still round to >= ``threshold``, as
+    ONE grouped Arrow stage — the shared quadratic-island pair scorer
+    behind SemDeDup clusters and sign-LSH buckets.
+
+    Shape: each group's vectors cross Arrow ONCE (Σ|group| rows) and
+    the quadratic scoring runs vectorized in numpy, emitting only
+    near-threshold candidates — an equi-join on the group key instead
+    materializes Σ|group|² JVM pair rows carrying BOTH vectors and pays
+    an interpreted fold per pair. Skew is identical (a group's pairs
+    land on one task either way; group size is the caller's bounded
+    knob). Row blocks cap the (block × n) score matrix at ~32 MB per
+    task.
+
+    Parity: dots accumulate dimension-by-dimension in float64 — the
+    same multiply/add sequence as the SQL fold this replaces, so the
+    raw doubles are bit-identical to the old expression. The
+    Python-side filter keeps a SLACK margin below the threshold
+    (1e-4 > the 5e-5 half-up boundary at 4 dp); the caller applies the
+    exact JVM-side ``round(_raw, 4) >= threshold`` — numpy's
+    half-to-even rounding never decides an edge. ``id_a < id_b`` via an
+    ascending sort of the group's ids (numeric ids — the only kind the
+    embedding operators key on — order identically in pandas and
+    Spark)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            df.schema[group_col],
+            StructField("id_a", id_field.dataType),
+            StructField("id_b", id_field.dataType),
+            StructField("_raw", DoubleType()),
+        ]
+    )
+    slack = threshold - 1e-4
+
+    def per_group(pdf):
+        n = len(pdf)
+        if n < 2:
+            return
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        vm = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+        nrm = pdf[norm_col].to_numpy(dtype=np.float64)
+        gval = pdf[group_col].iloc[0]
+        block = max(1, _ASSIGN_SLICE_ELEMS // n)
+        cols = np.arange(n)
+        for lo in range(0, n - 1, block):
+            hi = min(lo + block, n - 1)
+            acc = np.zeros((hi - lo, n), dtype=np.float64)
+            for j in range(vm.shape[1]):
+                acc += vm[lo:hi, j][:, None] * vm[:, j][None, :]
+            raw = acc / (nrm[lo:hi][:, None] * nrm[None, :])
+            # ids ascend with the index, so j > i row-index IS id_a < id_b
+            ii, jj = np.nonzero(
+                (raw >= slack) & (cols[None, :] > (cols[lo:hi][:, None]))
+            )
+            if len(ii):
+                yield pd.DataFrame(
+                    {
+                        group_col: gval,
+                        "id_a": ids[ii + lo],
+                        "id_b": ids[jj],
+                        "_raw": raw[ii, jj],
+                    }
+                )
+
+    def apply(key, pdf):
+        frames = list(per_group(pdf))
+        if not frames:
+            return pd.DataFrame(
+                {group_col: [], "id_a": [], "id_b": [], "_raw": []}
+            ).astype({"_raw": "float64"})
+        return pd.concat(frames, ignore_index=True)
+
+    return df.groupBy(group_col).applyInPandas(apply, schema=schema)
+
+
 def _assign_nearest(
     pts: DataFrame,
     cents: DataFrame,

@@ -104,23 +104,21 @@ def _cos(a, b):
     survey="LLM dedup: embedding near-dup",
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _bucketed(_normed(spark, sf_dir, ), 4)
-    a = b.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    c = b.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    cosine = F.round(_cos("va", "vb") / (F.col("na") * F.col("nb")), 4)
+    """Sign-LSH buckets are quadratic islands exactly like SemDeDup
+    clusters, so the pair scoring runs through the shared grouped Arrow
+    stage (``similarity._grouped_pair_candidates``): each bucket's
+    vectors cross Arrow once and the quadratic is vectorized numpy,
+    instead of an equi-join materializing Σ|bucket|² JVM pair rows with
+    an interpreted fold each. Exact 4-dp round + threshold stay
+    JVM-side (oracle parity)."""
+    from .llm.similarity import _grouped_pair_candidates
+
+    b = _bucketed(_normed(spark, sf_dir), 4)
     return (
-        pairs.withColumn("cosine", cosine)
+        _grouped_pair_candidates(
+            b, group_col="bucket", id_col="vec_id", threshold=0.4
+        )
+        .withColumn("cosine", F.round(F.col("_raw"), 4))
         .filter(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")
     )

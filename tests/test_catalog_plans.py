@@ -32,6 +32,10 @@ PYTHON_ALLOWED = {
     # the whole pipeline)
     "semdedup_pairs_seeded",
     "semdedup_survivors_seeded",
+    # sign-LSH buckets are quadratic islands like SemDeDup clusters —
+    # same shared grouped Arrow pair stage (vectors cross Arrow once
+    # per bucket instead of a sum-of-bucket-squared pair-row join)
+    "embedding_neardup_pairs",
 }
 
 
