@@ -98,6 +98,7 @@ HEADLINE = [
     # round-9 additions
     "quality_classifier_rank",
     "quality_classifier_survivors",
+    "d4_prototype_prune",
 ]
 
 

@@ -26,6 +26,12 @@ from .dedup import (
     word_shingles,
 )
 from .curate import curate_corpus, decontaminate
+from .semdedup import (
+    d4_prune,
+    prototype_prune,
+    semdedup_pairs,
+    semdedup_prune,
+)
 from .quality import (
     count_difference_weights,
     quality_classifier_filter,

@@ -180,3 +180,94 @@ def semdedup_prune(
         )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return embeddings.join(dropped, id_col, "left_anti")
+
+
+def prototype_prune(
+    embeddings: DataFrame,
+    drop_fraction: float = 0.1,
+    centroids: DataFrame | None = None,
+    k: int | str = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    avg_cluster_size: int = 1024,
+) -> DataFrame:
+    """SSL-prototype pruning (the second stage of D4, Tirumala et al.
+    2023 "D4: Improving LLM Pretraining via Document De-Duplication and
+    Diversification"): within each k-means cluster, DROP the
+    ``drop_fraction`` of points CLOSEST to the centroid — the most
+    prototypical examples carry the least marginal information once the
+    cluster is represented, so removing them diversifies the corpus
+    (the paper's gain over dedup alone).
+
+    Deterministic rule: per cluster, rank by (cosine-to-centroid
+    rounded to 4 dp DESC, id ASC) — rounding makes the ranking
+    engine-portable, ties drop the lowest id first — and drop the first
+    ``ceil(drop_fraction * |cluster|)`` ranks. Zero-norm vectors have
+    no direction, join no cluster, and always survive (consistent with
+    ``semdedup_prune``).
+
+    Scale shape: assignment is the broadcast Arrow argmax
+    (``kmeans_assign`` — zero corpus shuffle); ranking is one window
+    partitioned by cluster, whose partitions are the operator's bounded
+    knob (``k="auto"`` keeps |cluster| ~ ``avg_cluster_size`` as the
+    corpus grows); the final filter is row-local. One shuffle total.
+
+    Returns the surviving ``embeddings`` rows unchanged (semi-join on
+    the kept id set).
+    """
+    if not 0.0 <= drop_fraction < 1.0:
+        raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
+    from pyspark.sql import Window
+
+    from .similarity import kmeans_assign, kmeans_fit
+
+    if centroids is None:
+        k = resolve_k(embeddings, k, avg_cluster_size)
+        centroids = kmeans_fit(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    # cosine to the assigned centroid: kmeans_assign's dot is against
+    # unit-norm centroids and unit-normalized vectors, i.e. the cosine
+    assigned = kmeans_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(F.round(F.col("dot"), 4)), F.asc(id_col)
+    )
+    wc = Window.partitionBy("cluster")
+    kept = (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wc))
+        .filter(F.col("_rn") > F.ceil(F.lit(drop_fraction) * F.col("_n")))
+        .select(id_col)
+    )
+    no_cluster = embeddings.join(
+        assigned.select(id_col), id_col, "left_anti"
+    ).select(id_col)
+    return embeddings.join(kept.union(no_cluster), id_col, "left_semi")
+
+
+def d4_prune(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    drop_fraction: float = 0.1,
+    centroids: DataFrame | None = None,
+    k: int | str = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    avg_cluster_size: int = 1024,
+) -> DataFrame:
+    """The full D4 recipe: SemDeDup first (remove semantic near-dups at
+    ``threshold``), then prototype pruning over the SURVIVORS
+    (``drop_fraction`` closest-to-centroid per cluster) — dedup removes
+    redundancy, diversification removes prototypicality. One centroid
+    table (trained once when not provided) feeds both stages; both
+    reuse the broadcast Arrow assignment, so the pipeline costs one
+    pair stage + one window beyond the shared assignment."""
+    if centroids is None:
+        k = resolve_k(embeddings, k, avg_cluster_size)
+        centroids = kmeans_fit(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    deduped = semdedup_prune(
+        embeddings, threshold=threshold, centroids=centroids,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return prototype_prune(
+        deduped, drop_fraction=drop_fraction, centroids=centroids,
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -22,6 +22,11 @@ LLM-curation family the catalog lacked through round 8):
   margin is >= 0 (more seed-mass than raw-mass under the balanced
   weights), i.e. what ``quality_classifier_filter`` admits into a
   training corpus.
+- ``d4_prototype_prune``: D4 diversification (Tirumala et al. 2023) —
+  after clustering, drop the fraction of each cluster CLOSEST to its
+  centroid (the most prototypical, least marginally informative
+  examples). Seeded unit-normalized centroids for oracle parity; the
+  library composes it with SemDeDup as ``llm.semdedup.d4_prune``.
 """
 
 from __future__ import annotations
@@ -120,3 +125,81 @@ def quality_classifier_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = quality_classifier_filter(docs, weights, threshold=0.0)
     toks = score_with_weights(docs, weights).select("doc_id", "n_tokens")
     return kept.join(toks, "doc_id").select("doc_id", "source", "n_tokens")
+
+
+# Seeded D4 prototype-prune oracle: unit-normalize points and seed
+# centroids, assign by max unit-dot (ties to lowest cent_id), rank
+# within cluster by (round(cos,4) DESC, vec_id ASC), drop the first
+# ceil(frac*n). The normalize-THEN-dot order mirrors kmeans_assign
+# exactly (dot of unit vectors, not dot/norms) so the doubles match
+# bit-for-bit.
+from .queries_llm import _EMB_NORM_CTE  # noqa: E402  (a string constant)
+
+_D4_CTE = (
+    _EMB_NORM_CTE
+    + """
+    , cents AS (SELECT vec_id AS cent_id,
+                       list_transform(v, x -> x / nrm) AS cu
+                FROM normed WHERE vec_id < 8 AND nrm > 0),
+    pts AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vu
+            FROM normed WHERE nrm > 0),
+    assigned AS (
+      SELECT vec_id, cent_id, d FROM (
+        SELECT p.vec_id, c.cent_id, list_dot_product(p.vu, c.cu) AS d,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.vu, c.cu) DESC, c.cent_id) AS rn
+        FROM pts p CROSS JOIN cents c) t
+      WHERE rn = 1),
+    ranked AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY cent_id
+                                ORDER BY round(d, 4) DESC, vec_id) AS rn,
+             count(*) OVER (PARTITION BY cent_id) AS n
+      FROM assigned)
+"""
+)
+
+
+def _unit_seed_centroids(emb):
+    """The 8 lowest-id vectors, unit-normalized — kmeans_assign scores
+    by plain dot against unit centroids, so seeding must normalize the
+    same way the oracle does (transform x -> x/nrm)."""
+    from .llm.similarity import _with_norm
+
+    return (
+        _with_norm(emb.filter(F.col("vec_id") < 8))
+        .filter(F.col("_norm") > 0)
+        .select(
+            F.col("vec_id").alias("cluster"),
+            F.transform("_vec", lambda x: x / F.col("_norm")).alias("centroid"),
+        )
+    )
+
+
+@query(
+    "d4_prototype_prune",
+    _D4_CTE
+    + """
+    SELECT e.vec_id, e.label
+    FROM embeddings e JOIN ranked r USING (vec_id)
+    WHERE r.rn > ceil(0.25 * r.n)
+    """,
+    doc="D4 diversification (Tirumala et al. 2023): after clustering, "
+    "DROP the 25% of each cluster closest to its centroid — the most "
+    "prototypical examples carry the least marginal information, so "
+    "removing them diversifies the corpus (the paper's gain over dedup "
+    "alone). Deterministic rank: (cosine rounded 4dp DESC, id ASC); "
+    "seeded centroids for oracle parity, the library trains k-means",
+    survey="LLM curation: D4 prototype pruning / diversification (round-9)",
+)
+def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.semdedup.prototype_prune`` (seeded,
+    drop_fraction=0.25); projects (vec_id, label) — embedding arrays
+    stay out of the compare."""
+    from .llm.semdedup import prototype_prune
+
+    emb = load(spark, sf_dir, "embeddings")
+    return prototype_prune(
+        emb, drop_fraction=0.25, centroids=_unit_seed_centroids(emb)
+    ).select("vec_id", "label")

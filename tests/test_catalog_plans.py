@@ -36,6 +36,9 @@ PYTHON_ALLOWED = {
     # same shared grouped Arrow pair stage (vectors cross Arrow once
     # per bucket instead of a sum-of-bucket-squared pair-row join)
     "embedding_neardup_pairs",
+    # D4 prototype pruning assigns via kmeans_assign's broadcast Arrow
+    # argmax (the round-9 assignment stage)
+    "d4_prototype_prune",
 }
 
 

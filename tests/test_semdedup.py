@@ -141,3 +141,54 @@ def test_prune_pairs_injection_matches_full_run(spark):
         assert shared == full
     finally:
         pairs.unpersist()
+
+
+def test_prototype_prune_drops_closest_to_centroid(spark):
+    """One seeded cluster at e1: with drop_fraction=0.5 the two vectors
+    MOST aligned with the centroid go; the oblique ones survive."""
+    from openmsistream_spark.llm.semdedup import prototype_prune
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],      # cos 1.0 to centroid — dropped
+        1: [0.99, 0.1, 0.0],     # near-prototype — dropped
+        2: [0.5, 0.8, 0.0],      # oblique — kept
+        3: [0.1, 0.99, 0.0],     # oblique — kept
+        4: [0.0, 0.0, 0.0],      # zero-norm: no cluster, always kept
+    }
+    emb = _mk(spark, vecs)
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "cluster long, centroid array<double>"
+    )
+    kept = {
+        r.vec_id
+        for r in prototype_prune(emb, 0.5, centroids=seeds).collect()
+    }
+    assert kept == {2, 3, 4}
+
+
+def test_d4_prune_is_dedup_then_diversify(spark):
+    """d4 = semdedup_prune then prototype_prune over the survivors with
+    one shared centroid table; the composition must equal running the
+    two stages by hand."""
+    from openmsistream_spark.llm.semdedup import (
+        d4_prune,
+        prototype_prune,
+        semdedup_prune,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = _seeds(emb, 8)
+    got = {
+        r.vec_id
+        for r in d4_prune(
+            emb, threshold=0.4, drop_fraction=0.25, centroids=seeds
+        ).collect()
+    }
+    step1 = semdedup_prune(emb, threshold=0.4, centroids=seeds)
+    want = {
+        r.vec_id
+        for r in prototype_prune(
+            step1, drop_fraction=0.25, centroids=seeds
+        ).collect()
+    }
+    assert got == want and len(got) < emb.count()
