@@ -242,16 +242,19 @@ def train_quality_classifier(
             .groupBy("_qid")
             .agg(_dsum(F.col("cnt") * F.col("w")).alias("_m"))
         )
-        resid = (
-            ys.join(margins, "_qid", "left")
-            .select(
+        # residuals feed BOTH the per-feature gradient join and the
+        # intercept sum — materialize once (sample-sized leaf) so each
+        # step pays one margins pass, not two
+        resid = truncate_plan(
+            ys.join(margins, "_qid", "left").select(
                 "_qid",
                 (
                     F.lit(1.0)
                     / (F.lit(1.0) + F.exp(-(F.coalesce("_m", F.lit(0.0)) + b0)))
                     - F.col("_y")
                 ).alias("_r"),
-            )
+            ),
+            checkpoint_dir,
         )
         grads = (
             feats.join(resid, "_qid")
