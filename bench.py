@@ -99,6 +99,8 @@ HEADLINE = [
     "quality_classifier_rank",
     "quality_classifier_survivors",
     "d4_prototype_prune",
+    "winnowing_fingerprints_docs",
+    "winnowing_overlap_pairs",
 ]
 
 

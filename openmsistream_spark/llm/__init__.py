@@ -26,6 +26,11 @@ from .dedup import (
     word_shingles,
 )
 from .curate import curate_corpus, decontaminate
+from .fingerprint import (
+    fingerprint_overlap_pairs,
+    kgram_hashes,
+    winnow_fingerprints,
+)
 from .semdedup import (
     d4_prune,
     prototype_prune,

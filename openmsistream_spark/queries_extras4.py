@@ -27,6 +27,11 @@ LLM-curation family the catalog lacked through round 8):
   centroid (the most prototypical, least marginally informative
   examples). Seeded unit-normalized centroids for oracle parity; the
   library composes it with SemDeDup as ``llm.semdedup.d4_prune``.
+- ``winnowing_fingerprints_docs`` / ``winnowing_overlap_pairs``:
+  rolling-hash document fingerprinting (Schleimer et al. 2003
+  winnowing / MOSS, llm/fingerprint.py) — per-window rightmost-min
+  k-gram hash selection with the shared-substring coverage guarantee,
+  and the fingerprint-overlap near-dup report it exists for.
 """
 
 from __future__ import annotations
@@ -203,3 +208,104 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototype_prune(
         emb, drop_fraction=0.25, centroids=_unit_seed_centroids(emb)
     ).select("vec_id", "label")
+
+
+# Winnowing fingerprints (Schleimer et al. 2003 / MOSS): hash every
+# 5-char k-gram of the normalized text, slide a 4-hash window, keep
+# each window's minimum (rightmost on ties). Positions are 1-based;
+# hashes are 16-hex md5 prefixes (engine-identical).
+_WINNOW_CTE = r"""
+    WITH normed AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, p,
+             substr(md5(substr(t, CAST(p AS INT), 12)), 1, 16) AS h
+      FROM (SELECT doc_id, t, unnest(range(1, length(t) - 10)) AS p
+            FROM normed WHERE length(t) >= 12)),
+    sel AS (
+      -- rightmost window minimum in ONE window aggregate: arg_min over
+      -- the scalar key (h || zero-padded descending position) — h is
+      -- fixed-width hex, so the concatenation orders by (h asc, p desc)
+      SELECT doc_id,
+             arg_min(p, h || lpad(CAST(100000000 - p AS VARCHAR), 9, '0'))
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sp,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp,
+             row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+      FROM g),
+    fps AS (SELECT DISTINCT doc_id, sp, fp FROM sel WHERE rn >= 8)
+"""
+
+
+@query(
+    "winnowing_fingerprints_docs",
+    _WINNOW_CTE
+    + """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           md5(string_agg(fp, ',' ORDER BY sp)) AS fp_digest
+    FROM fps GROUP BY 1
+    """,
+    doc="winnowing document fingerprints (Schleimer et al. 2003 / MOSS "
+    "— the rolling-hash fingerprint of the dedup literature): each "
+    "8-window of 12-char k-gram hashes contributes its rightmost "
+    "minimum; any shared substring of length >= k+w-1 = 19 chars is "
+    "guaranteed a shared fingerprint. Per doc: selected-set size + "
+    "position-ordered digest",
+    survey="LLM text analysis: rolling-hash document fingerprinting (round-9)",
+)
+def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.fingerprint.winnow_fingerprints`` (k=12,
+    w=8); the digest folds the position-ordered fingerprint list so the
+    oracle checks the exact selected SET, not just its size."""
+    from .llm.fingerprint import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=12, w=8)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sp", "fp"))),
+                    lambda x: x.getField("fp"),
+                ),
+            )
+        ).alias("fp_digest"),
+    )
+
+
+@query(
+    "winnowing_overlap_pairs",
+    _WINNOW_CTE
+    + """
+    , allfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+    keepfp AS (SELECT fp FROM allfp GROUP BY fp HAVING count(*) <= 10),
+    dfp AS (SELECT doc_id, fp FROM allfp JOIN keepfp USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+    doc="winnowing overlap report: document pairs sharing >= 3 distinct "
+    "rare fingerprint values (document frequency <= 10 — the hot-fp "
+    "boilerplate guard, same rationale as the shingle cap) — the MOSS "
+    "near-dup/plagiarism signal; the pair join runs on 16-hex "
+    "fingerprints, never text",
+    survey="LLM dedup: fingerprint-overlap near-dup report (round-9)",
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of ``llm.fingerprint.fingerprint_overlap_pairs``
+    (k=12, w=8, min_shared=3, max_fp_df=10 — short grams on this
+    synthetic corpus are corpus-wide-shared vocabulary, so the report
+    keys on long rare fingerprints; an uncapped 5-gram run pairs half
+    the corpus)."""
+    from .llm.fingerprint import fingerprint_overlap_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint_overlap_pairs(
+        docs, k=12, w=8, min_shared=3, max_fp_df=10
+    )
