@@ -25,6 +25,7 @@ import openmsistream_spark.queries_extras  # noqa: E402,F401  isort: skip
 import openmsistream_spark.queries_extras2  # noqa: E402,F401  isort: skip
 import openmsistream_spark.queries_extras3  # noqa: E402,F401  isort: skip
 import openmsistream_spark.queries_extras4  # noqa: E402,F401  isort: skip
+import openmsistream_spark.queries_extras5  # noqa: E402,F401  isort: skip
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -26,6 +26,7 @@ import openmsistream_spark.queries_extras  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras2  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras3  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras4  # noqa: E402,F401  registers extras
+import openmsistream_spark.queries_extras5  # noqa: E402,F401  registers extras
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -101,6 +102,9 @@ HEADLINE = [
     "d4_prototype_prune",
     "winnowing_fingerprints_docs",
     "winnowing_overlap_pairs",
+    # round-10 additions
+    "ann_pq_adc_topk",
+    "bloom_gram_novelty",
 ]
 
 

@@ -62,6 +62,13 @@ from .similarity import (
     quantize_int8,
     write_ivf_index,
 )
+from .pq import (
+    pq_adc_topk,
+    pq_codebooks_from_seeds,
+    pq_encode,
+    pq_fit,
+)
+from .bloom import BloomFilter, bloom_build, bloom_mark, gram_novelty
 from .containment import containment_pairs
 from .sampling import weighted_sample_wor
 from .retrieval import (
@@ -112,6 +119,14 @@ __all__ = [
     "quantize_int8",
     "recall_at_k",
     "write_ivf_index",
+    "pq_adc_topk",
+    "pq_codebooks_from_seeds",
+    "pq_encode",
+    "pq_fit",
+    "BloomFilter",
+    "bloom_build",
+    "bloom_mark",
+    "gram_novelty",
     "curate_corpus",
     "decontaminate",
     "text_stats",
