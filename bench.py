@@ -105,6 +105,8 @@ HEADLINE = [
     # round-10 additions
     "ann_pq_adc_topk",
     "bloom_gram_novelty",
+    "bpe_train4_merges",
+    "bpe_segment_token_counts",
 ]
 
 

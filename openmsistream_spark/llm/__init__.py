@@ -69,6 +69,12 @@ from .pq import (
     pq_fit,
 )
 from .bloom import BloomFilter, bloom_build, bloom_mark, gram_novelty
+from .bpe import (
+    BpeMerge,
+    bpe_segment,
+    bpe_train,
+    bpe_word_counts,
+)
 from .containment import containment_pairs
 from .sampling import weighted_sample_wor
 from .retrieval import (
@@ -127,6 +133,10 @@ __all__ = [
     "bloom_build",
     "bloom_mark",
     "gram_novelty",
+    "BpeMerge",
+    "bpe_segment",
+    "bpe_train",
+    "bpe_word_counts",
     "curate_corpus",
     "decontaminate",
     "text_stats",

@@ -21,6 +21,13 @@ leans on that the catalog lacked through round 9:
   exact gram join). Bloom verdicts are pure md5 arithmetic, so the
   oracle reproduces them exactly — false positives are deterministic
   semantics, not an approximation gap.
+- ``bpe_train4_merges`` / ``bpe_segment_token_counts``: distributed BPE
+  tokenizer training (Sennrich et al. 2016, ``llm/bpe.py``). Because
+  symbols stay single chars (merged pairs become private-use-area
+  placeholders), one merge round IS SQL ``replace()`` — so the oracle
+  UNROLLS four full training rounds (count pairs -> top-1 -> replace,
+  four times) and the segmentation entry re-applies the learned chain,
+  making the iterative trainer hash-verifiable end to end.
 """
 
 from __future__ import annotations
@@ -153,3 +160,123 @@ def bloom_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup shuffle at all (word_shingles' per-doc distinct is enough)
     bloom = bloom_build(ref.select("shingle"), "shingle", m_bits=1 << 20, k=4)
     return gram_novelty(docs.filter(F.col("source") != "src0"), bloom, n=8)
+
+
+# ------------------------------------------------------------------ BPE
+# Four BPE training rounds unrolled in SQL. Single-char symbols make a
+# merge round literally `replace(w, pair, placeholder)` (leftmost
+# non-overlapping — the BPE rule), so each round is: pair counts from
+# 2-char substrings -> top-1 (cnt DESC, pair ASC) -> replace. The final
+# expansion substitutes placeholders back (descending rank: pair_i only
+# ever contains placeholders with rank < i).
+_BPE_ROUNDS = 4
+
+
+def _bpe_cte(rounds: int) -> str:
+    parts = [
+        r"""
+    WITH w0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents) t
+      WHERE w <> '' AND NOT regexp_matches(w, '[-]')
+      GROUP BY w)"""
+    ]
+    for i in range(1, rounds + 1):
+        ph = 0xE000 + i - 1
+        parts.append(
+            f"""
+    p{i} AS (
+      SELECT substring(w, j, 2) AS pair, CAST(sum(cnt) AS BIGINT) AS pcnt
+      FROM (SELECT w, cnt, unnest(range(1, length(w))) AS j FROM w{i - 1}) t
+      GROUP BY 1 ORDER BY pcnt DESC, pair ASC LIMIT 1),
+    w{i} AS (
+      SELECT replace(w, (SELECT pair FROM p{i}), chr({ph})) AS w, cnt
+      FROM w{i - 1})"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_expand(col: str, rounds: int) -> str:
+    out = col
+    for i in range(rounds, 0, -1):
+        out = f"replace({out}, chr({0xE000 + i - 1}), (SELECT pair FROM p{i}))"
+    return out
+
+
+_BPE_MERGES_SQL = (
+    _bpe_cte(_BPE_ROUNDS)
+    + ",\n    merges AS ("
+    + "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, (SELECT pair FROM p{i}) AS pair,"
+        f" (SELECT pcnt FROM p{i}) AS cnt"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    + ")\n"
+    + f"""
+    SELECT rank,
+           {_bpe_expand("substring(pair, 1, 1)", _BPE_ROUNDS)} AS left,
+           {_bpe_expand("substring(pair, 2, 1)", _BPE_ROUNDS)} AS right,
+           {_bpe_expand("pair", _BPE_ROUNDS)} AS merged,
+           cnt
+    FROM merges
+    """
+)
+
+
+@query(
+    "bpe_train4_merges",
+    _BPE_MERGES_SQL,
+    doc="distributed BPE training, four merge rounds: corpus collapses "
+    "once to word counts (the only corpus-sized shuffle), every round "
+    "is a vocabulary-sized pair-count aggregate + driver top-1 + "
+    "shuffle-free replace; the oracle unrolls all four rounds in SQL",
+    survey="LLM text analysis: BPE tokenizer training",
+)
+def bpe_train4_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.bpe import bpe_train, bpe_word_counts, merge_table
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(bpe_word_counts(docs), n_merges=_BPE_ROUNDS)
+    return merge_table(spark, merges).select("rank", "left", "right", "merged", "cnt")
+
+
+# segmentation under the 4 learned merges: every char of the replaced
+# word is one token, so per-doc token count = sum of replaced lengths.
+def _bpe_apply(col: str, rounds: int) -> str:
+    out = col
+    for i in range(1, rounds + 1):
+        out = f"replace({out}, (SELECT pair FROM p{i}), chr({0xE000 + i - 1}))"
+    return out
+
+
+_BPE_SEGMENT_SQL = (
+    _bpe_cte(_BPE_ROUNDS)
+    + f"""
+    SELECT doc_id, CAST(sum(length({_bpe_apply("w", _BPE_ROUNDS)})) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+          FROM documents) t
+    WHERE w <> ''
+    GROUP BY doc_id
+    """
+)
+
+
+@query(
+    "bpe_segment_token_counts",
+    _BPE_SEGMENT_SQL,
+    doc="BPE segmentation under the four learned merges (frozen-vocab "
+    "tokenization): one Arrow stage with the broadcast merge chain, "
+    "zero corpus shuffle; per-doc subword token counts",
+    survey="LLM text analysis: BPE segmentation / token counting",
+)
+def bpe_segment_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.bpe import bpe_segment, bpe_train, bpe_word_counts
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(bpe_word_counts(docs), n_merges=_BPE_ROUNDS)
+    return (
+        bpe_segment(docs, merges)
+        .select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+    )
