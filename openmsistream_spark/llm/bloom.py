@@ -81,9 +81,9 @@ def positions(key: str, k: int, m_bits: int) -> list[int]:
 
 
 def positions_col(key: F.Column, k: int, m_bits: int) -> F.Column:
-    """The same k positions as a JVM-side array<bigint> expression (for
-    consumers that want the positions relationally, e.g. a position
-    ledger; the mask paths below hash Python-side inside Arrow stages)."""
+    """The same k positions as a JVM-side array<bigint> expression —
+    this IS the hash path of the mask operators below (whole-stage
+    codegen md5; the Arrow stages only do vectorized bit arithmetic)."""
     return F.array(
         *[
             (
@@ -97,6 +97,15 @@ def positions_col(key: F.Column, k: int, m_bits: int) -> F.Column:
     )
 
 
+def _flat_batch_positions(pos_series) -> np.ndarray:
+    """Concatenate a pandas series of per-row position arrays into one
+    int64 vector (empty-safe)."""
+    arrs = [np.asarray(a, dtype=np.int64) for a in pos_series if a is not None]
+    if not arrs:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(arrs)
+
+
 def bloom_build(
     df: DataFrame,
     key_col: str,
@@ -105,11 +114,16 @@ def bloom_build(
 ) -> BloomFilter:
     """Build a bloom filter over every value of ``df[key_col]`` (string).
 
-    ONE corpus scan: each task accumulates a local ``m/8``-byte bitmask
-    across its whole partition inside ``mapInPandas`` and emits a single
-    mask row; the driver ORs the partition masks as they stream in
-    (``toLocalIterator`` — peak driver memory is 2 masks, independent of
-    partition count). No shuffle anywhere.
+    ONE corpus scan: the k md5 probe positions per key are computed
+    JVM-side (whole-stage codegen, ``positions_col``); each task then
+    ORs its whole partition into a local ``m/8``-byte bitmask with one
+    vectorized ``np.bitwise_or.at`` inside ``mapInPandas`` and emits a
+    single mask row; the partition masks fold together in a
+    ``treeReduce`` (depth 2) — all partitions evaluate in PARALLEL (an
+    earlier ``toLocalIterator`` draft ran one job per partition,
+    serializing the whole build), executors pre-combine masks, and the
+    driver only ever holds the reduction fan-in, never one mask per
+    partition. No shuffle anywhere, no per-key Python hashing.
     """
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
@@ -120,22 +134,35 @@ def bloom_build(
         local = np.zeros(nbytes, dtype=np.uint8)
         any_rows = False
         for pdf in batches:
-            for key in pdf[key_col]:
-                if key is None:
-                    continue
-                any_rows = True
-                for p in positions(str(key), k, m_bits):
-                    local[p >> 3] |= 1 << (p & 7)
+            flat = _flat_batch_positions(pdf["_pos"])
+            if not flat.size:
+                continue
+            any_rows = True
+            np.bitwise_or.at(
+                local, flat >> 3, (1 << (flat & 7)).astype(np.uint8)
+            )
         if any_rows:
             import pandas as pd
 
             yield pd.DataFrame({"mask": [local.tobytes()]})
 
-    masks = df.select(key_col).mapInPandas(build, schema=schema)
-    acc = np.zeros(nbytes, dtype=np.uint8)
-    for row in masks.toLocalIterator():
-        acc |= np.frombuffer(row["mask"], dtype=np.uint8)
-    return BloomFilter(m_bits=m_bits, k=k, mask=acc.tobytes())
+    masks = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(positions_col(F.col(key_col), k, m_bits).alias("_pos"))
+        .mapInPandas(build, schema=schema)
+    )
+
+    def _or(a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    rdd = masks.rdd.map(lambda r: bytes(r["mask"]))
+    try:
+        acc = rdd.treeReduce(_or, depth=2)
+    except ValueError:  # empty input: no partition emitted a mask
+        acc = bytes(nbytes)
+    return BloomFilter(m_bits=m_bits, k=k, mask=acc)
 
 
 def bloom_mark(
@@ -147,41 +174,39 @@ def bloom_mark(
     """Append ``out_col``: true iff all k positions of ``df[key_col]``
     are set in ``bloom`` ("possibly in the build set" — bloom semantics:
     no false negatives, deterministic false positives). The mask ships
-    once per executor via ``SparkContext.broadcast``; the check is
-    row-local — zero shuffle."""
-    bc = df.sparkSession.sparkContext.broadcast((bloom.mask, bloom.k, bloom.m_bits))
+    once per executor via ``SparkContext.broadcast``; positions are
+    JVM-side md5 arithmetic and the check is one vectorized numpy
+    bit-test per Arrow batch — row-local, zero shuffle."""
+    bc = df.sparkSession.sparkContext.broadcast((bloom.mask, bloom.k))
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BooleanType())])
     cols = [f.name for f in df.schema.fields]
+    inp = df.withColumn(
+        "_pos",
+        F.when(
+            F.col(key_col).isNotNull(),
+            positions_col(F.col(key_col), bloom.k, bloom.m_bits),
+        ),
+    )
 
     def mark(batches):
-        mask_b, kk, mm = bc.value
+        mask_b, kk = bc.value
         arr = np.frombuffer(mask_b, dtype=np.uint8)
         for pdf in batches:
             out = pdf[cols].copy()
-            out[out_col] = [
-                key is not None
-                and all(
-                    arr[p >> 3] & (1 << (p & 7))
-                    for p in positions(str(key), kk, mm)
-                )
-                for key in pdf[key_col]
-            ]
+            if not len(pdf):
+                out[out_col] = np.empty(0, dtype=bool)
+                yield out
+                continue
+            ok = np.zeros(len(pdf), dtype=bool)
+            notnull = pdf["_pos"].notna().to_numpy()
+            if notnull.any():
+                flat = _flat_batch_positions(pdf["_pos"][notnull])
+                bits = (arr[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
+                ok[notnull] = bits.reshape(-1, kk).all(axis=1)
+            out[out_col] = ok
             yield out
 
-    return df.mapInPandas(mark, schema=schema)
-
-
-# word-shingle expression: same tokenizer + hashed-16-hex convention as
-# llm.dedup.word_shingles (kept textually independent so landing this
-# module does not touch that function's source closure)
-def _gram_array(text_col: str, n: int) -> F.Column:
-    parts = ", ".join(f"element_at(_toks, CAST(i+{j} AS INT))" for j in range(n))
-    mk = f"substring(md5(concat_ws(' ', {parts})), 1, 16)"
-    return F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size(_toks)-{n - 1}), i -> {mk})) "
-        f"ELSE array() END"
-    )
+    return inp.mapInPandas(mark, schema=schema)
 
 
 def gram_novelty(
@@ -193,15 +218,25 @@ def gram_novelty(
 ) -> DataFrame:
     """Per-document novelty against a reference bloom: how many of the
     doc's DISTINCT word n-grams are definitely NOT in the reference set
-    (novel), vs possibly seen. Docs with fewer than ``n`` words drop out
-    (no grams — mirrors the shingle-CTE convention).
+    (novel), vs possibly seen. Grams are the ``word_shingles``
+    convention — md5-16-hex over the space-joined lowercase n-gram —
+    and docs with fewer than ``n`` words drop out (no grams).
 
-    The whole probe is scan -> project (doc-local distinct gram array)
-    -> one Arrow stage against the broadcast mask emitting one row per
-    doc — ZERO shuffle; compare ``contamination_8gram``, whose exact
-    join shuffles every gram of both corpora. Output: (id, n_grams,
-    n_novel)."""
-    bc = docs.sparkSession.sparkContext.broadcast((bloom.mask, bloom.k, bloom.m_bits))
+    The whole probe is scan -> project (JVM split/lower/trim — cheap
+    codegen) -> one Arrow stage against the broadcast mask emitting one
+    row per doc — ZERO shuffle; compare ``contamination_8gram``, whose
+    exact join shuffles every gram of both corpora. Gram + probe hashes
+    run inside the Arrow stage via C-speed ``hashlib`` with a
+    short-circuit on the first unset bit (a novel gram usually pays ONE
+    salted md5, not k). An earlier draft built the gram/position arrays
+    JVM-side with ``transform(...)`` lambdas — Spark evaluates
+    higher-order functions interpreted, outside codegen, and the
+    per-gram md5 chain benched ~10x slower than hashlib here (the same
+    interpreted-HOF tax class the centroid argmax hit in round 8).
+    Output: (id, n_grams, n_novel)."""
+    bc = docs.sparkSession.sparkContext.broadcast(
+        (bloom.mask, bloom.k, bloom.m_bits)
+    )
     schema = StructType(
         [
             StructField(id_col, docs.schema[id_col].dataType),
@@ -209,29 +244,34 @@ def gram_novelty(
             StructField("n_novel", LongType()),
         ]
     )
-    inp = (
-        docs.withColumn("_toks", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-        .select(F.col(id_col), _gram_array(text_col, n).alias("_grams"))
-        .filter(F.size("_grams") >= 1)
-    )
+    inp = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks"),
+    ).filter(F.size("_toks") >= n)
 
     def count_novel(batches):
         mask_b, kk, mm = bc.value
         arr = np.frombuffer(mask_b, dtype=np.uint8)
         import pandas as pd
 
+        md5 = hashlib.md5
         for pdf in batches:
             if not len(pdf):
                 continue
             ids, n_grams, n_novel = [], [], []
-            for rid, grams in zip(pdf[id_col], pdf["_grams"]):
+            for rid, toks in zip(pdf[id_col], pdf["_toks"]):
+                toks = list(toks)
+                grams = {
+                    md5(" ".join(toks[i : i + n]).encode()).hexdigest()[:16]
+                    for i in range(len(toks) - n + 1)
+                }
                 novel = 0
                 for g in grams:
-                    if not all(
-                        arr[p >> 3] & (1 << (p & 7))
-                        for p in positions(g, kk, mm)
-                    ):
-                        novel += 1
+                    for i in range(kk):
+                        p = int(md5(f"{g}#{i}".encode()).hexdigest()[:15], 16) % mm
+                        if not arr[p >> 3] & (1 << (p & 7)):
+                            novel += 1
+                            break
                 ids.append(rid)
                 n_grams.append(len(grams))
                 n_novel.append(novel)

@@ -263,6 +263,143 @@ _BPE_SEGMENT_SQL = (
 )
 
 
+# -------------------------------------------------------------- sketches
+# HLL: p=12 -> m=4096 buckets over the top 12 bits of a 52-bit md5 hash;
+# rho from the remaining 40 bits. The harmonic sum is dyadic-rational
+# (2^-rho scaled by 2^41 is an integer), and alpha_m is frozen to an
+# integer micro literal, so the estimate itself is one half-up integer
+# division — engine-exact, no float ln/pow anywhere.
+_HLL_P = 12
+_HLL_VB = 52 - _HLL_P
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_a_num() -> int:
+    from .operators.sketches import hll_alpha_micro
+
+    return hll_alpha_micro(_HLL_P) * _HLL_M * _HLL_M * (1 << (_HLL_VB + 1)) * 100
+
+
+_HLL_SQL = f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::UBIGINT AS h
+      FROM events WHERE user_id IS NOT NULL),
+    reg AS (
+      SELECT event_type, h // {1 << _HLL_VB} AS bucket,
+             max(CASE WHEN h % {1 << _HLL_VB} = 0 THEN {_HLL_VB + 1}
+                      ELSE {_HLL_VB + 1}
+                           - length(bin(CAST(h % {1 << _HLL_VB} AS BIGINT)))
+                 END) AS r
+      FROM h GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_registers,
+             sum(CAST(1 AS BIGINT) << ({_HLL_VB + 1} - r)) AS s_present
+      FROM reg GROUP BY 1),
+    est AS (
+      SELECT event_type, n_registers,
+             CAST(s_present
+                  + ({_HLL_M} - n_registers) * {1 << (_HLL_VB + 1)} AS HUGEINT)
+               AS s
+      FROM agg),
+    fin AS (
+      SELECT event_type, n_registers,
+             CAST((2 * {_hll_a_num()} + s * 1000000)
+                  // (2 * s * 1000000) AS BIGINT) AS est_e2
+      FROM est)
+    SELECT e.event_type, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact,
+           f.n_registers, f.est_e2,
+           CASE WHEN f.est_e2 <= {250 * _HLL_M} AND f.n_registers < {_HLL_M}
+                THEN round({_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                         / ({_HLL_M} - f.n_registers)), 4)
+                ELSE round(CAST(f.est_e2 AS DOUBLE) / 100.0, 4) END AS estimate
+    FROM events e JOIN fin f USING (event_type)
+    GROUP BY 1, 3, 4, 5
+    """
+
+
+@query(
+    "hll_distinct_users",
+    _HLL_SQL,
+    doc="HyperLogLog distinct-user estimate per event_type (p=12, 4096 "
+    "one-byte registers) next to the exact count: the register build is "
+    "one map-side-combinable max — the shuffle carries at most m rows "
+    "per group regardless of key cardinality, the COUNT(DISTINCT) scale "
+    "path; dyadic-rational harmonic sum + frozen integer alpha make the "
+    "estimate itself engine-exact (no float ln/pow)",
+    survey="Sketch aggregates: HLL cardinality (approx COUNT DISTINCT scale path)",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import hll_distinct
+
+    ev = load(spark, sf_dir, "events")
+    sk = hll_distinct(
+        ev.select("event_type", F.col("user_id").cast("string").alias("uid")),
+        "uid",
+        ["event_type"],
+        p=_HLL_P,
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(sk, "event_type").select(
+        "event_type", "n_exact", "n_registers", "est_e2", "estimate"
+    )
+
+
+_CMS_SQL = r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents),
+    t2 AS (SELECT token FROM toks WHERE token <> ''),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM t2 GROUP BY 1),
+    top AS (SELECT token, exact_cnt FROM vocab
+            ORDER BY exact_cnt DESC, token LIMIT 20),
+    ii AS (SELECT unnest(range(4)) AS i),
+    counters AS (
+      SELECT ii.i,
+             ('0x' || substr(md5(t2.token || '#' || CAST(ii.i AS VARCHAR)),
+                             1, 15))::UBIGINT % 2048 AS pos,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM t2 CROSS JOIN ii GROUP BY 1, 2)
+    SELECT t.token, t.exact_cnt, CAST(min(c.cnt) AS BIGINT) AS cms_cnt
+    FROM top t CROSS JOIN ii s
+    JOIN counters c ON c.i = s.i
+     AND c.pos = ('0x' || substr(md5(t.token || '#' || CAST(s.i AS VARCHAR)),
+                                 1, 15))::UBIGINT % 2048
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "cms_token_freq_topk",
+    _CMS_SQL,
+    doc="Count-Min frequency sketch (d=4, w=2048) over every token "
+    "occurrence, probed at the exact top-20 tokens: occurrences go "
+    "straight to (row, position) cells — map-side combine bounds the "
+    "shuffle at d*w rows per task with the vocabulary never "
+    "materialized (the term-frequency scale path); estimates are "
+    "integer sums, engine-exact including the deterministic "
+    "overestimates",
+    survey="Sketch aggregates: Count-Min point frequency (vocab-free counting)",
+)
+def cms_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import cms_counters, cms_lookup
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    exact = toks.groupBy("token").agg(F.count("*").cast("long").alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("token")).limit(20)
+    counters = cms_counters(toks, "token", d=4, w=2048)
+    return cms_lookup(counters, top, "token", d=4, w=2048).select(
+        "token", "exact_cnt", "cms_cnt"
+    )
+
+
 @query(
     "bpe_segment_token_counts",
     _BPE_SEGMENT_SQL,

@@ -39,6 +39,17 @@ PYTHON_ALLOWED = {
     # D4 prototype pruning assigns via kmeans_assign's broadcast Arrow
     # argmax (the round-9 assignment stage)
     "d4_prototype_prune",
+    # PQ ADC scoring is one Arrow stage: broadcast LUTs, vectorized
+    # integer gathers per Arrow batch (llm/pq.py — zero corpus shuffle)
+    "ann_pq_adc_topk",
+    # bloom probe: broadcast bitmask + C-speed hashlib gram/position
+    # hashing inside ONE mapInPandas stage (llm/bloom.gram_novelty —
+    # zero probe-side shuffle; the JVM transform() alternative runs
+    # interpreted md5 per gram and benched ~10x slower)
+    "bloom_gram_novelty",
+    # BPE segmentation applies the broadcast merge chain per Arrow
+    # batch (llm/bpe.bpe_segment — zero corpus shuffle)
+    "bpe_segment_token_counts",
 }
 
 
