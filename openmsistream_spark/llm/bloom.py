@@ -151,6 +151,12 @@ def bloom_build(
         .select(positions_col(F.col(key_col), k, m_bits).alias("_pos"))
         .mapInPandas(build, schema=schema)
     )
+    return BloomFilter(m_bits=m_bits, k=k, mask=_fold_masks(masks, nbytes))
+
+
+def _fold_masks(masks: DataFrame, nbytes: int) -> bytes:
+    """OR per-partition mask rows into one mask via ``treeReduce``
+    (parallel; executors pre-combine, driver holds only the fan-in)."""
 
     def _or(a: bytes, b: bytes) -> bytes:
         return (
@@ -159,10 +165,46 @@ def bloom_build(
 
     rdd = masks.rdd.map(lambda r: bytes(r["mask"]))
     try:
-        acc = rdd.treeReduce(_or, depth=2)
+        return rdd.treeReduce(_or, depth=2)
     except ValueError:  # empty input: no partition emitted a mask
-        acc = bytes(nbytes)
-    return BloomFilter(m_bits=m_bits, k=k, mask=acc)
+        return bytes(nbytes)
+
+
+def bloom_from_positions(
+    pos_df: DataFrame | None,
+    m_bits: int,
+    k: int,
+    pos_col: str = "pos",
+) -> BloomFilter:
+    """Rebuild a :class:`BloomFilter` from already-computed bit
+    positions (e.g. a durable position ledger — the streaming sink's
+    state): same parallel mask fold as :func:`bloom_build`, no hashing.
+    ``None`` (or an empty frame) yields the empty filter."""
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+    nbytes = m_bits // 8
+    if pos_df is None:
+        return BloomFilter(m_bits=m_bits, k=k, mask=bytes(nbytes))
+    schema = StructType([StructField("mask", BinaryType())])
+
+    def build(batches):
+        local = np.zeros(nbytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat = pdf[pos_col].to_numpy(dtype=np.int64)
+            any_rows = True
+            np.bitwise_or.at(
+                local, flat >> 3, (1 << (flat & 7)).astype(np.uint8)
+            )
+        if any_rows:
+            import pandas as pd
+
+            yield pd.DataFrame({"mask": [local.tobytes()]})
+
+    masks = pos_df.select(pos_col).mapInPandas(build, schema=schema)
+    return BloomFilter(m_bits=m_bits, k=k, mask=_fold_masks(masks, nbytes))
 
 
 def bloom_mark(

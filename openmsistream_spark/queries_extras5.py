@@ -400,6 +400,107 @@ def cms_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- bigram LM
+# Interpolated bigram LM: p(w2|w1) = 0.9*c12/c1 + 0.1*c2/N over adjacent
+# token pairs (c1 = bigram starts with w1, c2 = bigram ends with w2,
+# N = total bigrams — all from one pairs table). Per-bigram surprisal is
+# rounded at 6 dp BEFORE the decimal-accumulated per-doc sum (the
+# unigram_surprisal_quality float-parity convention), so ln() ulp jitter
+# and summation order never reach the compared digits.
+_BIGRAM_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM base WHERE len(t) >= 2) q
+      WHERE t[i] <> '' AND t[i + 1] <> ''),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+    uni AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM pairs),
+    scored AS (
+      SELECT b.w1, b.w2,
+             round(-ln(0.9 * (CAST(b.c12 AS DOUBLE) / c.c1)
+                       + 0.1 * (CAST(u.c2 AS DOUBLE) / t.n)), 6) AS s
+      FROM big b JOIN ctx c USING (w1) JOIN uni u USING (w2) CROSS JOIN tot t)
+    SELECT d.doc_id, d.source, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(s.s AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_surprisal
+    FROM pairs p JOIN scored s ON s.w1 = p.w1 AND s.w2 = p.w2
+    JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "bigram_lm_surprisal",
+    _BIGRAM_SQL,
+    doc="interpolated bigram-LM mean surprisal per document — the CCNet "
+    "KenLM-perplexity filter one n-gram order up from "
+    "unigram_surprisal_quality: fluent common-transition text scores "
+    "low, scrambled or rare-transition text scores high; bigrams are "
+    "built doc-locally in whole-stage codegen (explode positions + "
+    "element_at — no interpreted lambdas), the bigram table is "
+    "Zipf-bounded so the scoring join never shuffles the token stream, "
+    "and per-bigram ln is rounded 6 dp before the decimal sum "
+    "(cross-engine float parity)",
+    survey="LLM text analysis: bigram LM quality scoring (CCNet device, order 2)",
+)
+def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    pairs = (
+        base.select(
+            "doc_id",
+            "_toks",
+            F.explode(F.expr("sequence(1, size(_toks) - 1)")).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            F.expr("element_at(_toks, CAST(_i AS INT))").alias("w1"),
+            F.expr("element_at(_toks, CAST(_i + 1 AS INT))").alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    uni = pairs.groupBy("w2").agg(F.count("*").alias("c2"))
+    tot = pairs.agg(F.count("*").alias("n"))
+    scored = (
+        big.join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    F.lit(0.9) * (F.col("c12").cast("double") / F.col("c1"))
+                    + F.lit(0.1) * (F.col("c2").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    return (
+        pairs.join(scored, ["w1", "w2"])
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
 @query(
     "bpe_segment_token_counts",
     _BPE_SEGMENT_SQL,
