@@ -134,9 +134,13 @@ def hll_distinct(
     regs = hll_registers(df, key_col, group_cols, p)
     agg = regs.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n_registers"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {vbits + 1} - r)")).alias(
-            "_s_present"
-        ),
+        # coalesce: a global (group-less) aggregate over an EMPTY frame
+        # still emits one row — sum() is NULL there, and the estimate
+        # must resolve to the all-registers-empty case, not NULL
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {vbits + 1} - r)")),
+            F.lit(0).cast("long"),
+        ).alias("_s_present"),
     )
     s_total = (
         F.col("_s_present")

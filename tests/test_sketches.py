@@ -144,3 +144,11 @@ def test_cms_weighted(spark):
         for r in cms_lookup(counters, probes, "token", d=2, w=32).collect()
     }
     assert got["a"] >= 6 and got["b"] >= 7
+
+
+def test_hll_empty_input_gives_zero_estimate(spark):
+    df = spark.createDataFrame([], "k string")
+    row = hll_distinct(df, "k", p=8).collect()[0]
+    # all registers empty -> linear counting arm with V=m -> m*ln(1)=0
+    assert row["n_registers"] == 0
+    assert row["estimate"] == 0.0
