@@ -68,7 +68,13 @@ from .pq import (
     pq_encode,
     pq_fit,
 )
-from .bloom import BloomFilter, bloom_build, bloom_mark, gram_novelty
+from .bloom import (
+    BloomFilter,
+    bloom_build,
+    bloom_from_positions,
+    bloom_mark,
+    gram_novelty,
+)
 from .bpe import (
     BpeMerge,
     bpe_segment,
@@ -131,6 +137,7 @@ __all__ = [
     "pq_fit",
     "BloomFilter",
     "bloom_build",
+    "bloom_from_positions",
     "bloom_mark",
     "gram_novelty",
     "BpeMerge",
