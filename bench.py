@@ -107,6 +107,9 @@ HEADLINE = [
     "bloom_gram_novelty",
     "bpe_train4_merges",
     "bpe_segment_token_counts",
+    "hll_distinct_users",
+    "cms_token_freq_topk",
+    "bigram_lm_surprisal",
 ]
 
 

@@ -104,6 +104,9 @@ def curate_corpus(
     quality_margin_threshold: float = 0.0,
     eval_docs: DataFrame | None = None,
     decontaminate_conf: dict[str, Any] | None = None,
+    novelty_bloom=None,
+    novelty_max_seen_frac: float = 0.5,
+    novelty_gram_n: int = 8,
     excise_spans: bool = False,
     excise_conf: dict[str, Any] | None = None,
     report: bool = True,
@@ -128,6 +131,18 @@ def curate_corpus(
     ``eval_docs`` turns on benchmark decontamination (``decontaminate``,
     tuned by ``decontaminate_conf``: n / min_hits / eval_id_col /
     eval_text_col) after dedup, before the quality gate.
+
+    ``novelty_bloom`` (a ``bloom.BloomFilter``, typically built once
+    over a reference corpus with ``bloom_build`` and reused across runs
+    — the frozen-artifact pattern quality_weights follows) turns on the
+    BLOOM-NOVELTY decontamination stage: documents whose fraction of
+    already-seen ``novelty_gram_n``-grams exceeds
+    ``novelty_max_seen_frac`` are dropped. This is the broadcast-mask
+    scale path of ``eval_docs`` decontamination — zero probe-side
+    shuffle where the exact gram join shuffles both corpora (see
+    ``llm/bloom.py``); the seen-fraction test is exact integer
+    arithmetic, and documents too short to produce a gram pass through
+    unjudged.
 
     ``quality_weights`` turns on MODEL-BASED quality filtering
     (``quality.quality_classifier_filter``): a frozen classifier weight
@@ -203,6 +218,25 @@ def curate_corpus(
             **(decontaminate_conf or {}),
         )
         _note("after_decontamination", docs)
+
+    if novelty_bloom is not None:
+        from .bloom import gram_novelty
+
+        nv = gram_novelty(
+            docs, novelty_bloom, n=novelty_gram_n, id_col=id_col,
+            text_col=text_col,
+        )
+        # seen_frac > max  <=>  (n_grams - n_novel) * 10^4 > max_e4 * n_grams
+        # (exact integers — no float division on the drop decision)
+        max_e4 = round(novelty_max_seen_frac * 10_000)
+        fail = nv.filter(
+            (F.col("n_grams") - F.col("n_novel")) * 10_000
+            > F.lit(max_e4) * F.col("n_grams")
+        ).select(id_col)
+        # anti-join keeps gram-less (too-short) docs, which gram_novelty
+        # never emits a verdict for
+        docs = docs.join(fail, id_col, "left_anti")
+        _note("after_novelty_bloom", docs)
 
     if quality_weights is not None:
         from .quality import quality_classifier_filter

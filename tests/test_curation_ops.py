@@ -612,3 +612,36 @@ def test_decontaminate_drops_eval_overlaps(spark):
     curated, stages = curate_corpus(docs, eval_docs=evals)
     assert sorted(r.doc_id for r in curated.collect()) == [2]
     assert stages["after_decontamination"] == 1
+
+
+def test_curate_corpus_novelty_bloom_stage(spark):
+    """novelty_bloom drops mostly-already-seen docs via the broadcast
+    mask, keeps fresh docs, and passes gram-less (too-short) docs
+    through unjudged."""
+    from openmsistream_spark.llm.bloom import bloom_build
+    from openmsistream_spark.llm.curate import curate_corpus
+    from openmsistream_spark.llm.dedup import word_shingles
+
+    ref_text = " ".join(f"r{i}" for i in range(20))
+    ref = spark.createDataFrame([(100, ref_text)], "doc_id long, text string")
+    bloom = bloom_build(
+        word_shingles(ref, n=8, hashed=True).select("shingle"),
+        "shingle",
+        m_bits=1 << 16,
+        k=4,
+    )
+    fresh_text = " ".join(f"fresh{i} gram{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"r{i}" for i in range(13))),  # 6/6 grams seen
+            (2, fresh_text),  # fully novel
+            (3, "too short"),  # no grams: passes through
+        ],
+        "doc_id long, text string",
+    )
+    curated, counts = curate_corpus(
+        docs, novelty_bloom=bloom, novelty_max_seen_frac=0.5
+    )
+    assert counts["after_novelty_bloom"] == 2
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert 1 not in ids and 2 in ids
