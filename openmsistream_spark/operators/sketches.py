@@ -127,11 +127,23 @@ def hll_distinct(
     quotient (every register saturated) is ~6.5e17 at p=12 — inside
     BIGINT, so Spark's integral ``div`` cannot overflow at any input.
     """
+    regs = hll_registers(df, key_col, group_cols, p)
+    return hll_estimate_from_registers(regs, group_cols, p)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: Sequence[str] = (),
+    p: int = 12,
+) -> DataFrame:
+    """The estimate step alone, over an existing register table
+    (group_cols..., bucket, r) — e.g. ``hll_registers`` output, a
+    max-merged union of several, or the streaming sink's durable
+    register ledger. Same output contract as :func:`hll_distinct`."""
     vbits = _HASH_BITS - p
     m = 1 << p
     # constant numerator: alpha_micro * m^2 * 2^(vbits+1) * 100
     a_num = hll_alpha_micro(p) * m * m * (1 << (vbits + 1)) * 100
-    regs = hll_registers(df, key_col, group_cols, p)
     agg = regs.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n_registers"),
         # coalesce: a global (group-less) aggregate over an EMPTY frame

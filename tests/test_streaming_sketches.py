@@ -1,0 +1,95 @@
+"""Streaming HLL: durable register ledger, equivalence to the batch
+sketch over the concatenated stream, and algebraic replay idempotence."""
+
+from pyspark.sql import functions as F
+
+from openmsistream_spark.operators.sketches import (
+    hll_distinct,
+    hll_registers,
+)
+from openmsistream_spark.operators.registry import make_registry
+from openmsistream_spark.streaming.sketches import (
+    hll_distinct_stream_sink,
+    merge_registers,
+)
+
+SCHEMA = "event_type string, uid string"
+BATCHES = [
+    [("click", f"u{i}") for i in range(40)] + [("view", f"u{i}") for i in range(10)],
+    [("click", f"u{i}") for i in range(20, 60)],  # 20 repeats, 20 new
+    [("view", f"v{i}") for i in range(25)],
+]
+P = 8
+
+
+def _run(spark, in_dir, out_dir, ckpt, reg):
+    src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+    q = (
+        hll_distinct_stream_sink(
+            src, reg, out_dir, ckpt, key_col="uid", group_cols=["event_type"], p=P
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+
+def test_stream_estimate_equals_batch_over_union(spark, tmp_path):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    reg = make_registry(spark, str(tmp_path / "regs"), ["event_type", "bucket"])
+    all_rows = []
+    last_batch = 0
+    for b, rows in enumerate(BATCHES):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/b={b}"
+        )
+        _run(spark, in_dir, out_dir, ckpt, reg)
+        all_rows += rows
+        last_batch = b
+    got = {
+        r.event_type: (r.n_registers, r.est_e2, r.estimate)
+        for r in spark.read.parquet(f"{out_dir}/batch={last_batch}").collect()
+    }
+    want = {
+        r.event_type: (r.n_registers, r.est_e2, r.estimate)
+        for r in hll_distinct(
+            spark.createDataFrame(all_rows, SCHEMA), "uid", ["event_type"], p=P
+        ).collect()
+    }
+    assert got == want
+    # the ledger holds the same registers the batch sketch computes
+    led = {
+        (r.event_type, r.bucket): r.r for r in reg.read().collect()
+    }
+    direct = {
+        (r.event_type, r.bucket): r.r
+        for r in hll_registers(
+            spark.createDataFrame(all_rows, SCHEMA), "uid", ["event_type"], p=P
+        ).collect()
+    }
+    assert led == direct
+
+
+def test_replay_merge_is_algebraically_idempotent(spark, tmp_path):
+    """Re-applying a batch's registers to a ledger that already absorbed
+    them changes NOTHING — max is idempotent, so the sink needs no
+    strictly-earlier-batch bookkeeping."""
+    reg_b0 = hll_registers(
+        spark.createDataFrame(BATCHES[0], SCHEMA), "uid", ["event_type"], p=P
+    )
+    reg_b1 = hll_registers(
+        spark.createDataFrame(BATCHES[1], SCHEMA), "uid", ["event_type"], p=P
+    )
+    once = merge_registers(reg_b0, reg_b1, ["event_type"])
+    twice = merge_registers(once, reg_b1, ["event_type"])
+    as_dict = lambda df: {
+        (r.event_type, r.bucket): r.r for r in df.collect()
+    }
+    assert as_dict(once) == as_dict(twice)
+    # and merge order does not matter (commutative)
+    flipped = merge_registers(reg_b1, reg_b0, ["event_type"])
+    assert as_dict(once) == as_dict(flipped)
