@@ -467,9 +467,12 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
     big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    ctx = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
-    uni = pairs.groupBy("w2").agg(F.count("*").alias("c2"))
-    tot = pairs.agg(F.count("*").alias("n"))
+    # ctx/uni/tot are exact marginals of the bigram-count table — derive
+    # them from it (vocab-sized) instead of re-aggregating the corpus:
+    # the token stream is scanned once for counts, once for scoring
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = big.agg(F.sum("c12").alias("n"))
     scored = (
         big.join(ctx, "w1")
         .join(uni, "w2")
