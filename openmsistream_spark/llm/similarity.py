@@ -8,15 +8,17 @@ the small scored-pairs set).
 
 The LSH variant buckets vectors by projection signs so each query only
 scores its bucket — the scale path when the corpus is too large for
-brute force. Both are pure column expressions (zip_with/aggregate), no
-Python in the scoring loop.
+brute force. Pair scoring runs in one Arrow stage with a pinned
+dimension-by-dimension float64 fold (``_arrow_pair_cosine`` — scores
+bit-identical to the ``aggregate(zip_with(...))`` SQL fold it replaced,
+which Spark evaluates interpreted, outside codegen: the round-8
+interpreted-HOF tax class).
 
 Top-k is two-phase: each corpus partition keeps a bounded per-query
-top-k (mapInPandas over the narrow scored rows — the vectors never cross
-Arrow), then the global window merges only partitions×queries×k
-survivors. A single `row_number() OVER (PARTITION BY query_id)` would
-instead shuffle EVERY scored candidate of a query to one reducer —
-|corpus| rows per task at scale.
+top-k (mapInPandas over the narrow scored rows), then the global window
+merges only partitions×queries×k survivors. A single `row_number()
+OVER (PARTITION BY query_id)` would instead shuffle EVERY scored
+candidate of a query to one reducer — |corpus| rows per task at scale.
 """
 
 from __future__ import annotations
@@ -59,6 +61,16 @@ def _fold_dots(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     for j in range(V.shape[1]):
         acc += V[:, j][:, None] * C[:, j][None, :]
     return acc
+
+
+def _fold_norms(V: "np.ndarray") -> "np.ndarray":
+    """Per-row L2 norms with the same pinned dimension-by-dimension
+    float64 fold as ``_fold_dots`` (== the JVM ``sqrt(aggregate(
+    zip_with(v, v, *), 0.0, +))`` expression, bit-for-bit)."""
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for j in range(V.shape[1]):
+        acc += V[:, j] * V[:, j]
+    return np.sqrt(acc)
 
 
 # elements (rows x centroids) of the per-slice score matrix inside
@@ -271,6 +283,111 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _arrow_pair_cosine(pairs: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, cosine) from (query_id, neighbor_id,
+    q_vec, c_vec) vector-pair rows in ONE mapInPandas stage: norms and
+    the dot product accumulate dimension-by-dimension in float64 — the
+    SAME fold order as the ``aggregate(zip_with(...))`` SQL expression
+    this stage replaced, so scores are bit-identical to the JVM fold
+    (and to a sequential list dot in any oracle engine) — with
+    zero-norm pairs dropped (the filter the JVM shape applied before
+    its join). Spark evaluates higher-order functions interpreted,
+    outside codegen: the expression form charged ~d interpreted lambda
+    evaluations per PAIR and benched ~4x this stage on the sq8 path
+    (the round-8 argmax tax class). The exact 4-dp HALF_UP round stays
+    JVM-side on the emitted double."""
+    out_schema = StructType(
+        [
+            pairs.schema["query_id"],
+            pairs.schema["neighbor_id"],
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["q_vec"]])
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]])
+            n = len(pdf)
+            dot = np.zeros(n)
+            qn = np.zeros(n)
+            cn = np.zeros(n)
+            for j in range(Q.shape[1]):
+                dot += Q[:, j] * C[:, j]
+                qn += Q[:, j] * Q[:, j]
+                cn += C[:, j] * C[:, j]
+            qn, cn = np.sqrt(qn), np.sqrt(cn)
+            keep = (qn > 0) & (cn > 0)
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy()[keep],
+                    "neighbor_id": pdf["neighbor_id"].to_numpy()[keep],
+                    "cosine": dot[keep] / (qn[keep] * cn[keep]),
+                }
+            )
+
+    return pairs.mapInPandas(score, schema=out_schema).withColumn(
+        "cosine", F.round(F.col("cosine"), 4)
+    )
+
+
+def _arrow_scan_vs_queries(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, cosine) from a corpus of (neighbor_id,
+    c_vec) against a BOUNDED query table (query_id, q_vec): the queries
+    collect to the driver (bounded by the caller's query-id list — the
+    same bounded-collect class as the packed centroid table in
+    ``_assign_nearest``) and broadcast as one matrix; each Arrow batch
+    of corpus vectors scores against ALL queries with the pinned
+    dimension-by-dimension float64 fold (``_fold_dots`` — bit-identical
+    to the SQL ``aggregate(zip_with(...))`` fold this replaced). No
+    join, and query vectors never ship per-pair. Zero-norm vectors and
+    self-pairs drop inside the stage; the exact 4-dp HALF_UP round
+    stays JVM-side."""
+    qrows = queries.collect()
+    out_schema = StructType(
+        [
+            queries.schema["query_id"],
+            corpus.schema["neighbor_id"],
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    qids = np.array([r["query_id"] for r in qrows])
+    Q = np.stack([np.asarray(r["q_vec"], dtype=np.float64) for r in qrows])
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, _fold_norms(Q)))
+
+    def score(batches):
+        ids, Qm, qnorm = bc.value
+        qok = qnorm > 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]])
+            dots = _fold_dots(C, Qm)  # (rows, queries), pinned order
+            cn = _fold_norms(C)
+            nids = pdf["neighbor_id"].to_numpy()
+            keep = (cn[:, None] > 0) & qok[None, :] & (nids[:, None] != ids[None, :])
+            if not keep.any():
+                continue
+            r, q = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[q],
+                    "neighbor_id": nids[r],
+                    "cosine": dots[r, q] / (qnorm[q] * cn[r]),
+                }
+            )
+
+    return corpus.mapInPandas(score, schema=out_schema).withColumn(
+        "cosine", F.round(F.col("cosine"), 4)
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -281,24 +398,17 @@ def cosine_topk(
     """Exact cosine top-k: for each query id, the k nearest other vectors.
 
     Output: query_id, neighbor_id, cosine (rounded, which also makes the
-    ranking engine-portable), rank.
+    ranking engine-portable), rank. Scoring is one broadcast-query Arrow
+    scan (``_arrow_scan_vs_queries``) — the corpus never joins and never
+    shuffles.
     """
-    corpus = _with_norm(embeddings, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("c_vec"), F.col("_norm").alias("c_norm")
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    queries = (
-        _with_norm(embeddings.filter(F.col(id_col).isin(query_ids)), vec_col)
-        .select(F.col(id_col).alias("query_id"), F.col("_vec").alias("q_vec"), F.col("_norm").alias("q_norm"))
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 4),
-        )
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    return _topk_per_query(scored, k)
+    return _topk_per_query(_arrow_scan_vs_queries(corpus, queries), k)
 
 
 def quantize_int8(
@@ -340,34 +450,16 @@ def cosine_topk_sq8(
     quantization error (~1e-2 on cosine); ranking ties are broken by
     neighbor id, deterministically."""
     qz = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
-    nrm = F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
     corpus = qz.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("qvec").alias("c_vec"),
-        nrm.alias("c_norm"),
-    ).filter(F.col("c_norm") > 0)
-    queries = (
-        qz.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col("qvec").alias("q_vec"),
-            nrm.alias("q_norm"),
-        )
-        .filter(F.col("q_norm") > 0)
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c_vec")
     )
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                4,
-            ),
-        )
-        .select("query_id", "neighbor_id", "cosine")
+    queries = qz.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("q_vec")
     )
-    return _topk_per_query(scored, k)
+    # integer products are exact in float64 (|q| <= 127, d-bounded), so
+    # the Arrow fold reproduces the JVM int-fold bit-for-bit; zero-norm
+    # vectors and self-pairs drop inside the stage
+    return _topk_per_query(_arrow_scan_vs_queries(corpus, queries), k)
 
 
 def lsh_bucket(vec_col: F.Column, n_bits: int = 4) -> F.Column:
@@ -399,25 +491,24 @@ def cosine_topk_lsh(
     At scale the corpus is pre-partitioned by bucket, so a query touches
     1/2^n_bits of the data; recall trades off against n_bits.
     """
-    corpus = (
-        _with_norm(embeddings, vec_col)
-        .withColumn("bucket", lsh_bucket(F.col("_vec"), n_bits))
-        .select(F.col(id_col).alias("neighbor_id"), "bucket", F.col("_vec").alias("c_vec"), F.col("_norm").alias("c_norm"))
+    corpus = embeddings.withColumn(
+        "bucket", lsh_bucket(_as_double(F.col(vec_col)), n_bits)
+    ).select(
+        F.col(id_col).alias("neighbor_id"), "bucket", F.col(vec_col).alias("c_vec")
     )
     queries = (
-        _with_norm(embeddings.filter(F.col(id_col).isin(query_ids)), vec_col)
-        .withColumn("bucket", lsh_bucket(F.col("_vec"), n_bits))
-        .select(F.col(id_col).alias("query_id"), "bucket", F.col("_vec").alias("q_vec"), F.col("_norm").alias("q_norm"))
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .withColumn("bucket", lsh_bucket(_as_double(F.col(vec_col)), n_bits))
+        .select(
+            F.col(id_col).alias("query_id"), "bucket", F.col(vec_col).alias("q_vec")
+        )
     )
-    scored = (
+    pairs = (
         corpus.join(F.broadcast(queries), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 4),
-        )
-        .select("query_id", "neighbor_id", "cosine")
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
     )
+    scored = _arrow_pair_cosine(pairs)
     return _topk_per_query(scored, k)
 
 
