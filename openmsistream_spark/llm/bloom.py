@@ -106,6 +106,31 @@ def _flat_batch_positions(pos_series) -> np.ndarray:
     return np.concatenate(arrs)
 
 
+def _mask_builder(nbytes: int, extract):
+    """The shared per-partition mask accumulator for ``mapInPandas``:
+    OR every position ``extract(pdf)`` yields into one local bitmask,
+    emit a single mask row per non-empty partition (both mask-building
+    paths share this closure so they cannot drift)."""
+
+    def build(batches):
+        local = np.zeros(nbytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            flat = extract(pdf)
+            if not flat.size:
+                continue
+            any_rows = True
+            np.bitwise_or.at(
+                local, flat >> 3, (1 << (flat & 7)).astype(np.uint8)
+            )
+        if any_rows:
+            import pandas as pd
+
+            yield pd.DataFrame({"mask": [local.tobytes()]})
+
+    return build
+
+
 def bloom_build(
     df: DataFrame,
     key_col: str,
@@ -129,23 +154,7 @@ def bloom_build(
         raise ValueError("m_bits must be a multiple of 8")
     nbytes = m_bits // 8
     schema = StructType([StructField("mask", BinaryType())])
-
-    def build(batches):
-        local = np.zeros(nbytes, dtype=np.uint8)
-        any_rows = False
-        for pdf in batches:
-            flat = _flat_batch_positions(pdf["_pos"])
-            if not flat.size:
-                continue
-            any_rows = True
-            np.bitwise_or.at(
-                local, flat >> 3, (1 << (flat & 7)).astype(np.uint8)
-            )
-        if any_rows:
-            import pandas as pd
-
-            yield pd.DataFrame({"mask": [local.tobytes()]})
-
+    build = _mask_builder(nbytes, lambda pdf: _flat_batch_positions(pdf["_pos"]))
     masks = (
         df.filter(F.col(key_col).isNotNull())
         .select(positions_col(F.col(key_col), k, m_bits).alias("_pos"))
@@ -186,23 +195,9 @@ def bloom_from_positions(
     if pos_df is None:
         return BloomFilter(m_bits=m_bits, k=k, mask=bytes(nbytes))
     schema = StructType([StructField("mask", BinaryType())])
-
-    def build(batches):
-        local = np.zeros(nbytes, dtype=np.uint8)
-        any_rows = False
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            flat = pdf[pos_col].to_numpy(dtype=np.int64)
-            any_rows = True
-            np.bitwise_or.at(
-                local, flat >> 3, (1 << (flat & 7)).astype(np.uint8)
-            )
-        if any_rows:
-            import pandas as pd
-
-            yield pd.DataFrame({"mask": [local.tobytes()]})
-
+    build = _mask_builder(
+        nbytes, lambda pdf: pdf[pos_col].to_numpy(dtype=np.int64)
+    )
     masks = pos_df.select(pos_col).mapInPandas(build, schema=schema)
     return BloomFilter(m_bits=m_bits, k=k, mask=_fold_masks(masks, nbytes))
 

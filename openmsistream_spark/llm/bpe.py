@@ -143,7 +143,16 @@ def bpe_segment(
     placeholder) in rank order, each distinct word in a batch is
     segmented once via the same leftmost-non-overlapping replace chain
     the trainer applied (memoized per batch), then expanded. Zero
-    shuffle; the corpus never leaves its partitions."""
+    shuffle; the corpus never leaves its partitions. NULL-text and
+    zero-token documents emit no row.
+
+    Contract: the private-use-area block U+E000.. is RESERVED for merge
+    placeholders (the trainer refuses to learn from words containing
+    it — see ``bpe_word_counts``). A document word carrying a literal
+    PUA character still segments (and its token COUNT matches the SQL
+    replace-chain semantics), but that character expands as if it were
+    a placeholder, so its token TEXT is not meaningful — pre-filter
+    such words if they can occur in your corpus."""
     import pandas as pd
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
@@ -157,10 +166,15 @@ def bpe_segment(
             StructField("tokens", ArrayType(StringType())),
         ]
     )
-    inp = docs.select(
+    # NULL text and documents with zero non-empty tokens drop here:
+    # there is nothing to segment, no row is emitted (matching the
+    # token-level SQL forms, which GROUP BY doc over non-empty tokens
+    # and so never produce a row for such docs), and the Arrow stage
+    # never sees a None tokens column
+    inp = docs.filter(F.col(text_col).isNotNull()).select(
         id_col,
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_ws"),
-    )
+    ).filter(F.exists("_ws", lambda w: w != ""))
 
     def segment(batches):
         plan_b, exp_b = bc.value

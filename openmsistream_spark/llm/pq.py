@@ -52,7 +52,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .similarity import _as_double, _topk_per_query
+from .similarity import _as_double, _fold_dots, _topk_per_query
 
 
 def _check_dims(d: int, m: int) -> int:
@@ -86,13 +86,10 @@ def _seq_dot(a: np.ndarray, b: np.ndarray) -> float:
     return acc
 
 
-def _fold_dots_mat(V: np.ndarray, C: np.ndarray) -> np.ndarray:
-    """(rows x dims) @ (codes x dims)^T with per-dimension accumulation
-    (pinned fold order; see ``similarity._fold_dots``)."""
-    acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
-    for j in range(V.shape[1]):
-        acc += V[:, j][:, None] * C[:, j][None, :]
-    return acc
+# (rows x dims) @ (codes x dims)^T with per-dimension accumulation is
+# similarity._fold_dots — ONE copy of the exactness-critical pinned-fold
+# kernel repo-wide (an earlier draft duplicated it here)
+_fold_dots_mat = _fold_dots
 
 
 def pq_codebooks_from_seeds(
@@ -157,8 +154,21 @@ def pq_encode(
     ties -> lowest code). ONE Arrow-batched map stage over the corpus —
     codebooks ship via broadcast, no shuffle, no corpus x codes
     intermediate rows. Returns (id, codes: array<int>)."""
-    spark = embeddings.sparkSession
     C, dcc = _collect_codebooks(codebooks)
+    return _encode_dense(embeddings, C, dcc, id_col=id_col, vec_col=vec_col)
+
+
+def _encode_dense(
+    embeddings: DataFrame,
+    C: np.ndarray,
+    dcc: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pq_encode against an ALREADY-collected dense codebook tensor —
+    callers that collected (C, dcc) for their own LUTs (pq_adc_topk)
+    reuse it instead of re-running the codebook collect + dim probe."""
+    spark = embeddings.sparkSession
     m, kc, dsub = C.shape
     bc = spark.sparkContext.broadcast((C, dcc))
     schema = StructType(
@@ -342,7 +352,7 @@ def pq_adc_topk(
     encoded = (
         codes
         if codes is not None
-        else pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+        else _encode_dense(embeddings, C, dcc, id_col=id_col, vec_col=vec_col)
     )
     schema = StructType(
         [

@@ -295,7 +295,16 @@ def _arrow_pair_cosine(pairs: DataFrame) -> DataFrame:
     outside codegen: the expression form charged ~d interpreted lambda
     evaluations per PAIR and benched ~4x this stage on the sq8 path
     (the round-8 argmax tax class). The exact 4-dp HALF_UP round stays
-    JVM-side on the emitted double."""
+    JVM-side on the emitted double. NULL vectors and length-mismatched
+    pairs are dropped JVM-side before the stage (``np.stack`` would
+    otherwise raise on a ragged batch; the old expression path scored
+    such rows NULL, which ranked them last — dropping is the same
+    observable top-k)."""
+    pairs = pairs.filter(
+        F.col("q_vec").isNotNull()
+        & F.col("c_vec").isNotNull()
+        & (F.size("q_vec") == F.size("c_vec"))
+    )
     out_schema = StructType(
         [
             pairs.schema["query_id"],
@@ -345,9 +354,12 @@ def _arrow_scan_vs_queries(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     dimension-by-dimension float64 fold (``_fold_dots`` — bit-identical
     to the SQL ``aggregate(zip_with(...))`` fold this replaced). No
     join, and query vectors never ship per-pair. Zero-norm vectors and
-    self-pairs drop inside the stage; the exact 4-dp HALF_UP round
-    stays JVM-side."""
-    qrows = queries.collect()
+    self-pairs drop inside the stage; NULL and dimension-mismatched
+    corpus vectors drop JVM-side before it (``np.stack`` would raise on
+    a ragged batch; the old expression path scored them NULL = ranked
+    last, so dropping preserves the observable top-k); the exact 4-dp
+    HALF_UP round stays JVM-side."""
+    qrows = [r for r in queries.collect() if r["q_vec"] is not None]
     out_schema = StructType(
         [
             queries.schema["query_id"],
@@ -359,6 +371,9 @@ def _arrow_scan_vs_queries(corpus: DataFrame, queries: DataFrame) -> DataFrame:
         return corpus.sparkSession.createDataFrame([], out_schema)
     qids = np.array([r["query_id"] for r in qrows])
     Q = np.stack([np.asarray(r["q_vec"], dtype=np.float64) for r in qrows])
+    corpus = corpus.filter(
+        F.col("c_vec").isNotNull() & (F.size("c_vec") == Q.shape[1])
+    )
     bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, _fold_norms(Q)))
 
     def score(batches):

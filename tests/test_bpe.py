@@ -10,33 +10,40 @@ from tests.conftest import load
 
 
 def _ref_train(word_counts: dict[str, int], n_merges: int):
-    """Literal BPE: symbol lists, overlapping adjacent pair counts,
-    top (count, lexicographic) pair, leftmost-non-overlapping merge."""
-    words = {w: (list(w), c) for w, c in word_counts.items()}
+    """Literal BPE with the trainer's EXACT mechanics: single-char
+    symbols (a merged pair becomes one private-use-area placeholder
+    char), overlapping 2-char pair counts, top pair by (count DESC,
+    2-char pair STRING asc) — the trainer's ORDER BY pcnt DESC, pair
+    ASC. An expanded-symbol lexicographic tie-break (an earlier draft
+    of this reference) can disagree with the placeholder-string order
+    on count ties: e.g. ('xx','a') sorts before ('z','b') expanded but
+    after it as placeholder strings, since every placeholder codepoint
+    is above ASCII. Merging is leftmost-non-overlapping str.replace,
+    exactly like the trainer and the unrolled SQL oracle."""
+    cur = {w: w for w in word_counts}
+    exp: dict[str, str] = {}
     merges = []
-    for _ in range(n_merges):
+    for r in range(n_merges):
         counts = Counter()
-        for syms, c in words.values():
-            for a, b in zip(syms, syms[1:]):
-                counts[(a, b)] += c
+        for w, c in word_counts.items():
+            s = cur[w]
+            for i in range(len(s) - 1):
+                counts[s[i : i + 2]] += c
         if not counts:
             break
-        # max count, ties -> lexicographically smallest (a, b)
         pair = min(counts, key=lambda p: (-counts[p], p))
-        merges.append((pair, counts[pair]))
-        ab = pair[0] + pair[1]
-        for w, (syms, c) in words.items():
-            out = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == pair[0] and syms[i + 1] == pair[1]:
-                    out.append(ab)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            words[w] = (out, c)
-        merges[-1] = (pair, merges[-1][1])
+        ph = chr(0xE000 + r)
+
+        def expand(s: str) -> str:
+            return "".join(exp.get(ch, ch) for ch in s)
+
+        merges.append(((expand(pair[0]), expand(pair[1])), counts[pair]))
+        exp[ph] = expand(pair)
+        cur = {w: s.replace(pair, ph) for w, s in cur.items()}
+    words = {
+        w: ([exp.get(ch, ch) for ch in cur[w]], c)
+        for w, c in word_counts.items()
+    }
     return merges, words
 
 
