@@ -6,7 +6,7 @@ imported directly by the catalog entry points (``__spark_entry__.py``,
 landing new queries does not dirty the source closure of
 already-verified catalog entries.
 
-Content — three scale-path families a 100 TB training-data pipeline
+Content — the scale-path families a 100 TB training-data pipeline
 leans on that the catalog lacked through round 9:
 
 - ``ann_pq_adc_topk``: product quantization + asymmetric distance
@@ -28,6 +28,14 @@ leans on that the catalog lacked through round 9:
   UNROLLS four full training rounds (count pairs -> top-1 -> replace,
   four times) and the segmentation entry re-applies the learned chain,
   making the iterative trainer hash-verifiable end to end.
+- ``hll_distinct_users`` / ``cms_token_freq_topk``: the sketch
+  aggregates (``operators/sketches.py``) — HyperLogLog distinct
+  counting and Count-Min frequency estimation, both engine-exact
+  (register/counter arithmetic is portable md5; the HLL estimate is
+  dyadic-rational fixed point with a frozen integer alpha).
+- ``bigram_lm_surprisal``: interpolated bigram-LM document scoring —
+  the CCNet perplexity-filter device one n-gram order above
+  ``unigram_surprisal_quality``.
 """
 
 from __future__ import annotations
