@@ -1,5 +1,17 @@
-"""Continuous HyperLogLog distinct counting — the streaming twin of
-``operators/sketches.hll_distinct``.
+"""Continuous sketch aggregates — the streaming twins of
+``operators/sketches``.
+
+Two sketches, two replay disciplines (the instructive contrast):
+
+- **HLL registers are max-merged** — idempotent and commutative BY
+  ALGEBRA, so the ledger needs no batch bookkeeping at all; a replayed
+  batch re-merges harmlessly.
+- **CMS counters are sums** — NOT idempotent (re-adding double-counts),
+  so the CMS ledger stores per-``(cell, batch)`` DELTA rows keyed by
+  batch id: a replayed batch REPLACES its own rows instead of adding to
+  them (the anomaly sink's moment-ledger discipline), and compaction
+  folds strictly-earlier batches without touching any id a replay could
+  rewrite.
 
 The durable state is the register ledger itself: (group_cols...,
 bucket, r), at most ``m = 2**p`` rows per group EVER, merged with each
@@ -31,7 +43,11 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.sketches import hll_estimate_from_registers, hll_registers
+from ..operators.sketches import (
+    cms_counters,
+    hll_estimate_from_registers,
+    hll_registers,
+)
 
 
 def merge_registers(
@@ -87,3 +103,72 @@ def hll_distinct_stream_sink(
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def cms_stream_sink(
+    events,
+    delta_registry,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str,
+    d: int = 4,
+    w: int = 2048,
+    weight_col: str | None = None,
+):
+    """foreachBatch sink: add each micro-batch's Count-Min counter
+    DELTAS to the durable ledger as (i, pos, batch, cnt) rows, then
+    snapshot the merged d*w counter table to ``batch=<id>`` (partition
+    overwrite — idempotent). Point lookups run ``cms_lookup`` against
+    any snapshot (or the summed ledger) offline.
+
+    ``delta_registry`` must be
+    ``make_registry(spark, path, ["i", "pos", "batch"])`` — the batch
+    id in the KEY is what makes replay exactly-once: a replayed batch
+    upserts (replaces) its own identical delta rows instead of
+    double-counting them. Ledger growth is d*w rows per batch until
+    ``compact_cms_ledger`` folds the strictly-earlier batches.
+    Returns the configured ``DataStreamWriter``."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        delta = cms_counters(
+            batch_df, key_col, d=d, w=w, weight_col=weight_col
+        ).withColumn("batch", F.lit(int(batch_id)).cast("long"))
+        delta_registry.upsert(delta)
+        merged = (
+            delta_registry.read()
+            .groupBy("i", "pos")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        merged.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        events.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def compact_cms_ledger(delta_registry) -> None:
+    """Fold every delta row from batches STRICTLY EARLIER than the
+    latest into one ``batch = -1`` row per cell. Cell totals are
+    unchanged (sums commute); the latest batch's rows are untouched, so
+    the one batch Structured Streaming could ever replay still REPLACES
+    its own keyed rows — a replay can never collide with folded
+    history. Ledger size returns to <= 2 rows per cell."""
+    led = delta_registry.read()
+    if led is None:
+        return
+    mx = led.agg(F.max("batch")).first()[0]
+    if mx is None:
+        return
+    past = led.filter(F.col("batch") < mx)
+    folded = (
+        past.groupBy("i", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch", F.lit(-1).cast("long"))
+        .select("i", "pos", "batch", "cnt")
+    )
+    keep = led.filter(F.col("batch") >= mx).select("i", "pos", "batch", "cnt")
+    merged = folded.unionByName(keep).localCheckpoint(eager=True)
+    delta_registry.replace(merged)

@@ -93,3 +93,67 @@ def test_replay_merge_is_algebraically_idempotent(spark, tmp_path):
     # and merge order does not matter (commutative)
     flipped = merge_registers(reg_b1, reg_b0, ["event_type"])
     assert as_dict(once) == as_dict(flipped)
+
+
+def _cms_totals(reg):
+    return {
+        (r.i, r.pos): r.cnt
+        for r in reg.read().groupBy("i", "pos").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+
+
+def test_cms_stream_matches_batch_and_replay_replaces(spark, tmp_path):
+    from openmsistream_spark.operators.sketches import cms_counters
+    from openmsistream_spark.streaming.sketches import (
+        cms_stream_sink,
+        compact_cms_ledger,
+    )
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    reg = make_registry(spark, str(tmp_path / "cms"), ["i", "pos", "batch"])
+    all_rows = []
+    last = 0
+    for b, rows in enumerate(BATCHES):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/b={b}"
+        )
+        src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+        q = (
+            cms_stream_sink(src, reg, out_dir, ckpt, key_col="uid", d=3, w=64)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        all_rows += rows
+        last = b
+    want = {
+        (r.i, r.pos): r.cnt
+        for r in cms_counters(
+            spark.createDataFrame(all_rows, SCHEMA), "uid", d=3, w=64
+        ).collect()
+    }
+    snap = {
+        (r.i, r.pos): r.cnt
+        for r in spark.read.parquet(f"{out_dir}/batch={last}").collect()
+    }
+    assert snap == want
+    # replay: re-upserting the last batch's identical delta rows REPLACES
+    # them (batch id in the key) — totals unchanged
+    before = _cms_totals(reg)
+    delta = cms_counters(
+        spark.createDataFrame(BATCHES[last], SCHEMA), "uid", d=3, w=64
+    ).withColumn("batch", F.lit(last).cast("long"))
+    reg.upsert(delta)
+    assert _cms_totals(reg) == before
+    # compaction folds strictly-earlier batches; totals unchanged and the
+    # last batch's rows stay replayable
+    compact_cms_ledger(reg)
+    assert _cms_totals(reg) == before
+    batches_left = {r.batch for r in reg.read().select("batch").distinct().collect()}
+    assert batches_left <= {-1, last}
+    reg.upsert(delta)  # replay after compaction still replaces, not adds
+    assert _cms_totals(reg) == before
