@@ -261,3 +261,49 @@ def cms_lookup(
     return joined.groupBy(*probe_cols).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col)
     )
+
+
+def hll_union_intersection(
+    regs_a: DataFrame,
+    regs_b: DataFrame,
+    p: int = 12,
+) -> DataFrame:
+    """Distinct-count estimates for two key sets AND their union and
+    intersection from REGISTERS ALONE (no re-scan of either input):
+    union registers are the element-wise max of the two tables — the
+    mergeability that makes HLL composable across partitions, days, or
+    sources — and the intersection estimate is inclusion-exclusion
+    (est_a + est_b - est_union; the standard HLL device, noisier than
+    the direct estimates and clamped at 0).
+
+    Inputs are group-less ``hll_registers`` outputs (bucket, r) built
+    with the same ``p``. Output: one row (est_a, est_b, est_union,
+    est_intersection), each the corrected DOUBLE estimate."""
+    union = (
+        regs_a.select("bucket", "r")
+        .unionByName(regs_b.select("bucket", "r"))
+        .groupBy("bucket")
+        .agg(F.max("r").cast("int").alias("r"))
+    )
+
+    def _est(regs: DataFrame, name: str) -> DataFrame:
+        return hll_estimate_from_registers(regs, (), p).select(
+            F.col("estimate").alias(name)
+        )
+
+    return (
+        _est(regs_a, "est_a")
+        .crossJoin(_est(regs_b, "est_b"))
+        .crossJoin(_est(union, "est_union"))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0.0),
+                F.round(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+                ),
+            ).alias("est_intersection"),
+        )
+    )

@@ -152,3 +152,25 @@ def test_hll_empty_input_gives_zero_estimate(spark):
     # all registers empty -> linear counting arm with V=m -> m*ln(1)=0
     assert row["n_registers"] == 0
     assert row["estimate"] == 0.0
+
+
+def test_hll_union_intersection_inclusion_exclusion(spark):
+    from openmsistream_spark.operators.sketches import hll_union_intersection
+
+    # A = 0..5999, B = 4000..9999 -> |A|=6000 |B|=6000 |A∪B|=10000 |A∩B|=2000
+    a = spark.createDataFrame([(f"u{i}",) for i in range(6000)], "k string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(4000, 10000)], "k string")
+    row = hll_union_intersection(
+        hll_registers(a, "k", p=12), hll_registers(b, "k", p=12), p=12
+    ).collect()[0]
+    assert abs(row["est_a"] - 6000) / 6000 < 0.05
+    assert abs(row["est_b"] - 6000) / 6000 < 0.05
+    assert abs(row["est_union"] - 10000) / 10000 < 0.05
+    # inclusion-exclusion compounds the three errors; allow a wide band
+    assert abs(row["est_intersection"] - 2000) / 2000 < 0.25
+    # disjoint sets: intersection clamps to >= 0
+    c = spark.createDataFrame([(f"v{i}",) for i in range(500)], "k string")
+    row2 = hll_union_intersection(
+        hll_registers(a, "k", p=12), hll_registers(c, "k", p=12), p=12
+    ).collect()[0]
+    assert row2["est_intersection"] < 0.1 * 6000
