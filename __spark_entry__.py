@@ -357,7 +357,12 @@ def _bench_cost() -> dict[str, float]:
     import json
 
     cost: dict[str, float] = {}
-    for path in sorted(glob.glob(os.path.join(_HERE, "BENCH_r*.json"))):
+    # BENCH_LOCAL.json last: it is the newest lossless record (bench.py
+    # writes the full-precision map there because the driver's stdout
+    # tail can only hold a trimmed line)
+    paths = sorted(glob.glob(os.path.join(_HERE, "BENCH_r*.json")))
+    paths.append(os.path.join(_HERE, "BENCH_LOCAL.json"))
+    for path in paths:
         try:
             with open(path) as f:
                 data = json.load(f)

@@ -251,6 +251,43 @@ EXTRA = {
 }
 
 
+def compact_stdout_line(
+    timings: dict[str, float], total: float, sf_val, budget: int = 1900
+) -> str:
+    """One parse-safe JSON line for the driver's tail capture.
+
+    The driver records only the last 2000 chars of stdout and json-parses
+    the final line; a line longer than the tail gets head-truncated and
+    the whole bench record is lost (rounds 8 and 10). 2-decimal values +
+    compact separators first; if still over budget, drop the CHEAPEST
+    entries (ascending wall-time) — their values are at noise level and
+    survive losslessly in BENCH_LOCAL.json, while heavy and TPC-H
+    headline entries always stay in the parsed record."""
+
+    def _line(qmap: dict[str, float], omitted: int) -> str:
+        doc = {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": qmap,
+            "sf": sf_val,
+        }
+        if omitted:
+            doc["omitted"] = omitted
+            doc["full"] = "BENCH_LOCAL.json"
+        return json.dumps(doc, separators=(",", ":"))
+
+    compact = {k: round(v, 2) for k, v in timings.items()}
+    by_cost = sorted(compact, key=lambda k: (compact[k], k))
+    out = _line(compact, 0)
+    dropped = 0
+    while len(out) > budget and by_cost:
+        compact.pop(by_cost.pop(0))
+        dropped += 1
+        out = _line(compact, dropped)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -293,18 +330,33 @@ def main() -> None:
         timings[name] = best_of(fn)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full-precision record to a committed file: the driver keeps only a
+    # 2000-char tail of stdout, and with 78 entries the full map can never
+    # fit a single line that short (names alone are ~1.6k chars). The file
+    # is the lossless record; stdout carries a parse-safe compact line.
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    try:
+        with open(local_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout must not kill the bench
+
+    # Stop the JVM BEFORE printing: guarantees the JSON line is the very
+    # last thing on stdout, so the driver's tail capture always ends with
+    # it (shutdown noise can no longer land after the line).
     spark.stop()
+
+    print(compact_stdout_line(timings, total, sf_val), flush=True)
 
 
 if __name__ == "__main__":
