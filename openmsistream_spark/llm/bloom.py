@@ -136,6 +136,7 @@ def bloom_build(
     key_col: str,
     m_bits: int = 1 << 20,
     k: int = 4,
+    build_partitions: int | None = None,
 ) -> BloomFilter:
     """Build a bloom filter over every value of ``df[key_col]`` (string).
 
@@ -149,17 +150,26 @@ def bloom_build(
     serializing the whole build), executors pre-combine masks, and the
     driver only ever holds the reduction fan-in, never one mask per
     partition. No shuffle anywhere, no per-key Python hashing.
+
+    Sizing (measured, SCALING.md): the build's transient footprint is
+    ``n_partitions x m/8`` bytes of mask rows crossing Arrow at once —
+    at m=2^30 a 32-partition build is 32 x 128 MiB and OOMs a 16 GiB
+    local heap; ``build_partitions=8`` caps it (wider inputs pay a
+    narrow coalesce, not a shuffle). Past ~2^30 the mask also exceeds
+    any sane broadcast — switch to ``llm/bloom_sharded.py``, which
+    never assembles the full mask anywhere.
     """
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
     nbytes = m_bits // 8
     schema = StructType([StructField("mask", BinaryType())])
     build = _mask_builder(nbytes, lambda pdf: _flat_batch_positions(pdf["_pos"]))
-    masks = (
-        df.filter(F.col(key_col).isNotNull())
-        .select(positions_col(F.col(key_col), k, m_bits).alias("_pos"))
-        .mapInPandas(build, schema=schema)
+    pos = df.filter(F.col(key_col).isNotNull()).select(
+        positions_col(F.col(key_col), k, m_bits).alias("_pos")
     )
+    if build_partitions:
+        pos = pos.coalesce(build_partitions)
+    masks = pos.mapInPandas(build, schema=schema)
     return BloomFilter(m_bits=m_bits, k=k, mask=_fold_masks(masks, nbytes))
 
 
@@ -195,9 +205,21 @@ def bloom_from_positions(
     if pos_df is None:
         return BloomFilter(m_bits=m_bits, k=k, mask=bytes(nbytes))
     schema = StructType([StructField("mask", BinaryType())])
-    build = _mask_builder(
-        nbytes, lambda pdf: pdf[pos_col].to_numpy(dtype=np.int64)
-    )
+
+    def _checked(pdf) -> np.ndarray:
+        # positions come from OUTSIDE (a durable ledger) — a ledger
+        # written under a larger m_bits would otherwise fail deep in
+        # numpy indexing; surface the parameter mismatch by name instead
+        flat = pdf[pos_col].to_numpy(dtype=np.int64)
+        if flat.size and (flat.min() < 0 or flat.max() >= m_bits):
+            raise ValueError(
+                f"bloom_from_positions: position {int(flat.max())} out of "
+                f"range for m_bits={m_bits} — the position source was "
+                "built with different bloom parameters"
+            )
+        return flat
+
+    build = _mask_builder(nbytes, _checked)
     masks = pos_df.select(pos_col).mapInPandas(build, schema=schema)
     return BloomFilter(m_bits=m_bits, k=k, mask=_fold_masks(masks, nbytes))
 

@@ -62,14 +62,21 @@ def _check_dims(d: int, m: int) -> int:
 
 
 def _round_half_up(x: float, ndigits: int) -> float:
-    """``round(double, n)`` the way Spark and DuckDB do it: HALF_UP on
-    the exact decimal expansion of the binary double (Python's builtin
-    ``round`` is banker's and diverges on exact halves)."""
+    """``round(double, n)`` the way Spark and DuckDB do it: HALF_UP,
+    where Python's builtin ``round`` is banker's and diverges on exact
+    halves. Caveat: this applies HALF_UP to the EXACT decimal expansion
+    of the binary double (Python ``Decimal``), while the engines round
+    the scaled binary double — on knife-edge values whose expansion
+    lands exactly on a half the two conventions can differ in the last
+    digit, so cross-engine parity here is empirical (it holds on the
+    whole sf0.01 sweep), not guaranteed by construction. If a PQ oracle
+    hash ever mismatches on a single entry, check this seam first."""
     return float(Decimal(x).quantize(Decimal(1).scaleb(-ndigits), rounding=ROUND_HALF_UP))
 
 
 def _lut_micros(part: float) -> int:
-    """The pinned double->int64 micro conversion both engines replicate:
+    """The pinned double->int64 micro conversion both engines replicate
+    (up to the knife-edge caveat on ``_round_half_up``):
     round(part, 6) -> * 1e6 (double multiply) -> round(., 0) -> int."""
     p6 = _round_half_up(part, 6)
     return int(_round_half_up(p6 * 1.0e6, 0))

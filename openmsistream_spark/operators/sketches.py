@@ -277,8 +277,30 @@ def hll_union_intersection(
     the direct estimates and clamped at 0).
 
     Inputs are group-less ``hll_registers`` outputs (bucket, r) built
-    with the same ``p``. Output: one row (est_a, est_b, est_union,
-    est_intersection), each the corrected DOUBLE estimate."""
+    with the same ``p``. Register tables from a DIFFERENT ``p`` have
+    incompatible bucket spaces — max-merging them silently produces
+    nonsense estimates — so both inputs are range-guarded in the plan:
+    any bucket outside [0, 2**p) raises at execution time. (A smaller-p
+    table whose buckets happen to fit the range is undetectable from
+    registers alone; carry ``p`` alongside persisted register tables —
+    the streaming HLL ledger does.) Output: one row (est_a, est_b,
+    est_union, est_intersection), each the corrected DOUBLE estimate."""
+
+    def _range_checked(regs: DataFrame, side: str) -> DataFrame:
+        ok = F.assert_true(
+            (F.col("bucket") >= 0) & (F.col("bucket") < F.lit(1 << p)),
+            f"hll_union_intersection: regs_{side} bucket out of range for "
+            f"p={p} — both register tables must come from hll_registers "
+            f"with this same p",
+        )
+        # assert_true is NULL on success; threading it through the kept
+        # column keeps the guard un-prunable without adding a pass
+        return regs.select(
+            "bucket", F.when(ok.isNull(), F.col("r")).cast("int").alias("r")
+        )
+
+    regs_a = _range_checked(regs_a, "a")
+    regs_b = _range_checked(regs_b, "b")
     union = (
         regs_a.select("bucket", "r")
         .unionByName(regs_b.select("bucket", "r"))

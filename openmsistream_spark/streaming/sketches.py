@@ -115,6 +115,7 @@ def cms_stream_sink(
     d: int = 4,
     w: int = 2048,
     weight_col: str | None = None,
+    compact_every: int | None = None,
 ):
     """foreachBatch sink: add each micro-batch's Count-Min counter
     DELTAS to the durable ledger as (i, pos, batch, cnt) rows, then
@@ -127,8 +128,17 @@ def cms_stream_sink(
     id in the KEY is what makes replay exactly-once: a replayed batch
     upserts (replaces) its own identical delta rows instead of
     double-counting them. Ledger growth is d*w rows per batch until
-    ``compact_cms_ledger`` folds the strictly-earlier batches.
-    Returns the configured ``DataStreamWriter``."""
+    compaction folds the strictly-earlier batches.
+
+    ``compact_every=N`` folds the ledger every N batches INSIDE this
+    callback, after the batch's own upsert — Structured Streaming runs
+    foreachBatch invocations strictly one at a time, so the fold can
+    never interleave with a delta upsert (the race a free-standing
+    ``compact_cms_ledger`` call against a live stream would have; see
+    its docstring). Only batches STRICTLY earlier than the current one
+    fold, so the one batch a checkpoint restart could replay still
+    replaces its own keyed rows. Returns the configured
+    ``DataStreamWriter``."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         delta = cms_counters(
@@ -141,6 +151,8 @@ def cms_stream_sink(
             .agg(F.sum("cnt").alias("cnt"))
         )
         merged.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_cms_ledger(delta_registry)
 
     return (
         events.writeStream.foreachBatch(_write)
@@ -155,7 +167,15 @@ def compact_cms_ledger(delta_registry) -> None:
     unchanged (sums commute); the latest batch's rows are untouched, so
     the one batch Structured Streaming could ever replay still REPLACES
     its own keyed rows — a replay can never collide with folded
-    history. Ledger size returns to <= 2 rows per cell."""
+    history. Ledger size returns to <= 2 rows per cell.
+
+    MUST NOT run concurrently with a live ``cms_stream_sink`` on the
+    same registry: the fold is a read-then-``replace()``, and a
+    micro-batch upsert landing between the read and the replace is
+    LOST (registry.py documents ``replace()`` as unsafe to interleave
+    with concurrent upserts). Run it with the stream stopped, or let
+    the sink serialize it for you via ``compact_every=`` — foreachBatch
+    invocations never overlap, so the in-sink fold cannot race."""
     led = delta_registry.read()
     if led is None:
         return

@@ -174,3 +174,22 @@ def test_hll_union_intersection_inclusion_exclusion(spark):
         hll_registers(a, "k", p=12), hll_registers(c, "k", p=12), p=12
     ).collect()[0]
     assert row2["est_intersection"] < 0.1 * 6000
+
+
+def test_hll_union_intersection_rejects_mismatched_p(spark):
+    """Round-11 guard: register tables from a different p have an
+    incompatible bucket space — max-merging them silently produces
+    nonsense, so out-of-range buckets must raise at execution time."""
+    import pytest
+
+    from openmsistream_spark.operators.sketches import hll_union_intersection
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(2000)], "k string")
+    regs_p12 = hll_registers(a, "k", p=12)  # buckets in [0, 4096)
+    regs_p8 = hll_registers(a, "k", p=8)  # buckets in [0, 256)
+    # p=12 registers fed into a p=8 merge: buckets >= 256 out of range
+    with pytest.raises(Exception, match="out of range"):
+        hll_union_intersection(regs_p12, regs_p8, p=8).collect()
+    # matched tables still estimate fine through the guard
+    row = hll_union_intersection(regs_p12, regs_p12, p=12).collect()[0]
+    assert abs(row["est_union"] - 2000) / 2000 < 0.05

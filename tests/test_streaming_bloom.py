@@ -131,3 +131,70 @@ def test_ledger_is_mask_bounded_and_attributed(spark, tmp_path):
         spark.createDataFrame([BATCHES[1][0]], SCHEMA), n=N, m_bits=M, k=K
     )
     assert {r.pos for r in d2.collect()} <= b0
+
+
+def test_params_sidecar_written_and_restart_mismatch_rejected(spark, tmp_path):
+    """Round-11 (ADVICE): the ledger's (n, m_bits, k) are persisted on
+    first start and a restart under different parameters is refused —
+    a smaller m_bits silently corrupts verdicts, a larger one fails
+    opaquely executor-side."""
+    import pytest
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    reg = make_registry(spark, str(tmp_path / "pos"), ["pos"])
+    spark.createDataFrame(BATCHES[0], SCHEMA).coalesce(1).write.parquet(
+        f"{in_dir}/b=0"
+    )
+    _run(spark, in_dir, out_dir, ckpt, reg)
+    # sidecar recorded
+    row = spark.read.parquet(str(tmp_path / "pos") + "_params").first()
+    assert (row["n"], row["m_bits"], row["k"]) == (N, M, K)
+    # restart with the SAME params: fine
+    src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+    bloom_novelty_stream_sink(src, reg, out_dir, ckpt, n=N, m_bits=M, k=K)
+    # restart with different m_bits: refused by name before any batch
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_novelty_stream_sink(
+            src, reg, out_dir, ckpt, n=N, m_bits=M * 2, k=K
+        )
+
+
+def test_legacy_ledger_without_sidecar_is_refused(spark, tmp_path):
+    """A pre-existing ledger with no _params sidecar cannot be
+    parameter-verified — the sink refuses rather than guessing."""
+    import pytest
+
+    reg = make_registry(spark, str(tmp_path / "pos"), ["pos"])
+    reg.upsert(spark.createDataFrame([(7,)], "pos long"))
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(BATCHES[0], SCHEMA).coalesce(1).write.parquet(
+        f"{in_dir}/b=0"
+    )
+    src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+    with pytest.raises(ValueError, match="sidecar"):
+        bloom_novelty_stream_sink(
+            src, reg, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            n=N, m_bits=M, k=K,
+        )
+
+
+def test_positions_out_of_range_raise_by_name(spark):
+    """bloom_from_positions range-checks ledger positions against
+    m_bits instead of failing deep in numpy indexing."""
+    import pytest
+
+    from openmsistream_spark.llm.bloom import bloom_from_positions
+
+    bad = spark.createDataFrame([(5,), (1 << 30,)], "pos long")
+    with pytest.raises(Exception, match="out of range for m_bits"):
+        bloom_from_positions(bad, 1 << 16, 4)
+    ok = bloom_from_positions(
+        spark.createDataFrame([(5,), (65535,)], "pos long"), 1 << 16, 4
+    )
+    mask = ok.mask
+    assert mask[5 >> 3] & (1 << (5 & 7))
+    assert mask[65535 >> 3] & (1 << (65535 & 7))

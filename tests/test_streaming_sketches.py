@@ -157,3 +157,43 @@ def test_cms_stream_matches_batch_and_replay_replaces(spark, tmp_path):
     assert batches_left <= {-1, last}
     reg.upsert(delta)  # replay after compaction still replaces, not adds
     assert _cms_totals(reg) == before
+
+
+def test_cms_compact_every_folds_inside_the_sink(spark, tmp_path):
+    """Round-11 (ADVICE): free-standing compaction races a live stream's
+    upserts; compact_every= folds INSIDE foreachBatch where invocations
+    are serialized. After the run the ledger is folded (batch ids only
+    {-1, latest-ish}) and totals equal the batch-built counters."""
+    from openmsistream_spark.operators.sketches import cms_counters
+    from openmsistream_spark.streaming.sketches import cms_stream_sink
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    reg = make_registry(spark, str(tmp_path / "cms"), ["i", "pos", "batch"])
+    all_rows = []
+    for b, rows in enumerate(BATCHES):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/b={b}"
+        )
+        src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+        q = (
+            cms_stream_sink(
+                src, reg, out_dir, ckpt, key_col="uid", d=3, w=64, compact_every=1
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        all_rows += rows
+    want = {
+        (r.i, r.pos): r.cnt
+        for r in cms_counters(
+            spark.createDataFrame(all_rows, SCHEMA), "uid", d=3, w=64
+        ).collect()
+    }
+    assert _cms_totals(reg) == want
+    batches_left = {r.batch for r in reg.read().select("batch").distinct().collect()}
+    assert -1 in batches_left and len(batches_left) <= 2
