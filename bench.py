@@ -27,6 +27,7 @@ import openmsistream_spark.queries_extras2  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras3  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras4  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras5  # noqa: E402,F401  registers extras
+import openmsistream_spark.queries_extras6  # noqa: E402,F401  registers extras
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -110,6 +111,9 @@ HEADLINE = [
     "hll_distinct_users",
     "cms_token_freq_topk",
     "bigram_lm_surprisal",
+    # round-11 additions
+    "trigram_lm_surprisal",
+    "url_blocklist_filter",
 ]
 
 

@@ -1,0 +1,220 @@
+"""Round-11 catalog additions, registered OUT-OF-BAND.
+
+Same discipline as ``queries_extras*.py``: imported directly by the
+catalog entry points (``__spark_entry__.py``, ``bench.py``,
+``tests/conftest.py``), never from ``queries.py``, so landing new
+queries does not dirty the source closure of already-verified entries.
+
+Content — the two devices the round-10 verdict named as cheap,
+literature-standard breadth:
+
+- ``trigram_lm_surprisal``: interpolated trigram-LM document scoring —
+  one n-gram order above ``bigram_lm_surprisal`` (CCNet's KenLM filter
+  is order 5; every order is one more Zipf-bounded count table). All
+  marginals (c12, c23, c2, c3, N) derive from the ONE trigram count
+  table, so the corpus token stream is scanned once for counts and once
+  for scoring; per-trigram ln rounds at 6 dp before the decimal per-doc
+  sum (the repo's cross-engine float-parity convention).
+- ``url_blocklist_filter``: RefinedWeb §3.1's first gate — drop
+  documents whose URL domain (or ANY parent domain: blocking
+  ``mirror.net`` blocks ``src5.mirror.net``) is on a curated blocklist,
+  or whose URL matches a banned-term regex. Implemented in
+  ``llm/blocklist.py`` as a broadcast semi-join over the domain's
+  exploded suffix chain (an equi-join, never an endswith nested loop) —
+  the corpus side never shuffles. The synthetic URL column is
+  deterministic arithmetic over (source, doc_id), so the oracle
+  reproduces the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import load, query
+
+# ------------------------------------------------------- trigram LM
+# p(w3 | w1 w2) = 0.7*c123/c12 + 0.2*c23/c2 + 0.1*c3/N, every marginal a
+# sum over the trigram table: c12 = SUM over w3, c23 = SUM over w1,
+# c2 = SUM over (w1, w3) of trigrams with w2 in the middle, c3 = SUM
+# over (w1, w2), N = SUM of all. Surprisal -ln(p) rounds at 6 dp before
+# the decimal-accumulated per-doc mean (the bigram/unigram convention).
+_TRIGRAM_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    triples AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+            FROM base WHERE len(t) >= 3) q
+      WHERE t[i] <> '' AND t[i + 1] <> '' AND t[i + 2] <> ''),
+    tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM triples GROUP BY 1, 2, 3),
+    ctx12 AS (SELECT w1, w2, sum(c123) AS c12 FROM tri GROUP BY 1, 2),
+    big23 AS (SELECT w2, w3, sum(c123) AS c23 FROM tri GROUP BY 1, 2),
+    ctx2 AS (SELECT w2, sum(c123) AS c2 FROM tri GROUP BY 1),
+    uni3 AS (SELECT w3, sum(c123) AS c3 FROM tri GROUP BY 1),
+    tot AS (SELECT sum(c123) AS n FROM tri),
+    scored AS (
+      SELECT tr.w1, tr.w2, tr.w3,
+             round(-ln(0.7 * (CAST(tr.c123 AS DOUBLE) / c.c12)
+                       + 0.2 * (CAST(b.c23 AS DOUBLE) / c2.c2)
+                       + 0.1 * (CAST(u.c3 AS DOUBLE) / t.n)), 6) AS s
+      FROM tri tr
+      JOIN ctx12 c ON c.w1 = tr.w1 AND c.w2 = tr.w2
+      JOIN big23 b ON b.w2 = tr.w2 AND b.w3 = tr.w3
+      JOIN ctx2 c2 ON c2.w2 = tr.w2
+      JOIN uni3 u ON u.w3 = tr.w3
+      CROSS JOIN tot t)
+    SELECT d.doc_id, d.source, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(CAST(sum(CAST(s.s AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_surprisal
+    FROM triples p
+    JOIN scored s ON s.w1 = p.w1 AND s.w2 = p.w2 AND s.w3 = p.w3
+    JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "trigram_lm_surprisal",
+    _TRIGRAM_SQL,
+    doc="interpolated trigram-LM mean surprisal per document — the CCNet "
+    "KenLM-perplexity filter one order above bigram_lm_surprisal: "
+    "trigrams build doc-locally in whole-stage codegen (explode "
+    "positions + element_at, no interpreted lambdas), every marginal "
+    "derives from the one Zipf-bounded trigram table so the token "
+    "stream shuffles once for counts and once for scoring, and "
+    "per-trigram ln rounds 6 dp before the decimal sum (cross-engine "
+    "float parity)",
+    survey="LLM text analysis: trigram LM quality scoring (CCNet device, order 3)",
+)
+def trigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_toks")
+    ).filter(F.size("_toks") >= 3)
+    triples = (
+        base.select(
+            "doc_id",
+            "_toks",
+            F.explode(F.expr("sequence(1, size(_toks) - 2)")).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            F.expr("element_at(_toks, CAST(_i AS INT))").alias("w1"),
+            F.expr("element_at(_toks, CAST(_i + 1 AS INT))").alias("w2"),
+            F.expr("element_at(_toks, CAST(_i + 2 AS INT))").alias("w3"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != ""))
+    )
+    tri = triples.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    # every marginal is a sum over the (vocab-bounded) trigram table —
+    # the corpus token stream is never re-aggregated
+    ctx12 = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    big23 = tri.groupBy("w2", "w3").agg(F.sum("c123").alias("c23"))
+    ctx2 = tri.groupBy("w2").agg(F.sum("c123").alias("c2"))
+    uni3 = tri.groupBy("w3").agg(F.sum("c123").alias("c3"))
+    tot = tri.agg(F.sum("c123").alias("n"))
+    scored = (
+        tri.join(ctx12, ["w1", "w2"])
+        .join(big23, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(uni3, "w3")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(
+                -F.log(
+                    F.lit(0.7) * (F.col("c123").cast("double") / F.col("c12"))
+                    + F.lit(0.2) * (F.col("c23").cast("double") / F.col("c2"))
+                    + F.lit(0.1) * (F.col("c3").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    return (
+        triples.join(scored, ["w1", "w2", "w3"])
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+# ------------------------------------------------- URL blocklist gate
+# Deterministic synthetic URL per document: host = source + one of two
+# parent zones (every 5th doc lands on mirror.net), a www. prefix on
+# every 3rd doc (exercises www-stripping), path /d/<doc_id>. Blocklist:
+# one exact host (src3.example.com) and one PARENT zone (mirror.net —
+# must block every *.mirror.net via the suffix chain); banned URL term:
+# paths /d/19[0-9] (exercises the regex gate).
+_BLOCKLIST_SQL = r"""
+    WITH withurl AS (
+      SELECT doc_id, source, n_chars,
+             'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+               || source
+               || CASE WHEN doc_id % 5 = 0 THEN '.mirror.net' ELSE '.example.com' END
+               || '/d/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    dom AS (
+      SELECT *, regexp_replace(lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
+               '^www\.', '') AS domain
+      FROM withurl),
+    blocked(domain) AS (VALUES ('src3.example.com'), ('mirror.net'))
+    SELECT doc_id, source, n_chars, url, domain
+    FROM dom d
+    WHERE NOT regexp_matches(d.url, '(?i)(/d/19[0-9]$)')
+      AND NOT EXISTS (
+        SELECT 1 FROM blocked b
+        WHERE d.domain = b.domain OR d.domain LIKE '%.' || b.domain)
+    """
+
+
+@query(
+    "url_blocklist_filter",
+    _BLOCKLIST_SQL,
+    doc="RefinedWeb-style URL/domain blocklist gate: survivors after "
+    "dropping documents whose URL domain or ANY parent domain is "
+    "blocklisted (exact host src3.example.com + parent zone mirror.net "
+    "via the exploded suffix-chain equi-join) or whose URL matches a "
+    "banned-term regex — one broadcast semi-join, corpus never "
+    "shuffles, all string arithmetic engine-portable",
+    survey="LLM curation: URL/domain blocklist filter (RefinedWeb §3.1 device)",
+)
+def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.blocklist import blocklist_filter
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    withurl = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(".mirror.net")).otherwise(
+                F.lit(".example.com")
+            ),
+            F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    blocked = spark.createDataFrame(
+        [("src3.example.com",), ("mirror.net",)], "domain string"
+    )
+    return blocklist_filter(
+        withurl,
+        blocked,
+        url_col="url",
+        id_col="doc_id",
+        banned_url_terms=[r"/d/19[0-9]$"],
+    ).select("doc_id", "source", "n_chars", "url", "domain")
