@@ -114,6 +114,7 @@ HEADLINE = [
     # round-11 additions
     "trigram_lm_surprisal",
     "url_blocklist_filter",
+    "bloom_sharded_gram_novelty",
 ]
 
 

@@ -218,3 +218,78 @@ def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         banned_url_terms=[r"/d/19[0-9]$"],
     ).select("doc_id", "source", "n_chars", "url", "domain")
+
+
+# ------------------------------------------- sharded bloom novelty
+# Same semantics as bloom_gram_novelty but through the SHARDED mask
+# path (llm/bloom_sharded.py — the m past-the-broadcast-ceiling
+# variant): shard = md5(shingle || '#shard') % 16, in-shard positions
+# = md5(shingle || '#i') % (2^20/16); a gram is "maybe seen" iff all 4
+# of its (shard, pos) cells appear in the reference side's distinct
+# cell set — the bloom verdict is exact set arithmetic, so the oracle
+# reproduces it bit-for-bit including deterministic false positives.
+_SHARDED_BLOOM_SQL = r"""
+    WITH toks AS (SELECT doc_id, source,
+                         string_split_regex(lower(trim(text)), '\s+') AS ws
+                  FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source, shingle FROM (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(ws) >= 8
+                      THEN [substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                            ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                            ws[i+6] || ' ' || ws[i+7]), 1, 16)
+                            for i in range(1, len(ws)-6)]
+                      ELSE [] END) AS shingle
+        FROM toks) t),
+    cells AS (
+      SELECT doc_id, source, shingle,
+             ('0x' || substr(md5(shingle || '#shard'), 1, 15))::UBIGINT
+               % 16 AS shard,
+             ('0x' || substr(md5(shingle || '#' || CAST(s.i AS VARCHAR)), 1, 15))::UBIGINT
+               % 65536 AS pos
+      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS i) s),
+    build AS (SELECT DISTINCT shard, pos FROM cells WHERE source = 'src0'),
+    probe AS (
+      SELECT c.doc_id, c.shingle, bool_and(b.pos IS NOT NULL) AS maybe_seen
+      FROM cells c
+      LEFT JOIN build b ON b.shard = c.shard AND b.pos = c.pos
+      WHERE c.source <> 'src0'
+      GROUP BY 1, 2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN maybe_seen THEN 0 ELSE 1 END) AS BIGINT) AS n_novel
+    FROM probe GROUP BY doc_id
+    """
+
+
+@query(
+    "bloom_sharded_gram_novelty",
+    _SHARDED_BLOOM_SQL,
+    doc="gram novelty through the SHARDED bloom path (the m past the "
+    "broadcast ceiling variant, llm/bloom_sharded.py): reference "
+    "8-grams (source='src0') build 16 independent per-shard masks — "
+    "one shard-keyed shuffle of narrow position rows, the full mask "
+    "never assembles anywhere — and each probe gram cogroups with its "
+    "shard's mask only; verdicts are exact md5 set arithmetic, "
+    "hash-identical to the monolithic filter semantics at the same "
+    "total bits-per-key",
+    survey="LLM dedup/decontamination: sharded bloom membership (big-m scale path)",
+)
+def bloom_sharded_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.bloom_sharded import bloom_build_sharded, bloom_mark_sharded
+    from .llm.dedup import word_shingles
+
+    m_bits, k, n_shards = 1 << 20, 4, 16
+    docs = load(spark, sf_dir, "documents")
+    ref = word_shingles(docs.filter(F.col("source") == "src0"), n=8, hashed=True)
+    masks = bloom_build_sharded(ref.select("shingle"), "shingle", m_bits, k, n_shards)
+    grams = word_shingles(
+        docs.filter(F.col("source") != "src0"), n=8, hashed=True
+    ).select("doc_id", "shingle")
+    marked = bloom_mark_sharded(grams, "shingle", masks, m_bits, k, n_shards)
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("maybe_seen"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_novel"),
+    )

@@ -217,7 +217,7 @@ def run_scale(spark, mult: int, ckpt_root: str) -> dict:
         "heavy_cluster": n_heavy,
         "chain_len": CHAIN_LEN,
         "wall_sec": wall,
-        "pairs_stage_sec": round(t_pairs0 - t0, 2),
+        "plan_build_sec": round(t_pairs0 - t0, 2),  # lazy-plan construction only
         "shuffle_write_mb": round((after["shuffleWriteBytes"] - before["shuffleWriteBytes"]) / 1e6, 1),
         "shuffle_read_mb": round((after["shuffleReadBytes"] - before["shuffleReadBytes"]) / 1e6, 1),
         "input_mb": round((after["inputBytes"] - before["inputBytes"]) / 1e6, 1),
