@@ -92,31 +92,15 @@ def _params_guard(pos_registry, n: int, m_bits: int, k: int) -> None:
     corrupts novelty verdicts (stale high positions alias into the
     smaller mask), a larger one fails opaquely inside the executor-side
     mask build, and a different ``n``/``k`` changes what a position
-    MEANS. One row of parquet at ``<ledger>_params`` (works on any
-    Hadoop-visible storage, atomic via overwrite of a 1-row table)."""
-    spark = pos_registry.spark
-    params_path = pos_registry.path.rstrip("/") + "_params"
-    if pos_registry.fs.exists(params_path):
-        row = spark.read.parquet(params_path).first()
-        have = (row["n"], row["m_bits"], row["k"])
-        if have != (n, m_bits, k):
-            raise ValueError(
-                f"bloom_novelty_stream_sink: ledger at {pos_registry.path} "
-                f"was built with (n, m_bits, k)={have}, restart requested "
-                f"({n}, {m_bits}, {k}) — reuse the recorded parameters or "
-                "start a fresh ledger"
-            )
-        return
-    if pos_registry.exists():
-        raise ValueError(
-            f"bloom_novelty_stream_sink: ledger at {pos_registry.path} "
-            "predates parameter tracking and carries no _params sidecar — "
-            "cannot verify (n, m_bits, k) match; write the sidecar "
-            "manually if the parameters are known to be right"
-        )
-    spark.createDataFrame(
-        [(n, m_bits, k)], "n int, m_bits long, k int"
-    ).write.mode("overwrite").parquet(params_path)
+    MEANS. Shared write-once/validate-always sidecar discipline
+    (``streaming/params_guard.py`` — the HLL/CMS sinks use it too)."""
+    from .params_guard import ensure_sidecar_params
+
+    ensure_sidecar_params(
+        pos_registry,
+        {"n": n, "m_bits": m_bits, "k": k},
+        "bloom_novelty_stream_sink",
+    )
 
 
 def bloom_novelty_stream_sink(

@@ -83,9 +83,15 @@ def hll_distinct_stream_sink(
     ``register_registry`` must be
     ``make_registry(spark, path, [*group_cols, "bucket"])``; its whole
     table is replaced with the max-merge each batch (m-bounded rows, so
-    the rewrite is sketch-sized, never corpus-sized).
-    Returns the configured ``DataStreamWriter`` — caller picks the
-    trigger and calls ``.start()``."""
+    the rewrite is sketch-sized, never corpus-sized). ``p`` is persisted
+    in a ``_params`` sidecar on first start and validated on restart
+    (``streaming/params_guard.py``) — registers from a different p are
+    a different bucket space, and max-merging across them silently
+    estimates nonsense. Returns the configured ``DataStreamWriter`` —
+    caller picks the trigger and calls ``.start()``."""
+    from .params_guard import ensure_sidecar_params
+
+    ensure_sidecar_params(register_registry, {"p": p}, "hll_distinct_stream_sink")
     gcols = list(group_cols)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -137,8 +143,15 @@ def cms_stream_sink(
     ``compact_cms_ledger`` call against a live stream would have; see
     its docstring). Only batches STRICTLY earlier than the current one
     fold, so the one batch a checkpoint restart could replay still
-    replaces its own keyed rows. Returns the configured
-    ``DataStreamWriter``."""
+    replaces its own keyed rows.
+
+    ``(d, w)`` are persisted in a ``_params`` sidecar on first start
+    and validated on restart (``streaming/params_guard.py``) — deltas
+    from a different geometry alias into the wrong counters. Returns
+    the configured ``DataStreamWriter``."""
+    from .params_guard import ensure_sidecar_params
+
+    ensure_sidecar_params(delta_registry, {"d": d, "w": w}, "cms_stream_sink")
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         delta = cms_counters(

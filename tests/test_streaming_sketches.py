@@ -197,3 +197,70 @@ def test_cms_compact_every_folds_inside_the_sink(spark, tmp_path):
     assert _cms_totals(reg) == want
     batches_left = {r.batch for r in reg.read().select("batch").distinct().collect()}
     assert -1 in batches_left and len(batches_left) <= 2
+
+
+def test_sketch_sinks_refuse_parameter_drift(spark, tmp_path):
+    """Round-11: HLL registers under a different p and CMS cells under a
+    different (d, w) are a different sketch — restarting either sink
+    against an existing ledger with drifted parameters is refused by
+    name (the bloom sink's sidecar discipline, shared via
+    streaming/params_guard.py)."""
+    import pytest
+
+    from openmsistream_spark.streaming.sketches import (
+        cms_stream_sink,
+        hll_distinct_stream_sink,
+    )
+
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(BATCHES[0], SCHEMA).coalesce(1).write.parquet(
+        f"{in_dir}/b=0"
+    )
+    src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+
+    hreg = make_registry(spark, str(tmp_path / "hll"), ["bucket"])
+    q = (
+        hll_distinct_stream_sink(
+            src, hreg, str(tmp_path / "hout"), str(tmp_path / "hckpt"),
+            key_col="uid", p=10,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    # same p: builder succeeds; different p: refused before any batch
+    hll_distinct_stream_sink(
+        src, hreg, str(tmp_path / "hout"), str(tmp_path / "hckpt2"),
+        key_col="uid", p=10,
+    )
+    with pytest.raises(ValueError, match=r"\(p\)"):
+        hll_distinct_stream_sink(
+            src, hreg, str(tmp_path / "hout"), str(tmp_path / "hckpt3"),
+            key_col="uid", p=12,
+        )
+
+    creg = make_registry(spark, str(tmp_path / "cms"), ["i", "pos", "batch"])
+    q = (
+        cms_stream_sink(
+            src, creg, str(tmp_path / "cout"), str(tmp_path / "cckpt"),
+            key_col="uid", d=3, w=64,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    with pytest.raises(ValueError, match=r"\(d, w\)"):
+        cms_stream_sink(
+            src, creg, str(tmp_path / "cout"), str(tmp_path / "cckpt2"),
+            key_col="uid", d=3, w=128,
+        )
+    # a legacy ledger with no sidecar is refused as unverifiable
+    lreg = make_registry(spark, str(tmp_path / "legacy"), ["i", "pos", "batch"])
+    lreg.upsert(
+        spark.createDataFrame([(0, 1, 0, 5)], "i int, pos long, batch long, cnt long")
+    )
+    with pytest.raises(ValueError, match="sidecar"):
+        cms_stream_sink(
+            src, lreg, str(tmp_path / "cout"), str(tmp_path / "cckpt3"),
+            key_col="uid", d=3, w=64,
+        )
