@@ -358,11 +358,24 @@ def _bench_cost() -> dict[str, float]:
     import json
 
     cost: dict[str, float] = {}
-    # BENCH_LOCAL.json last: it is the newest lossless record (bench.py
-    # writes the full-precision map there because the driver's stdout
-    # tail can only hold a trimmed line)
+    # BENCH_LOCAL.json is bench.py's lossless record (the driver's
+    # stdout tail only holds a trimmed line), but it can be STALE: a
+    # read-only checkout skips writing it while the driver still lands
+    # a fresh BENCH_r*.json. Order by file mtime so whichever record is
+    # actually newest wins, round number or not (round files fall back
+    # to name order on mtime ties, e.g. a fresh clone).
     paths = sorted(glob.glob(os.path.join(_HERE, "BENCH_r*.json")))
-    paths.append(os.path.join(_HERE, "BENCH_LOCAL.json"))
+    local = os.path.join(_HERE, "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        paths.append(local)
+
+    def _mtime(p: str) -> float:
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return 0.0
+
+    paths.sort(key=_mtime)
     for path in paths:
         try:
             with open(path) as f:

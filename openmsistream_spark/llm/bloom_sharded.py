@@ -12,9 +12,11 @@ blooms of ``m_bits / n_shards`` bits each:
   k probe positions of a key live INSIDE its shard's mask, so any
   operation on a key touches exactly one shard.
 - **Build**: keys → (shard, in-shard positions) → ONE shuffle keyed by
-  shard (narrow position rows — the price of shardedness) → per-task
-  partial masks → per-shard OR-fold. No task ever holds more than one
-  ``m/n_shards``-byte mask; the full mask never exists in one place.
+  shard into ``n_shards`` partitions (narrow position rows — the price
+  of shardedness) → per-task partial masks → per-shard OR-fold. A build
+  task holds the masks of the shards hash-colliding into its partition
+  (a handful at worst — balls-in-bins), each ``m/n_shards`` bytes; the
+  full mask never exists in one place.
 - **Probe**: keys cogroup with the mask table on shard — each task gets
   one shard's probe rows plus that shard's mask ONLY. One probe-side
   shuffle (vs zero for the broadcast path) in exchange for masks that
@@ -57,6 +59,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.hashes import portable_hash64
 from .bloom import _flat_batch_positions, positions_col
 
 _MASK_SCHEMA = StructType(
@@ -81,14 +84,10 @@ def bloom_sizing(n_keys: int, fp_rate: float) -> tuple[int, int]:
 
 
 def shard_col(key: F.Column, n_shards: int) -> F.Column:
-    """Shard choice for ``key`` — the portable md5 convention with its
-    own salt so the shard hash is independent of the position hashes."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(key, F.lit("#shard"))), 1, 15), 16, 10
-        ).cast("long")
-        % n_shards
-    ).cast("int")
+    """Shard choice for ``key`` — ``functions/hashes.portable_hash64``
+    (the repo's one md5-prefix convention) with its own salt so the
+    shard hash is independent of the position hashes."""
+    return (portable_hash64(F.concat(key, F.lit("#shard"))) % n_shards).cast("int")
 
 
 def _shard_geometry(m_bits: int, k: int, n_shards: int) -> int:
@@ -127,7 +126,14 @@ def bloom_build_sharded(
             shard_col(key, n_shards).alias("shard"),
             positions_col(key, k, shard_bits).alias("_pos"),
         )
-        .repartition(F.col("shard"))
+        # n_shards partitions, NOT the session shuffle default: with
+        # fewer partitions than shards each build task would hold
+        # several shard masks at once and the per-task memory bound the
+        # sizing guidance promises would be off by that multiplier. At
+        # n_shards partitions, hash collisions still co-locate a few
+        # shards per task (balls-in-bins: worst task ~O(ln n / ln ln n)
+        # shards, ~4-5 at 1024) — the honest bound documented below.
+        .repartition(n_shards, F.col("shard"))
     )
 
     def partials(batches):
@@ -201,16 +207,20 @@ def bloom_mark_sharded(
     def mark(left, right):
         if not len(left):
             return left[cols].assign(**{out_col: np.empty(0, dtype=bool)})
-        if len(right):
-            arr = np.frombuffer(bytes(right["mask"].iloc[0]), dtype=np.uint8)
-            if len(arr) != nbytes:
+        # OR every mask row for the shard: a masks table appended or
+        # unioned across several builds is a set UNION, and silently
+        # probing only the first row would break the no-false-negative
+        # guarantee for keys present only in the ignored rows
+        arr = np.zeros(nbytes, dtype=np.uint8)
+        for b in right["mask"]:
+            m = np.frombuffer(bytes(b), dtype=np.uint8)
+            if len(m) != nbytes:
                 raise ValueError(
-                    f"bloom_mark_sharded: mask of {len(arr)} bytes does not "
+                    f"bloom_mark_sharded: mask of {len(m)} bytes does not "
                     f"match m_bits={m_bits}/n_shards={n_shards} — masks built "
                     "with different parameters"
                 )
-        else:
-            arr = np.zeros(nbytes, dtype=np.uint8)
+            arr = arr | m
         ok = np.zeros(len(left), dtype=bool)
         notnull = left["_pos"].notna().to_numpy()
         if notnull.any():

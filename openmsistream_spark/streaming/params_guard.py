@@ -23,29 +23,48 @@ def ensure_sidecar_params(registry, params: dict[str, int], sink_name: str) -> N
     """Write-once / validate-always parameter guard for a registry-backed
     ledger. ``params`` is an ordered mapping of parameter name to int;
     raises ``ValueError`` on restart mismatch or on a legacy ledger with
-    no sidecar."""
+    no sidecar.
+
+    The LEDGER's existence decides which mode applies, not the
+    sidecar's: while no ledger exists there is nothing the parameters
+    could disagree with, so the sidecar is simply (re)written — which
+    makes 'start a fresh ledger' (delete the ledger directory) actually
+    work without also hunting down the sidecar, recovers a sidecar
+    orphaned by a sink that was constructed but never started, and
+    self-heals a half-written sidecar from a crash during first start
+    (the ledger cannot exist yet at that point). An unreadable sidecar
+    NEXT TO a live ledger refuses by name — the one state that needs a
+    human decision."""
     spark = registry.spark
     params_path = registry.path.rstrip("/") + "_params"
     names = list(params)
-    if registry.fs.exists(params_path):
-        row = spark.read.parquet(params_path).first()
-        have = tuple(row[n] for n in names)
-        want = tuple(int(params[n]) for n in names)
-        if have != want:
-            raise ValueError(
-                f"{sink_name}: ledger at {registry.path} was built with "
-                f"({', '.join(names)})={have}, restart requested {want} — "
-                "reuse the recorded parameters or start a fresh ledger"
-            )
+    want = tuple(int(params[n]) for n in names)
+    if not registry.exists():
+        schema = ", ".join(f"{n} long" for n in names)
+        spark.createDataFrame([want], schema).write.mode("overwrite").parquet(
+            params_path
+        )
         return
-    if registry.exists():
+    if not registry.fs.exists(params_path):
         raise ValueError(
             f"{sink_name}: ledger at {registry.path} predates parameter "
             "tracking and carries no _params sidecar — cannot verify "
             f"({', '.join(names)}) match; write the sidecar manually if "
             "the parameters are known to be right"
         )
-    schema = ", ".join(f"{n} long" for n in names)
-    spark.createDataFrame(
-        [tuple(int(params[n]) for n in names)], schema
-    ).write.mode("overwrite").parquet(params_path)
+    try:
+        row = spark.read.parquet(params_path).first()
+        have = tuple(row[n] for n in names)
+    except Exception as exc:
+        raise ValueError(
+            f"{sink_name}: _params sidecar at {params_path} is unreadable "
+            f"({exc.__class__.__name__}) next to a live ledger — verify the "
+            "ledger's parameters and rewrite the sidecar manually"
+        ) from exc
+    if have != want:
+        raise ValueError(
+            f"{sink_name}: ledger at {registry.path} was built with "
+            f"({', '.join(names)})={have}, restart requested {want} — "
+            "reuse the recorded parameters or start a fresh ledger "
+            "(deleting the ledger directory resets the sidecar too)"
+        )

@@ -80,13 +80,25 @@ def test_no_trim_when_line_fits():
 
 def test_bench_cost_reads_local_record(tmp_path, monkeypatch):
     """__spark_entry__._bench_cost must pick up BENCH_LOCAL.json — the
-    lossless newest record — overriding older driver-round values."""
+    lossless record — when it is NEWER than the driver-round files, and
+    must NOT let a stale committed local file override a fresher round
+    (read-only checkouts skip the local write while the driver still
+    lands BENCH_r*.json; ordering is by file mtime)."""
+    import os as _os
+
     old = {"n": 3, "parsed": {"queries": {"q1_pricing_summary": 9.0, "only_old": 1.0}}}
     (tmp_path / "BENCH_r03.json").write_text(json.dumps(old))
     local = {"metric": "m", "queries": {"q1_pricing_summary": 1.5, "only_new": 2.0}}
     (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(local))
+    _os.utime(tmp_path / "BENCH_r03.json", (1_000_000, 1_000_000))
+    _os.utime(tmp_path / "BENCH_LOCAL.json", (2_000_000, 2_000_000))
     monkeypatch.setattr(entry, "_HERE", str(tmp_path))
     cost = entry._bench_cost()
-    assert cost["q1_pricing_summary"] == 1.5  # local overrides round file
+    assert cost["q1_pricing_summary"] == 1.5  # newer local overrides
     assert cost["only_old"] == 1.0
     assert cost["only_new"] == 2.0
+    # stale local (older mtime) must NOT override a fresher round file
+    _os.utime(tmp_path / "BENCH_LOCAL.json", (500_000, 500_000))
+    cost = entry._bench_cost()
+    assert cost["q1_pricing_summary"] == 9.0
+    assert cost["only_new"] == 2.0  # but its unique entries still count

@@ -50,6 +50,12 @@ PYTHON_ALLOWED = {
     # BPE segmentation applies the broadcast merge chain per Arrow
     # batch (llm/bpe.bpe_segment — zero corpus shuffle)
     "bpe_segment_token_counts",
+    # sharded bloom (round-11 big-m path): the mask build's per-task
+    # partial-OR and the probe's per-shard cogroup bit-test are the
+    # operator's two Arrow stages (llm/bloom_sharded.py — positions
+    # stay JVM-side codegen md5, Python only does vectorized numpy
+    # bit arithmetic)
+    "bloom_sharded_gram_novelty",
 }
 
 
