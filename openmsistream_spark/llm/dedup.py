@@ -481,9 +481,27 @@ def incremental_minhash_dedup(
     recomputes from durable storage, and a driver crash mid-upsert
     leaves the old or new ledger atomically (re-run converges).
 
+    Ledger rows are only meaningful under the (n, num_hashes,
+    rows_per_band) that wrote them — a later run under different
+    banding parameters produces band keys that can never collide with
+    the ledger's, silently admitting every near-duplicate of prior
+    runs. The parameters persist in a ``_params`` sidecar on the first
+    run and are validated on every later one
+    (``streaming/params_guard.py``; ``threshold`` is deliberately NOT
+    pinned — it is a per-run admission policy over the same ledger, not
+    part of what a ledger row means).
+
     Returns the admitted rows of ``docs``.
     """
     import uuid
+
+    from ..streaming.params_guard import ensure_sidecar_params
+
+    ensure_sidecar_params(
+        registry,
+        {"n": n, "num_hashes": num_hashes, "rows_per_band": rows_per_band},
+        "incremental_minhash_dedup",
+    )
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sh = cap_hot_shingles(sh, max_shingle_df)
     aggs = [

@@ -565,10 +565,22 @@ def incremental_embedding_dedup(
     identical admitted set — exactly-once restarts for a streaming
     foreachBatch caller.
 
+    ``n_bits`` defines the ledger's bucket space — a later run under a
+    different ``n_bits`` produces buckets that can never match the
+    ledger's, silently admitting every near-duplicate of prior runs —
+    so it persists in a ``_params`` sidecar on the first run and is
+    validated on every later one (``streaming/params_guard.py``;
+    ``threshold`` stays per-run policy, as in the MinHash twin).
+
     Returns the admitted rows of ``embeddings``.
     """
     import uuid
 
+    from ..streaming.params_guard import ensure_sidecar_params
+
+    ensure_sidecar_params(
+        registry, {"n_bits": n_bits}, "incremental_embedding_dedup"
+    )
     run_id = run_id if run_id is not None else uuid.uuid4().hex
     qz = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
     vec = _as_double(F.col(vec_col))

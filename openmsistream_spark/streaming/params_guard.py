@@ -19,11 +19,13 @@ ever compared).
 from __future__ import annotations
 
 
-def ensure_sidecar_params(registry, params: dict[str, int], sink_name: str) -> None:
+def ensure_sidecar_params(
+    registry, params: dict[str, int | str], sink_name: str
+) -> None:
     """Write-once / validate-always parameter guard for a registry-backed
-    ledger. ``params`` is an ordered mapping of parameter name to int;
-    raises ``ValueError`` on restart mismatch or on a legacy ledger with
-    no sidecar.
+    ledger. ``params`` is an ordered mapping of parameter name to int or
+    str (e.g. a fingerprint MODE); raises ``ValueError`` on restart
+    mismatch or on a legacy ledger with no sidecar.
 
     The LEDGER's existence decides which mode applies, not the
     sidecar's: while no ledger exists there is nothing the parameters
@@ -38,9 +40,16 @@ def ensure_sidecar_params(registry, params: dict[str, int], sink_name: str) -> N
     spark = registry.spark
     params_path = registry.path.rstrip("/") + "_params"
     names = list(params)
-    want = tuple(int(params[n]) for n in names)
+
+    def _norm(v):
+        return v if isinstance(v, str) else int(v)
+
+    want = tuple(_norm(params[n]) for n in names)
     if not registry.exists():
-        schema = ", ".join(f"{n} long" for n in names)
+        schema = ", ".join(
+            f"{n} {'string' if isinstance(params[n], str) else 'long'}"
+            for n in names
+        )
         spark.createDataFrame([want], schema).write.mode("overwrite").parquet(
             params_path
         )

@@ -144,9 +144,19 @@ def span_dedup_stream_sink(
     (default — 8-byte xxhash64 ledger keys; an xxhash64 collision
     between distinct k-grams would excise non-duplicate text) or
     ``"text"`` (collision-free, string-keyed ledger — bigger state,
-    exact).
-    Returns the configured ``DataStreamWriter`` — caller picks the
-    trigger and calls ``.start()``."""
+    exact). ``(k, fingerprint)`` persist in a ``_params`` sidecar on
+    first start and are validated on restart
+    (``streaming/params_guard.py``) — a ledger's gram rows are only
+    meaningful under the k-gram length and fingerprint mode that wrote
+    them. Returns the configured ``DataStreamWriter`` — caller picks
+    the trigger and calls ``.start()``."""
+    from .params_guard import ensure_sidecar_params
+
+    ensure_sidecar_params(
+        gram_registry,
+        {"k": k, "fingerprint": fingerprint},
+        "span_dedup_stream_sink",
+    )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         ledger = gram_registry.read()

@@ -645,3 +645,36 @@ def test_curate_corpus_novelty_bloom_stage(spark):
     assert counts["after_novelty_bloom"] == 2
     ids = {r.doc_id for r in curated.select("doc_id").collect()}
     assert 1 not in ids and 2 in ids
+
+
+def test_incremental_ledgers_refuse_geometry_drift(spark, tmp_path):
+    """Round-11: the incremental LSH ledgers' rows are only meaningful
+    under the geometry that wrote them — a later run under different
+    banding (MinHash) or bucket bits (embedding sign-LSH) can never
+    collide with prior rows and silently re-admits every near-dup.
+    Both now persist their geometry in a _params sidecar and refuse a
+    drifted run by name; threshold stays per-run policy."""
+    import pytest
+
+    from openmsistream_spark.llm.dedup import incremental_minhash_dedup
+    from openmsistream_spark.llm.similarity import incremental_embedding_dedup
+    from openmsistream_spark.operators.registry import make_registry
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    reg = make_registry(spark, str(tmp_path / "mh"), ["band", "band_sig", "doc_id"])
+    incremental_minhash_dedup(docs, reg).collect()
+    # same geometry, different threshold: allowed (policy, not geometry)
+    incremental_minhash_dedup(docs, reg, threshold=0.9).collect()
+    with pytest.raises(ValueError, match="rows_per_band"):
+        incremental_minhash_dedup(docs, reg, num_hashes=16, rows_per_band=4)
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, -1.0, 0.5, -0.25, 1.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ereg = make_registry(spark, str(tmp_path / "emb"), ["bucket", "vec_id"])
+    incremental_embedding_dedup(emb, ereg, n_bits=4).collect()
+    with pytest.raises(ValueError, match="n_bits"):
+        incremental_embedding_dedup(emb, ereg, n_bits=6)

@@ -142,3 +142,41 @@ def test_pure_step_scores_against_strictly_earlier_state(spark):
     kept_earlier = excise_batch_against_ledger(docs, as_earlier, 3, k=4).first()
     assert kept_own.n_tokens_removed == 0
     assert kept_earlier.n_tokens_removed > 0
+
+
+def test_span_sink_refuses_gram_parameter_drift(spark, tmp_path):
+    """Round-11: a gram ledger's rows are only meaningful under the
+    k-gram length and fingerprint mode that wrote them — restart under
+    either drift is refused by name (shared sidecar discipline)."""
+    import pytest
+
+    from openmsistream_spark.operators.registry import make_registry
+    from openmsistream_spark.streaming.spandedup import span_dedup_stream_sink
+
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{in_dir}/b=0")
+    src = spark.readStream.schema("doc_id long, text string").parquet(f"{in_dir}/b=*")
+    reg = make_registry(spark, str(tmp_path / "grams"), ["gram"])
+    q = (
+        span_dedup_stream_sink(
+            src, reg, str(tmp_path / "out"), str(tmp_path / "ckpt"), k=4
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    # same params: builder succeeds
+    span_dedup_stream_sink(
+        src, reg, str(tmp_path / "out"), str(tmp_path / "ckpt2"), k=4
+    )
+    with pytest.raises(ValueError, match=r"\(k, fingerprint\)"):
+        span_dedup_stream_sink(
+            src, reg, str(tmp_path / "out"), str(tmp_path / "ckpt3"), k=6
+        )
+    with pytest.raises(ValueError, match=r"\(k, fingerprint\)"):
+        span_dedup_stream_sink(
+            src, reg, str(tmp_path / "out"), str(tmp_path / "ckpt4"),
+            k=4, fingerprint="text",
+        )
