@@ -115,6 +115,8 @@ HEADLINE = [
     "trigram_lm_surprisal",
     "url_blocklist_filter",
     "bloom_sharded_gram_novelty",
+    "ccnet_perplexity_buckets",
+    "domain_quota_cap",
 ]
 
 

@@ -293,3 +293,148 @@ def bloom_sharded_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_novel"),
     )
+
+
+# ------------------------------------------- CCNet perplexity buckets
+# CCNet's final device: split the corpus into head/middle/tail by LM
+# perplexity (Wenzek et al. 2020 §4.3 — downstream recipes train on
+# head, sample middle, drop tail). Faithful to the paper's PROCEDURE:
+# the cutoffs are computed once on a SAMPLE (CCNet publishes per-
+# language cutoff files computed this way) and every document is
+# bucketed by comparing its score against the two broadcast cutoff
+# tuples — embarrassingly parallel, no global window (a corpus-wide
+# ntile would serialize every doc-level score through one task).
+# Cutoffs = the ceil(m/3)-th and ceil(2m/3)-th smallest (score, id)
+# tuples of the deterministic 10% hash sample (doc_id % 10 == 0);
+# ties break on doc_id, so the split is total-ordered and
+# engine-identical.
+_PPL_BUCKETS_SQL = (
+    "WITH scored AS (" + _TRIGRAM_SQL + "),\n"
+    """
+    samp AS (SELECT mean_surprisal AS s, doc_id AS i FROM scored
+             WHERE doc_id % 10 = 0),
+    m AS (SELECT count(*) AS m FROM samp),
+    cut1 AS (
+      SELECT s, i FROM samp ORDER BY s, i
+      LIMIT 1 OFFSET (SELECT CAST(ceil(m / 3.0) AS BIGINT) - 1 FROM m)),
+    cut2 AS (
+      SELECT s, i FROM samp ORDER BY s, i
+      LIMIT 1 OFFSET (SELECT CAST(ceil(2 * m / 3.0) AS BIGINT) - 1 FROM m))
+    SELECT d.doc_id, d.source, d.mean_surprisal,
+           CAST(CASE
+             WHEN d.mean_surprisal < c1.s
+                  OR (d.mean_surprisal = c1.s AND d.doc_id <= c1.i) THEN 1
+             WHEN d.mean_surprisal < c2.s
+                  OR (d.mean_surprisal = c2.s AND d.doc_id <= c2.i) THEN 2
+             ELSE 3 END AS BIGINT) AS ppl_bucket
+    FROM scored d CROSS JOIN cut1 c1 CROSS JOIN cut2 c2
+    """
+)
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    _PPL_BUCKETS_SQL,
+    doc="CCNet head/middle/tail corpus split by trigram-LM surprisal, "
+    "the paper's actual procedure: two cutoff tuples computed once on "
+    "a deterministic 10% hash sample (the published per-language "
+    "cutoff files are built this way), then every document bucketed by "
+    "lexicographic (score, id) comparison against the broadcast "
+    "cutoffs — embarrassingly parallel assignment, no corpus-wide "
+    "window (a global ntile would serialize every doc score through "
+    "one task); head = most fluent, the slice CCNet recipes train on",
+    survey="LLM curation: perplexity bucketing (CCNet head/middle/tail split)",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = trigram_lm_surprisal(spark, sf_dir)
+    samp = scored.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("mean_surprisal").alias("s"), F.col("doc_id").alias("i")
+    )
+    m = samp.count()
+    if m == 0:
+        raise ValueError("ccnet_perplexity_buckets: empty cutoff sample")
+
+    def _cut(pos: int):
+        # pos-th smallest (s, i) tuple of the bounded sample (1-based)
+        return (
+            samp.orderBy("s", "i")
+            .limit(pos)
+            .agg(F.max(F.struct("s", "i")).alias("c"))
+            .select(F.col("c.s").alias("s"), F.col("c.i").alias("i"))
+        )
+
+    c1 = _cut(-(-m // 3)).select(
+        F.col("s").alias("c1s"), F.col("i").alias("c1i")
+    )
+    c2 = _cut(-(-2 * m // 3)).select(
+        F.col("s").alias("c2s"), F.col("i").alias("c2i")
+    )
+    below = lambda s, i, cs, ci: (F.col(s) < F.col(cs)) | (  # noqa: E731
+        (F.col(s) == F.col(cs)) & (F.col(i) <= F.col(ci))
+    )
+    return (
+        scored.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .select(
+            "doc_id",
+            "source",
+            "mean_surprisal",
+            F.when(below("mean_surprisal", "doc_id", "c1s", "c1i"), F.lit(1))
+            .when(below("mean_surprisal", "doc_id", "c2s", "c2i"), F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("long")
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+# ------------------------------------------------ per-domain quota cap
+# RefinedWeb/C4-style host capping: no single domain may contribute
+# more than N documents (boilerplate-heavy hosts otherwise dominate a
+# crawl slice). Deterministic admission: lowest doc_ids win. One
+# domain-keyed window — at corpus scale this hash-partitions by host,
+# the same key the crawl is naturally grouped by.
+_DOMAIN_QUOTA_SQL = r"""
+    WITH dom AS (
+      SELECT doc_id, source, n_chars,
+             source || CASE WHEN doc_id % 5 = 0 THEN '.mirror.net'
+                            ELSE '.example.com' END AS domain
+      FROM documents),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+               AS rank_in_domain
+      FROM dom)
+    SELECT doc_id, source, n_chars, domain,
+           CAST(rank_in_domain AS BIGINT) AS rank_in_domain
+    FROM ranked WHERE rank_in_domain <= 15
+    """
+
+
+@query(
+    "domain_quota_cap",
+    _DOMAIN_QUOTA_SQL,
+    doc="per-domain document quota (RefinedWeb/C4 host-capping device): "
+    "keep at most 15 documents per domain, lowest doc_ids first — one "
+    "domain-keyed row_number window (hash-partitioned by host at "
+    "scale, no broadcast, no second pass); prevents boilerplate-heavy "
+    "hosts from dominating a crawl slice",
+    survey="LLM curation: per-domain quota cap (RefinedWeb host balance)",
+)
+def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    dom = docs.withColumn(
+        "domain",
+        F.concat(
+            F.col("source"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(".mirror.net")).otherwise(
+                F.lit(".example.com")
+            ),
+        ),
+    )
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    return (
+        dom.withColumn("rank_in_domain", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_domain") <= 15)
+    )
