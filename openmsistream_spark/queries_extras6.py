@@ -316,10 +316,10 @@ _PPL_BUCKETS_SQL = (
     m AS (SELECT count(*) AS m FROM samp),
     cut1 AS (
       SELECT s, i FROM samp ORDER BY s, i
-      LIMIT 1 OFFSET (SELECT CAST(ceil(m / 3.0) AS BIGINT) - 1 FROM m)),
+      LIMIT 1 OFFSET (SELECT greatest(CAST(ceil(m / 3.0) AS BIGINT) - 1, 0) FROM m)),
     cut2 AS (
       SELECT s, i FROM samp ORDER BY s, i
-      LIMIT 1 OFFSET (SELECT CAST(ceil(2 * m / 3.0) AS BIGINT) - 1 FROM m))
+      LIMIT 1 OFFSET (SELECT greatest(CAST(ceil(2 * m / 3.0) AS BIGINT) - 1, 0) FROM m))
     SELECT d.doc_id, d.source, d.mean_surprisal,
            CAST(CASE
              WHEN d.mean_surprisal < c1.s
@@ -346,13 +346,21 @@ _PPL_BUCKETS_SQL = (
     survey="LLM curation: perplexity bucketing (CCNet head/middle/tail split)",
 )
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = trigram_lm_surprisal(spark, sf_dir)
+    # persist: the trigram pipeline is the expensive subtree and feeds
+    # FOUR jobs here (sample count, two cutoff probes, final scan) —
+    # the repo's reused-expensive-frame convention
+    scored = trigram_lm_surprisal(spark, sf_dir).persist()
     samp = scored.filter(F.col("doc_id") % 10 == 0).select(
         F.col("mean_surprisal").alias("s"), F.col("doc_id").alias("i")
     )
     m = samp.count()
     if m == 0:
-        raise ValueError("ccnet_perplexity_buckets: empty cutoff sample")
+        # oracle parity: the SQL's empty-sample CROSS JOIN yields zero
+        # rows — return the same empty frame, not an exception
+        return scored.select(
+            "doc_id", "source", "mean_surprisal",
+            F.lit(None).cast("long").alias("ppl_bucket"),
+        ).limit(0)
 
     def _cut(pos: int):
         # pos-th smallest (s, i) tuple of the bounded sample (1-based)

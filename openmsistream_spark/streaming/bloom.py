@@ -86,21 +86,25 @@ def batch_positions(
     )
 
 
-def _params_guard(pos_registry, n: int, m_bits: int, k: int) -> None:
+def _params_guard(pos_registry, n: int, m_bits: int, k: int):
     """Persist (n, m_bits, k) beside the position ledger and refuse a
     restart under DIFFERENT parameters: a smaller ``m_bits`` silently
     corrupts novelty verdicts (stale high positions alias into the
     smaller mask), a larger one fails opaquely inside the executor-side
     mask build, and a different ``n``/``k`` changes what a position
     MEANS. Shared write-once/validate-always sidecar discipline
-    (``streaming/params_guard.py`` — the HLL/CMS sinks use it too)."""
-    from .params_guard import ensure_sidecar_params
+    (``streaming/params_guard.py`` — the HLL/CMS sinks use it too).
+    Returns the per-batch guard closure — the sink calls it at the top
+    of every ``_write`` to close the build-to-first-batch race."""
+    from .params_guard import sidecar_batch_guard
 
-    ensure_sidecar_params(
+    guard = sidecar_batch_guard(
         pos_registry,
         {"n": n, "m_bits": m_bits, "k": k},
         "bloom_novelty_stream_sink",
     )
+    guard()  # fail fast at build; re-checked per batch (race window)
+    return guard
 
 
 def bloom_novelty_stream_sink(
@@ -127,9 +131,10 @@ def bloom_novelty_stream_sink(
     ledger positions are only meaningful under the (n, m_bits, k) that
     wrote them. Returns the configured ``DataStreamWriter`` — caller
     picks the trigger and calls ``.start()``."""
-    _params_guard(pos_registry, n, m_bits, k)
+    _guard = _params_guard(pos_registry, n, m_bits, k)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        _guard()
         ledger = pos_registry.read()
         out = batch_novelty_against_ledger(
             batch_df,

@@ -89,12 +89,16 @@ def hll_distinct_stream_sink(
     a different bucket space, and max-merging across them silently
     estimates nonsense. Returns the configured ``DataStreamWriter`` —
     caller picks the trigger and calls ``.start()``."""
-    from .params_guard import ensure_sidecar_params
+    from .params_guard import sidecar_batch_guard
 
-    ensure_sidecar_params(register_registry, {"p": p}, "hll_distinct_stream_sink")
+    _guard = sidecar_batch_guard(
+        register_registry, {"p": p}, "hll_distinct_stream_sink"
+    )
+    _guard()  # fail fast at build; re-checked per batch (race window)
     gcols = list(group_cols)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        _guard()
         regs = hll_registers(batch_df, key_col, gcols, p)
         merged = merge_registers(register_registry.read(), regs, gcols)
         # materialize before replace(): the merge plan reads the ledger
@@ -149,11 +153,13 @@ def cms_stream_sink(
     and validated on restart (``streaming/params_guard.py``) — deltas
     from a different geometry alias into the wrong counters. Returns
     the configured ``DataStreamWriter``."""
-    from .params_guard import ensure_sidecar_params
+    from .params_guard import sidecar_batch_guard
 
-    ensure_sidecar_params(delta_registry, {"d": d, "w": w}, "cms_stream_sink")
+    _guard = sidecar_batch_guard(delta_registry, {"d": d, "w": w}, "cms_stream_sink")
+    _guard()  # fail fast at build; re-checked per batch (race window)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        _guard()
         delta = cms_counters(
             batch_df, key_col, d=d, w=w, weight_col=weight_col
         ).withColumn("batch", F.lit(int(batch_id)).cast("long"))

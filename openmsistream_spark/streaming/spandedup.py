@@ -150,15 +150,17 @@ def span_dedup_stream_sink(
     meaningful under the k-gram length and fingerprint mode that wrote
     them. Returns the configured ``DataStreamWriter`` — caller picks
     the trigger and calls ``.start()``."""
-    from .params_guard import ensure_sidecar_params
+    from .params_guard import sidecar_batch_guard
 
-    ensure_sidecar_params(
+    _guard = sidecar_batch_guard(
         gram_registry,
         {"k": k, "fingerprint": fingerprint},
         "span_dedup_stream_sink",
     )
+    _guard()  # fail fast at build; re-checked per batch (race window)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        _guard()
         ledger = gram_registry.read()
         excised = excise_batch_against_ledger(
             batch_df,

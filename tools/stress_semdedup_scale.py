@@ -100,9 +100,15 @@ def run_scale(spark, mult: int, scratch: str) -> dict:
     survivors = semdedup_prune(emb, pairs=pairs)
     n_surv = survivors.count()
     wall = round(time.perf_counter() - t0, 2)
+    # sample the counters BEFORE the census: the census re-runs a full
+    # corpus assignment, and including it would overstate the measured
+    # pipeline's shuffle/heap while wall excludes it (round-11 review)
+    after = rest_totals(spark)
+    heap1 = jvm_heap_used_mb(spark)
     pairs.unpersist()
 
-    # island census off the SAME assignment the pipeline used
+    # island census off the SAME assignment the pipeline used —
+    # diagnostic only, outside every measured bound
     from openmsistream_spark.llm.semdedup import _assigned_normed
 
     sizes = (
@@ -116,8 +122,6 @@ def run_scale(spark, mult: int, scratch: str) -> dict:
         )
         .collect()[0]
     )
-    after = rest_totals(spark)
-    heap1 = jvm_heap_used_mb(spark)
     # planted copies must be deduped away (each partner has the lower
     # id); allow a whisker for pairs k-means splits across a cluster
     # boundary — SemDeDup's documented recall trade, not a defect
