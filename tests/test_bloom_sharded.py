@@ -150,3 +150,30 @@ def test_broadcast_path_feasible_at_m_2_27(spark):
     assert t_build < 60, t_build
     assert t_probe < 60, t_probe
     print(f"m=2^27 build {t_build:.2f}s probe {t_probe:.2f}s")
+
+
+def test_mask_table_persists_and_reloads(spark, tmp_path):
+    """The advertised workflow: build once, persist the (shard, mask)
+    table as parquet, reload in a later session/run and probe — the
+    reloaded masks must give bit-identical verdicts (and the binary
+    column must survive the parquet round trip intact)."""
+    build_keys = [f"seen{i}" for i in range(300)]
+    build = spark.createDataFrame([(k,) for k in build_keys], "k string")
+    path = str(tmp_path / "masks")
+    bloom_build_sharded(build, "k", M, K, S).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    probes = spark.createDataFrame(
+        [(k,) for k in build_keys + [f"new{i}" for i in range(300)]], "k string"
+    )
+    direct = {
+        r["k"]: r["maybe_seen"]
+        for r in bloom_mark_sharded(
+            probes, "k", bloom_build_sharded(build, "k", M, K, S), M, K, S
+        ).collect()
+    }
+    from_disk = {
+        r["k"]: r["maybe_seen"]
+        for r in bloom_mark_sharded(probes, "k", reloaded, M, K, S).collect()
+    }
+    assert from_disk == direct
+    assert all(from_disk[k] for k in build_keys)
