@@ -9,6 +9,7 @@ itself lives in ``openmsistream_spark.queries``.
 from __future__ import annotations
 
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -362,20 +363,27 @@ def _bench_cost() -> dict[str, float]:
     # stdout tail only holds a trimmed line), but it can be STALE: a
     # read-only checkout skips writing it while the driver still lands
     # a fresh BENCH_r*.json. Order by file mtime so whichever record is
-    # actually newest wins, round number or not (round files fall back
-    # to name order on mtime ties, e.g. a fresh clone).
+    # actually newest wins; on mtime TIES (a fresh clone/checkout
+    # equalizes every mtime) the round number breaks the tie, with
+    # BENCH_LOCAL.json ranked BELOW every round file — a committed
+    # local record must never shadow a driver round on equal mtimes.
     paths = sorted(glob.glob(os.path.join(_HERE, "BENCH_r*.json")))
     local = os.path.join(_HERE, "BENCH_LOCAL.json")
     if os.path.exists(local):
         paths.append(local)
 
-    def _mtime(p: str) -> float:
-        try:
-            return os.path.getmtime(p)
-        except OSError:
-            return 0.0
+    def _round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1  # BENCH_LOCAL loses ties
 
-    paths.sort(key=_mtime)
+    def _sort_key(p: str):
+        try:
+            mtime = os.path.getmtime(p)
+        except OSError:
+            mtime = 0.0
+        return (mtime, _round_no(p))
+
+    paths.sort(key=_sort_key)
     for path in paths:
         try:
             with open(path) as f:

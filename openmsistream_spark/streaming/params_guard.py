@@ -50,9 +50,25 @@ def ensure_sidecar_params(
             f"{n} {'string' if isinstance(params[n], str) else 'long'}"
             for n in names
         )
+        # staged write + atomic rename (the ParquetRegistry._overwrite
+        # discipline): a reader racing this overwrite must see the old
+        # sidecar or the new one, never a half-written directory — the
+        # "unreadable sidecar next to a live ledger" refusal is reserved
+        # for real corruption, not for losing a race
+        import uuid
+
+        staging = f"{params_path}.staging-{uuid.uuid4().hex[:8]}"
         spark.createDataFrame([want], schema).write.mode("overwrite").parquet(
-            params_path
+            staging
         )
+        if registry.fs.exists(params_path):
+            registry.fs.delete(params_path)
+        if not registry.fs.rename(staging, params_path):
+            registry.fs.delete(staging)
+            raise IOError(
+                f"{sink_name}: could not swap staged _params sidecar into "
+                f"{params_path}"
+            )
         return
     if not registry.fs.exists(params_path):
         raise ValueError(
