@@ -308,3 +308,44 @@ def test_collocation_vocab_broadcasts_and_caps_pairs(spark):
     rows = out.collect()
     assert rows and all(r.n_ab >= 5 and r.lift > 0 for r in rows)
     assert all(r.token_a < r.token_b for r in rows)  # unordered pair once
+
+
+def test_ccnet_buckets_lazy_and_bounded(spark):
+    """Round-12 contract for ccnet_perplexity_buckets: (a) building the
+    catalog entry runs ZERO Spark jobs (the r11 advisory — cutoffs are
+    lazy scalar-subquery crossJoins, not driver counts), and (b) the
+    cutoff sample is bounded: with n <= CCNET_SAMPLE_CAP the denominator
+    is 1 (all docs sampled) and buckets split the corpus ~in thirds."""
+    from openmsistream_spark.queries_extras6 import (
+        CCNET_SAMPLE_CAP,
+        ccnet_perplexity_buckets,
+        trigram_lm_surprisal,
+    )
+
+    sc = spark.sparkContext
+    # spark.read.parquet itself runs one schema-inference job per call,
+    # so "lazy" means: building ccnet runs no MORE jobs than building
+    # its trigram input alone (the eager r11 version added a sample
+    # count() + persist materialization on top)
+    sc.setJobGroup("trigram-probe", "")
+    trigram_lm_surprisal(spark, SF)
+    base_jobs = len(sc.statusTracker().getJobIdsForGroup("trigram-probe"))
+    sc.setJobGroup("ccnet-lazy-probe", "construction must be lazy")
+    try:
+        df = ccnet_perplexity_buckets(spark, SF)
+        jobs = sc.statusTracker().getJobIdsForGroup("ccnet-lazy-probe")
+        assert len(jobs) <= base_jobs, (
+            f"construction ran {len(jobs)} jobs vs {base_jobs} for the "
+            f"bare trigram build — something upstream turned eager"
+        )
+    finally:
+        sc.setJobGroup("", "")
+    counts = {r.ppl_bucket: r.n for r in
+              df.groupBy("ppl_bucket").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert set(counts) == {1, 2, 3} and n > 0
+    # sf0.001 has fewer docs than the cap -> denominator 1, the sample
+    # IS the corpus, so the (score, id)-ordered thirds are exact
+    assert n <= CCNET_SAMPLE_CAP
+    assert counts[1] == -(-n // 3)  # ceil(n/3) docs at/below cutoff 1
+    assert counts[1] + counts[2] == -(-2 * n // 3)
