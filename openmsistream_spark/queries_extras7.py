@@ -1,0 +1,424 @@
+"""Round-12 catalog additions, registered OUT-OF-BAND.
+
+Same discipline as ``queries_extras*.py``: imported directly by the
+catalog entry points (``__spark_entry__.py``, ``bench.py``,
+``tests/conftest.py``), never from ``queries.py``, so landing new
+queries does not dirty the source closure of already-verified entries.
+
+Content — the raw-crawl FRONT half the r11 verdict named as the one
+structural gap, plus Dolma's paragraph-level dedup composition:
+
+- ``html_extract_main``: jusText/trafilatura-class main-content
+  extraction (``llm/extract.py``) run over deterministic synthetic HTML
+  framed around each document (the ``multimodal_pgm_decode``
+  convention: synthesize real inputs from the corpus so the REAL
+  operator runs, and the oracle re-implements the whole pipeline —
+  synthesis AND extraction — independently in SQL).
+- ``unicode_normalize_docs``: ftfy-class encoding repair (mojibake
+  inverse table, control strip, NFC composition, whitespace collapse)
+  over deterministically corrupted text; DuckDB's ``nfc_normalize``
+  anchors the one step Spark expresses as an Arrow stage.
+- ``paragraph_novelty_dedup``: Dolma's ¶-level dedup — explode docs
+  into ordered token-run paragraphs, drop paragraphs whose bloom
+  membership says "possibly already in the reference corpus", and
+  re-assemble the survivors in order. Bloom verdicts are deterministic
+  md5 arithmetic, mirrored exactly by the oracle (the
+  ``bloom_gram_novelty`` convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .llm.extract import (
+    _BLOCK_RX,
+    _ENTITIES,
+    _LINK_RX,
+    _NOISE_RX,
+    DEFAULT_MAX_LINK_DENSITY,
+    DEFAULT_MIN_TEXT_LEN,
+    MOJIBAKE,
+    SEG_SEP,
+    extract_main_content,
+    normalize_text,
+    paragraphs,
+)
+from .queries import load, query
+
+# ------------------------------------------------------------ helpers
+# SQL-expression builders that derive the oracle text from the SAME
+# module constants the Spark operators compile in, so the two sides
+# cannot drift.
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB expression reconstructing ``s``: printable-ASCII runs
+    as quoted literals, everything else as chr() concats (control and
+    non-ASCII chars must not appear raw in the SQL text)."""
+    parts: list[str] = []
+    run = ""
+
+    def flush():
+        nonlocal run
+        if run:
+            parts.append("'" + run.replace("'", "''") + "'")
+            run = ""
+
+    for ch in s:
+        if 0x20 <= ord(ch) < 0x7F:
+            run += ch
+        else:
+            flush()
+            parts.append(f"chr({ord(ch)})")
+    flush()
+    return " || ".join(parts) if parts else "''"
+
+
+def _sql_clean(expr: str) -> str:
+    """DuckDB mirror of ``extract.clean_block_text``: strip inline
+    tags, decode entities in table order, collapse whitespace, trim."""
+    s = f"regexp_replace({expr}, '<[^>]*>', '', 'g')"
+    for ent, ch in _ENTITIES:
+        s = f"replace({s}, '{ent}', {_sql_str(ch)})"
+    return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
+
+
+def _sql_moji(expr: str) -> str:
+    """DuckDB mirror of ``extract.repair_mojibake`` (same table, same
+    order)."""
+    for bad, good in MOJIBAKE:
+        expr = f"replace({expr}, {_sql_str(bad)}, {_sql_str(good)})"
+    return expr
+
+
+# ----------------------------------------------- html_extract_main
+
+# Deterministic page framing around each document: boilerplate chrome
+# (title/nav/related/footer — link-dense or short), noise subtrees
+# (style/script/comment, the script holding a literal '<'), and the
+# document's text as 100-char <p> paragraphs plus one entity-bearing
+# paragraph. All pieces are plain string arithmetic over (doc_id,
+# source, text), so the oracle rebuilds the page byte-identically.
+_PARA_CHARS = 100
+
+_H_TITLE1 = '<html><head><title>'
+_H_TITLE2 = ' docs</title>'
+_H_NOISE1 = (
+    '<style>p { margin: 0; }</style>'
+    '<script type="text/javascript">var d='
+)
+_H_NOISE2 = '; if (d < 99999) { d = d + 1; }</script></head><body>'
+_H_NAV1 = '<nav><a href="/">Home</a> <a href="/s/'
+_H_NAV2 = '">'
+_H_NAV3 = '</a> <a href="/about">About</a></nav>'
+_H_ENT1 = '<p>terms &amp; conditions apply to '
+_H_ENT2 = ' users worldwide</p>'
+_H_REL1 = '<div class="related"><a href="/r/1">'
+_H_REL2 = ' related one</a> <a href="/r/2">'
+_H_REL3 = ' related two</a></div>'
+_H_CMT1 = '<!-- hidden <p>tracking boilerplate</p> for '
+_H_CMT2 = ' -->'
+_H_FOOT1 = '<footer>(c) 2024 '
+_H_FOOT2 = ' <a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>'
+
+
+def _synth_html_spark() -> F.Column:
+    paras = F.expr(
+        f"transform(sequence(1, int(ceil(length(text) / {_PARA_CHARS}.0))), "
+        f"k -> concat('<p>', substring(text, (k-1)*{_PARA_CHARS} + 1, "
+        f"{_PARA_CHARS}), '</p>'))"
+    )
+    return F.concat(
+        F.lit(_H_TITLE1), F.col("source"), F.lit(_H_TITLE2),
+        F.lit(_H_NOISE1), F.col("doc_id").cast("string"), F.lit(_H_NOISE2),
+        F.lit(_H_NAV1), F.col("source"), F.lit(_H_NAV2), F.col("source"),
+        F.lit(_H_NAV3),
+        F.array_join(paras, ""),
+        F.lit(_H_ENT1), F.col("source"), F.lit(_H_ENT2),
+        F.lit(_H_REL1), F.col("source"), F.lit(_H_REL2), F.col("source"),
+        F.lit(_H_REL3),
+        F.lit(_H_CMT1), F.col("source"), F.lit(_H_CMT2),
+        F.lit(_H_FOOT1), F.col("source"), F.lit(_H_FOOT2),
+    )
+
+
+_SYNTH_HTML_SQL = (
+    f"{_sql_str(_H_TITLE1)} || source || {_sql_str(_H_TITLE2)}"
+    f" || {_sql_str(_H_NOISE1)} || CAST(doc_id AS VARCHAR) || {_sql_str(_H_NOISE2)}"
+    f" || {_sql_str(_H_NAV1)} || source || {_sql_str(_H_NAV2)} || source"
+    f" || {_sql_str(_H_NAV3)}"
+    f" || array_to_string(list_transform("
+    f"range(1, CAST(ceil(length(text) / {_PARA_CHARS}.0) AS BIGINT) + 1),"
+    f" k -> '<p>' || substr(text, CAST((k-1)*{_PARA_CHARS} + 1 AS BIGINT),"
+    f" {_PARA_CHARS}) || '</p>'), '')"
+    f" || {_sql_str(_H_ENT1)} || source || {_sql_str(_H_ENT2)}"
+    f" || {_sql_str(_H_REL1)} || source || {_sql_str(_H_REL2)} || source"
+    f" || {_sql_str(_H_REL3)}"
+    f" || {_sql_str(_H_CMT1)} || source || {_sql_str(_H_CMT2)}"
+    f" || {_sql_str(_H_FOOT1)} || source || {_sql_str(_H_FOOT2)}"
+)
+
+_HTML_SQL = rf"""
+    WITH syn AS (
+      SELECT doc_id, source, {_SYNTH_HTML_SQL} AS html
+      FROM documents
+      WHERE NOT regexp_matches(text, '[<>&]')),
+    seglist AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(
+               regexp_replace(html, '{_NOISE_RX}', ' ', 'g'),
+               '{_BLOCK_RX}', chr(31), 'g'), chr(31)) AS segs
+      FROM syn),
+    segrows AS (
+      SELECT doc_id, source, unnest(segs) AS seg,
+             generate_subscripts(segs, 1) AS i
+      FROM seglist),
+    feat AS (
+      SELECT doc_id, source, i,
+             {_sql_clean('seg')} AS t,
+             coalesce(list_sum(list_transform(
+               regexp_extract_all(seg, '{_LINK_RX}', 1),
+               x -> length({_sql_clean('x')}))), 0) AS lc
+      FROM segrows)
+    SELECT doc_id, source,
+           CAST(count(*) FILTER (WHERE length(t) > 0) AS BIGINT) AS n_blocks,
+           CAST(count(*) FILTER (WHERE length(t) >= {DEFAULT_MIN_TEXT_LEN}
+                 AND lc <= {DEFAULT_MAX_LINK_DENSITY} * length(t)) AS BIGINT)
+             AS n_kept,
+           CAST(coalesce(length(string_agg(t, chr(10) ORDER BY i)
+                 FILTER (WHERE length(t) >= {DEFAULT_MIN_TEXT_LEN}
+                         AND lc <= {DEFAULT_MAX_LINK_DENSITY} * length(t))), 0)
+             AS BIGINT) AS n_chars_main,
+           md5(coalesce(string_agg(t, chr(10) ORDER BY i)
+                 FILTER (WHERE length(t) >= {DEFAULT_MIN_TEXT_LEN}
+                         AND lc <= {DEFAULT_MAX_LINK_DENSITY} * length(t)), ''))
+             AS main_md5
+    FROM feat
+    GROUP BY doc_id, source
+    """
+
+
+@query(
+    "html_extract_main",
+    _HTML_SQL,
+    doc="HTML->text main-content extraction (jusText/trafilatura-class "
+    "block text/link-density classification) over deterministic "
+    "synthetic pages framed around each document: script/style/comment "
+    "subtrees removed (the script holds a literal '<'), the page split "
+    "on block tags, each block cleaned (inline tags, entities, "
+    "whitespace) in codegen, and blocks kept iff long enough and "
+    "link-sparse enough — title and nav fail min-length, the related "
+    "and footer blocks fail link density, body paragraphs survive. "
+    "Entirely per-row higher-order column expressions: zero shuffle, "
+    "zero Python; the oracle re-implements synthesis AND extraction "
+    "independently in SQL",
+    survey="LLM text analysis: HTML->text main-content extraction "
+    "(raw-crawl front half, round-12)",
+)
+def html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        ~F.col("text").rlike("[<>&]")
+    )
+    pages = docs.select(
+        "doc_id", "source", _synth_html_spark().alias("html")
+    )
+    out = extract_main_content(pages, "html")
+    return out.select(
+        "doc_id",
+        "source",
+        "n_blocks",
+        "n_kept",
+        F.length("main_text").cast("long").alias("n_chars_main"),
+        F.md5(F.col("main_text").cast("binary")).alias("main_md5"),
+    )
+
+
+# ------------------------------------------- unicode_normalize_docs
+
+# Deterministic corruption variants appended to each document's 40-char
+# prefix; every corrupted char is drawn from the repair table /
+# normalize contract so the pipeline visibly fixes something in 3 of 4
+# variants: 0 = cp1252 mojibake, 1 = decomposed NFD pair, 2 = control
+# chars, 3 = already clean.
+_U_SUFFIXES = [
+    " caf" + MOJIBAKE[6][0] + " says " + MOJIBAKE[1][0] + "hi" + MOJIBAKE[2][0] + " ok",
+    " caf" + "e\u0301" + " latte",  # NFD pair -> NFC composes
+    " x" + "\u0007\u001b\u007f" + "y end",  # bell/esc/DEL stripped
+    " plain tail text",
+]
+
+_UNICODE_SQL = rf"""
+    WITH raw AS (
+      SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS variant,
+             substr(text, 1, 40) || CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN {_sql_str(_U_SUFFIXES[0])}
+               WHEN 1 THEN {_sql_str(_U_SUFFIXES[1])}
+               WHEN 2 THEN {_sql_str(_U_SUFFIXES[2])}
+               ELSE {_sql_str(_U_SUFFIXES[3])} END AS t
+      FROM documents),
+    norm AS (
+      SELECT doc_id, variant, t,
+             trim(regexp_replace(nfc_normalize(regexp_replace(
+               {_sql_moji('t')},
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g')),
+               '\s+', ' ', 'g')) AS tn
+      FROM raw)
+    SELECT doc_id, variant,
+           CAST(length(t) AS BIGINT) AS n_chars_raw,
+           CAST(length(tn) AS BIGINT) AS n_chars_norm,
+           md5(tn) AS norm_md5
+    FROM norm
+    """
+
+
+@query(
+    "unicode_normalize_docs",
+    _UNICODE_SQL,
+    doc="unicode normalization / encoding repair (ftfy-class basics in "
+    "a fixed order: cp1252-mojibake inverse table, control-char strip, "
+    "NFC composition, whitespace collapse) over deterministically "
+    "corrupted text — mojibake quotes/accents repaired, decomposed "
+    "e+combining-acute composed to one code point, bell/escape/DEL "
+    "stripped. Repair table and control class are codegen literal "
+    "replaces; NFC is the one Arrow stage (Spark has no ICU builtin; "
+    "DuckDB's nfc_normalize anchors the oracle). Row-local, zero "
+    "shuffle",
+    survey="LLM text analysis: unicode normalization / encoding repair "
+    "(raw-crawl front half, round-12)",
+)
+def unicode_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 4).cast("int")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.when(m == 0, F.lit(_U_SUFFIXES[0]))
+        .when(m == 1, F.lit(_U_SUFFIXES[1]))
+        .when(m == 2, F.lit(_U_SUFFIXES[2]))
+        .otherwise(F.lit(_U_SUFFIXES[3])),
+    )
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("long").alias("variant"),
+        raw.alias("t"),
+    )
+    out = normalize_text(base, "t", out_col="tn")
+    return out.select(
+        "doc_id",
+        "variant",
+        F.length("t").cast("long").alias("n_chars_raw"),
+        F.length("tn").cast("long").alias("n_chars_norm"),
+        F.md5(F.col("tn").cast("binary")).alias("norm_md5"),
+    )
+
+
+# ---------------------------------------- paragraph_novelty_dedup
+
+# Dolma's ¶-level device composed from existing operators: paragraphs
+# (llm/extract.py) -> md5-16 keys -> bloom membership vs the reference
+# corpus (src0) -> survivors re-assembled in order. Same mask geometry
+# as bloom_gram_novelty (2^20 bits, 4 probes); the sharded-bloom twin
+# (llm/bloom_sharded.py) drops in for reference sets past the
+# broadcast regime.
+_PARA_TOKENS = 4
+_PARA_M_BITS = 1 << 20
+_PARA_K = 4
+
+_PARA_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents),
+    paras AS (
+      SELECT doc_id, source, i,
+             array_to_string(ws[(i-1)*{_PARA_TOKENS}+1 : i*{_PARA_TOKENS}], ' ')
+               AS para
+      FROM (SELECT doc_id, source, ws,
+                   unnest(range(1, CAST(ceil(len(ws) / {_PARA_TOKENS}.0)
+                                        AS BIGINT) + 1)) AS i
+            FROM toks WHERE len(ws) >= 1) t),
+    keyed AS (
+      SELECT doc_id, source, i, para, substr(md5(para), 1, 16) AS k
+      FROM paras),
+    pos AS (
+      SELECT doc_id, source, i, para,
+             ('0x' || substr(md5(k || '#' || CAST(s.j AS VARCHAR)), 1, 15))::UBIGINT
+               % {_PARA_M_BITS} AS pos
+      FROM keyed CROSS JOIN (SELECT unnest(range({_PARA_K})) AS j) s),
+    build AS (SELECT DISTINCT pos FROM pos WHERE source = 'src0'),
+    marked AS (
+      SELECT p.doc_id, p.i, p.para,
+             bool_and(b.pos IS NOT NULL) AS maybe_seen
+      FROM pos p LEFT JOIN build b ON b.pos = p.pos
+      WHERE p.source <> 'src0'
+      GROUP BY 1, 2, 3)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) FILTER (WHERE NOT maybe_seen) AS BIGINT) AS n_kept,
+           CAST(coalesce(length(string_agg(para, chr(10) ORDER BY i)
+                 FILTER (WHERE NOT maybe_seen)), 0) AS BIGINT) AS n_chars_kept,
+           md5(coalesce(string_agg(para, chr(10) ORDER BY i)
+                 FILTER (WHERE NOT maybe_seen), '')) AS kept_md5
+    FROM marked
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "paragraph_novelty_dedup",
+    _PARA_SQL,
+    doc="paragraph-level dedup (Dolma's device): documents explode into "
+    "ordered non-overlapping token-run paragraphs row-locally, the "
+    "reference corpus (src0) collapses to a broadcast 2^20-bit bloom "
+    "mask, every probe paragraph answers membership locally (Arrow "
+    "stage vs the broadcast mask — zero probe-side shuffle), and each "
+    "document re-assembles its definitely-novel paragraphs in order "
+    "with ONE doc-keyed aggregate. Bloom verdicts (false positives "
+    "included) are deterministic md5 arithmetic mirrored exactly by "
+    "the oracle; the sharded-bloom twin covers reference sets past "
+    "the broadcast regime",
+    survey="LLM dedup: paragraph-level bloom dedup + reassembly "
+    "(Dolma composition, round-12)",
+)
+def paragraph_novelty_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.bloom import bloom_build, bloom_mark
+
+    docs = load(spark, sf_dir, "documents")
+    paras = paragraphs(docs, tokens_per_para=_PARA_TOKENS).withColumn(
+        "k", F.substring(F.md5(F.col("para").cast("binary")), 1, 16)
+    )
+    bloom = bloom_build(
+        paras.filter(F.col("source") == "src0").select("k"),
+        "k",
+        m_bits=_PARA_M_BITS,
+        k=_PARA_K,
+    )
+    marked = bloom_mark(
+        paras.filter(F.col("source") != "src0"), "k", bloom
+    )
+    kept_struct = F.when(
+        ~F.col("maybe_seen"), F.struct("para_idx", "para")
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+        ),
+        "\n",
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("maybe_seen"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_kept"),
+            kept_text.alias("_kt"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_kept",
+            F.length("_kt").cast("long").alias("n_chars_kept"),
+            F.md5(F.col("_kt").cast("binary")).alias("kept_md5"),
+        )
+    )
