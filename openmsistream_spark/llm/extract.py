@@ -168,6 +168,62 @@ def extract_main_content(
     )
 
 
+# ---------------------------------------------------------- C4 lines
+
+# C4's published line/page rules (Raffel et al. 2020 §2.2): keep lines
+# ending in terminal punctuation with at least `min_words` words and no
+# banned token; drop whole pages containing a page-level marker.
+C4_TERMINAL_RX = r'[.!?"]$'
+C4_LINE_BANNED = ["javascript"]
+C4_PAGE_BANNED = ["lorem ipsum", "{"]
+C4_MIN_WORDS = 3
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "cleaned",
+    min_words: int = C4_MIN_WORDS,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4's rule-based line filter: split on newlines, keep lines that
+    end in terminal punctuation, have >= ``min_words`` whitespace words,
+    and carry no banned token (case-insensitive); DROP the whole page if
+    it contains a page-level marker ('lorem ipsum', '{') or fewer than
+    ``min_kept_lines`` surviving lines (C4 uses a 5-sentence page rule;
+    the knob lets short-document corpora keep the same shape).
+
+    Complements ``drop_boilerplate_lines`` (frequency-based): these are
+    the content-free rules that need no corpus statistics, so the whole
+    operator is per-row codegen (split + higher-order filter + rejoin),
+    zero shuffle at any corpus size. Adds ``out_col`` plus ``n_lines``
+    and ``n_kept``; pages that fail the page rules are filtered out.
+    """
+    page_lc = F.lower(F.col(text_col))
+    page_ok = ~F.lit(False)
+    for marker in C4_PAGE_BANNED:
+        page_ok = page_ok & ~page_lc.contains(marker.lower())
+    lines = F.split(F.col(text_col), "\n")
+
+    def _line_ok(ln: F.Column) -> F.Column:
+        t = F.trim(ln)
+        ok = t.rlike(C4_TERMINAL_RX) & (
+            F.size(F.split(t, r"\s+")) >= F.lit(min_words)
+        )
+        for tok in C4_LINE_BANNED:
+            ok = ok & ~F.lower(t).contains(tok.lower())
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    return (
+        df.filter(page_ok)
+        .withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept", F.size(kept).cast("long"))
+        .withColumn(out_col, F.array_join(F.transform(kept, F.trim), "\n"))
+        .filter(F.col("n_kept") >= F.lit(min_kept_lines))
+    )
+
+
 # --------------------------------------------------------- paragraphs
 
 

@@ -422,3 +422,99 @@ def paragraph_novelty_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("_kt").cast("binary")).alias("kept_md5"),
         )
     )
+
+
+# --------------------------------------------------- c4_line_filter
+
+# Planted multi-line structure (the boilerplate_line_dedup convention —
+# the corpus is single-line soup, so both sides frame the same lines):
+# a long terminal-punctuated line (kept), a 2-word line (dropped:
+# min-words), an unpunctuated slice (dropped: terminal rule), a
+# javascript line on every 7th doc (dropped: banned token), a constant
+# closing line (kept), and page-level lorem-ipsum / brace markers on
+# every 11th / 13th doc (whole page dropped).
+_C4_AUG_SPARK = None  # built inline below; SQL twin mirrors it
+
+
+def _c4_aug_col() -> F.Column:
+    return F.concat(
+        F.substring("text", 1, 60), F.lit(" one done.\nok.\n"),
+        F.substring("text", 61, 60), F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("please enable javascript today.\n"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("as seen in lorem ipsum pages.\n"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("config { a }\n")
+        ).otherwise(F.lit("")),
+        F.lit("the final line stands here!"),
+    )
+
+
+_C4_AUG_SQL = (
+    "substr(text, 1, 60) || ' one done.' || chr(10) || 'ok.' || chr(10)"
+    " || substr(text, 61, 60) || chr(10)"
+    " || CASE WHEN doc_id % 7 = 0"
+    "    THEN 'please enable javascript today.' || chr(10) ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0"
+    "    THEN 'as seen in lorem ipsum pages.' || chr(10) ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0"
+    "    THEN 'config { a }' || chr(10) ELSE '' END"
+    " || 'the final line stands here!'"
+)
+
+_C4_LINE_OK = (
+    r"regexp_matches(trim(x), '[.!?\x22]$')"
+    r" AND len(string_split_regex(trim(x), '\s+')) >= 3"
+    r" AND NOT contains(lower(trim(x)), 'javascript')"
+)
+
+_C4_SQL = rf"""
+    WITH aug AS (
+      SELECT doc_id, {_C4_AUG_SQL} AS t FROM documents),
+    pages AS (
+      SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+             list_filter(string_split(t, chr(10)), x -> {_C4_LINE_OK}) AS kept
+      FROM aug
+      WHERE NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(lower(t), '{{'))
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(array_to_string(list_transform(kept, x -> trim(x)), chr(10)))
+             AS cleaned_md5
+    FROM pages
+    WHERE len(kept) >= 1
+    """
+
+
+@query(
+    "c4_line_filter",
+    _C4_SQL,
+    doc="C4's rule-based line/page filter (Raffel et al. 2020 sec 2.2): "
+    "keep lines ending in terminal punctuation with >= 3 words and no "
+    "banned token; drop whole pages containing 'lorem ipsum' or a "
+    "brace — the content-free companion to the frequency-based "
+    "boilerplate_line_dedup, needing zero corpus statistics, so the "
+    "whole operator is per-row codegen (split + higher-order filter + "
+    "rejoin), zero shuffle at any corpus size; planted line variants "
+    "exercise every rule on both engines",
+    survey="LLM curation: C4 rule-based line filter (raw-crawl front "
+    "half, round-12)",
+)
+def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.extract import c4_line_filter
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _c4_aug_col().alias("t"))
+    out = c4_line_filter(aug, "t")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.col("cleaned").cast("binary")).alias("cleaned_md5"),
+    )

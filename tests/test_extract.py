@@ -143,3 +143,34 @@ def test_html_catalog_entry_plan_is_pure_codegen(spark):
     assert "BatchEvalPython" not in planu
     assert planu.count("ArrowEvalPython") == 1
     assert "Exchange" not in planu
+
+
+def test_c4_line_filter_rules(spark):
+    from openmsistream_spark.llm.extract import c4_line_filter
+
+    pages = [
+        # doc 1: one good line, one short, one unpunctuated, one banned
+        (1, "alpha beta gamma delta done.\nok.\nno terminal punct here\n"
+            "please enable javascript today.\nthe final line stands here!"),
+        # doc 2: page-level lorem ipsum marker -> whole page dropped
+        (2, "a perfectly fine long line here.\nas seen in lorem ipsum pages."),
+        # doc 3: brace marker -> dropped
+        (3, "another perfectly fine long line.\nconfig { a }"),
+        # doc 4: nothing survives the line rules -> dropped by min_kept
+        (4, "short.\nno punct line at all"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, t string")
+    out = {r.doc_id: r for r in c4_line_filter(df, "t").collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r.n_lines == 5 and r.n_kept == 2
+    assert r.cleaned == (
+        "alpha beta gamma delta done.\nthe final line stands here!"
+    )
+    # terminal quote counts as terminal punctuation
+    df2 = spark.createDataFrame(
+        [(9, 'he said "stop right there."\nshe said "why not now?"')],
+        "doc_id long, t string",
+    )
+    r2 = c4_line_filter(df2, "t").first()
+    assert r2.n_kept == 2
