@@ -118,6 +118,13 @@ HEADLINE = [
     "bloom_sharded_gram_novelty",
     "ccnet_perplexity_buckets",
     "domain_quota_cap",
+    # round-12 additions (raw-crawl front half)
+    "html_extract_main",
+    "unicode_normalize_docs",
+    "paragraph_novelty_dedup",
+    "c4_line_filter",
+    "within_doc_paragraph_dedup",
+    "curated_crawl_docs",
 ]
 
 

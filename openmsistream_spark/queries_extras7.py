@@ -123,11 +123,14 @@ _H_FOOT1 = '<footer>(c) 2024 '
 _H_FOOT2 = ' <a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>'
 
 
-def _synth_html_spark() -> F.Column:
+def _synth_html_spark(punct: bool = False) -> F.Column:
+    # punct=True closes every body paragraph with a period — the E2E
+    # chain needs terminal-punctuated lines for the C4 stage downstream
+    dot = "'.', " if punct else ""
     paras = F.expr(
         f"transform(sequence(1, int(ceil(length(text) / {_PARA_CHARS}.0))), "
         f"k -> concat('<p>', substring(text, (k-1)*{_PARA_CHARS} + 1, "
-        f"{_PARA_CHARS}), '</p>'))"
+        f"{_PARA_CHARS}), {dot}'</p>'))"
     )
     return F.concat(
         F.lit(_H_TITLE1), F.col("source"), F.lit(_H_TITLE2),
@@ -143,21 +146,26 @@ def _synth_html_spark() -> F.Column:
     )
 
 
-_SYNTH_HTML_SQL = (
-    f"{_sql_str(_H_TITLE1)} || source || {_sql_str(_H_TITLE2)}"
-    f" || {_sql_str(_H_NOISE1)} || CAST(doc_id AS VARCHAR) || {_sql_str(_H_NOISE2)}"
-    f" || {_sql_str(_H_NAV1)} || source || {_sql_str(_H_NAV2)} || source"
-    f" || {_sql_str(_H_NAV3)}"
-    f" || array_to_string(list_transform("
-    f"range(1, CAST(ceil(length(text) / {_PARA_CHARS}.0) AS BIGINT) + 1),"
-    f" k -> '<p>' || substr(text, CAST((k-1)*{_PARA_CHARS} + 1 AS BIGINT),"
-    f" {_PARA_CHARS}) || '</p>'), '')"
-    f" || {_sql_str(_H_ENT1)} || source || {_sql_str(_H_ENT2)}"
-    f" || {_sql_str(_H_REL1)} || source || {_sql_str(_H_REL2)} || source"
-    f" || {_sql_str(_H_REL3)}"
-    f" || {_sql_str(_H_CMT1)} || source || {_sql_str(_H_CMT2)}"
-    f" || {_sql_str(_H_FOOT1)} || source || {_sql_str(_H_FOOT2)}"
-)
+def _synth_html_sql(punct: bool = False) -> str:
+    dot = " || '.'" if punct else ""
+    return (
+        f"{_sql_str(_H_TITLE1)} || source || {_sql_str(_H_TITLE2)}"
+        f" || {_sql_str(_H_NOISE1)} || CAST(doc_id AS VARCHAR) || {_sql_str(_H_NOISE2)}"
+        f" || {_sql_str(_H_NAV1)} || source || {_sql_str(_H_NAV2)} || source"
+        f" || {_sql_str(_H_NAV3)}"
+        f" || array_to_string(list_transform("
+        f"range(1, CAST(ceil(length(text) / {_PARA_CHARS}.0) AS BIGINT) + 1),"
+        f" k -> '<p>' || substr(text, CAST((k-1)*{_PARA_CHARS} + 1 AS BIGINT),"
+        f" {_PARA_CHARS}){dot} || '</p>'), '')"
+        f" || {_sql_str(_H_ENT1)} || source || {_sql_str(_H_ENT2)}"
+        f" || {_sql_str(_H_REL1)} || source || {_sql_str(_H_REL2)} || source"
+        f" || {_sql_str(_H_REL3)}"
+        f" || {_sql_str(_H_CMT1)} || source || {_sql_str(_H_CMT2)}"
+        f" || {_sql_str(_H_FOOT1)} || source || {_sql_str(_H_FOOT2)}"
+    )
+
+
+_SYNTH_HTML_SQL = _synth_html_sql()
 
 _HTML_SQL = rf"""
     WITH syn AS (
@@ -514,6 +522,189 @@ def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = c4_line_filter(aug, "t")
     return out.select(
         "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.col("cleaned").cast("binary")).alias("cleaned_md5"),
+    )
+
+
+# ------------------------------------- within_doc_paragraph_dedup
+
+# Dolma's OTHER paragraph device: repeated paragraphs WITHIN one
+# document (boilerplate that loops inside a page) keep only their first
+# occurrence; the document is rebuilt in original order. No reference
+# corpus, no bloom — one (doc, para)-keyed window + one doc-keyed
+# reassembly aggregate, both partitioned by doc_id at scale.
+_WD_TOKENS = 2
+
+_WD_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents),
+    paras AS (
+      SELECT doc_id, i,
+             array_to_string(ws[(i-1)*{_WD_TOKENS}+1 : i*{_WD_TOKENS}], ' ')
+               AS para
+      FROM (SELECT doc_id, ws,
+                   unnest(range(1, CAST(ceil(len(ws) / {_WD_TOKENS}.0)
+                                        AS BIGINT) + 1)) AS i
+            FROM toks WHERE len(ws) >= 1) t),
+    rk AS (
+      SELECT doc_id, i, para,
+             row_number() OVER (PARTITION BY doc_id, para ORDER BY i) AS rn
+      FROM paras)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(coalesce(length(string_agg(para, chr(10) ORDER BY i)
+                 FILTER (WHERE rn = 1)), 0) AS BIGINT) AS n_chars_kept,
+           md5(coalesce(string_agg(para, chr(10) ORDER BY i)
+                 FILTER (WHERE rn = 1), '')) AS kept_md5
+    FROM rk
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "within_doc_paragraph_dedup",
+    _WD_SQL,
+    doc="within-document paragraph dedup (Dolma's intra-page device): a "
+    "paragraph repeated inside one document keeps only its first "
+    "occurrence, the document rebuilt in original order — one "
+    "(doc, para)-keyed first-occurrence window plus one doc-keyed "
+    "reassembly aggregate, both hash-partitioned by doc_id so the "
+    "operator scales with documents, never corpus-wide state; "
+    "complements paragraph_novelty_dedup (cross-corpus bloom)",
+    survey="LLM dedup: within-document paragraph dedup (Dolma "
+    "composition, round-12)",
+)
+def within_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    paras = paragraphs(docs, tokens_per_para=_WD_TOKENS, keep_cols=())
+    w = Window.partitionBy("doc_id", "para").orderBy("para_idx")
+    rk = paras.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("para_idx", "para"))
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+        ),
+        "\n",
+    )
+    return (
+        rk.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            kept_text.alias("_kt"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_kept",
+            F.length("_kt").cast("long").alias("n_chars_kept"),
+            F.md5(F.col("_kt").cast("binary")).alias("kept_md5"),
+        )
+    )
+
+
+# ------------------------------------------------ curated_crawl_docs
+
+# The whole front half CHAINED, end to end, as one oracle-paired query:
+# synthetic page (body paragraphs closed with periods this time — the
+# C4 stage downstream needs terminal punctuation) -> main-content
+# extraction -> unicode normalize (line structure preserved) -> C4
+# line/page rules. The braces in the planted <style>/<script> blocks
+# would kill every page at the C4 page rule if extraction did not
+# remove them first — the stage ORDER is what this entry pins.
+_E2E_NORM = (
+    "nfc_normalize(regexp_replace({x}, "
+    r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'))"
+)
+
+_E2E_SQL = rf"""
+    WITH syn AS (
+      SELECT doc_id, source, {_synth_html_sql(punct=True)} AS html
+      FROM documents
+      WHERE NOT regexp_matches(text, '[<>&]')),
+    seglist AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(
+               regexp_replace(html, '{_NOISE_RX}', ' ', 'g'),
+               '{_BLOCK_RX}', chr(31), 'g'), chr(31)) AS segs
+      FROM syn),
+    segrows AS (
+      SELECT doc_id, source, unnest(segs) AS seg,
+             generate_subscripts(segs, 1) AS i
+      FROM seglist),
+    feat AS (
+      SELECT doc_id, source, i,
+             {_sql_clean('seg')} AS t,
+             coalesce(list_sum(list_transform(
+               regexp_extract_all(seg, '{_LINK_RX}', 1),
+               x -> length({_sql_clean('x')}))), 0) AS lc
+      FROM segrows),
+    main AS (
+      SELECT doc_id, source,
+             coalesce(string_agg(t, chr(10) ORDER BY i)
+               FILTER (WHERE length(t) >= {DEFAULT_MIN_TEXT_LEN}
+                       AND lc <= {DEFAULT_MAX_LINK_DENSITY} * length(t)), '')
+               AS mt
+      FROM feat GROUP BY doc_id, source),
+    norm AS (
+      SELECT doc_id, source,
+             {_sql_moji(_E2E_NORM.format(x='mt'))} AS t
+      FROM main),
+    pages AS (
+      SELECT doc_id, source, string_split(t, chr(10)) AS lines,
+             list_filter(string_split(t, chr(10)), x -> {_C4_LINE_OK}) AS kept
+      FROM norm
+      WHERE NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(lower(t), '{{'))
+    SELECT doc_id, source,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(array_to_string(list_transform(kept, x -> trim(x)), chr(10)))
+             AS cleaned_md5
+    FROM pages
+    WHERE len(kept) >= 1
+    """
+
+
+@query(
+    "curated_crawl_docs",
+    _E2E_SQL,
+    doc="the published crawl recipe's FRONT HALF chained end to end in "
+    "one query: synthetic pages -> jusText-class main-content "
+    "extraction -> unicode normalize (mojibake/control/NFC, line "
+    "structure preserved) -> C4 line/page rules; the planted "
+    "script/style braces would kill every page at the C4 '{' rule if "
+    "extraction did not remove them first, so the chain ORDER itself "
+    "is oracle-pinned; output feeds the engine's existing dedup/"
+    "quality/decontamination back half (cf. curated_corpus)",
+    survey="LLM curation: chained front-half E2E (extract -> normalize "
+    "-> C4, round-12)",
+)
+def curated_crawl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.extract import c4_line_filter
+
+    docs = load(spark, sf_dir, "documents").filter(
+        ~F.col("text").rlike("[<>&]")
+    )
+    pages = docs.select(
+        "doc_id", "source", _synth_html_spark(punct=True).alias("html")
+    )
+    main = extract_main_content(pages, "html", out_col="mt").select(
+        "doc_id", "source", "mt"
+    )
+    norm = normalize_text(main, "mt", out_col="t", collapse_ws=False)
+    out = c4_line_filter(norm, "t")
+    return out.select(
+        "doc_id",
+        "source",
         "n_lines",
         "n_kept",
         F.md5(F.col("cleaned").cast("binary")).alias("cleaned_md5"),

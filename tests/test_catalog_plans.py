@@ -56,6 +56,18 @@ PYTHON_ALLOWED = {
     # stay JVM-side codegen md5, Python only does vectorized numpy
     # bit arithmetic)
     "bloom_sharded_gram_novelty",
+    # unicode NFC composition is the one step Spark's function library
+    # cannot express (no ICU builtin): a single Arrow-vectorized
+    # pandas_udf (llm/extract.nfc_udf — round-12; everything else in
+    # the normalize chain is codegen literal replaces)
+    "unicode_normalize_docs",
+    # paragraph novelty probes the broadcast bloom mask through the
+    # same sanctioned mapInPandas bit-test as bloom_gram_novelty
+    # (llm/bloom.bloom_mark — round-12 Dolma composition)
+    "paragraph_novelty_dedup",
+    # the chained front half includes the normalize stage, hence the
+    # same single sanctioned Arrow NFC stage as unicode_normalize_docs
+    "curated_crawl_docs",
 }
 
 
