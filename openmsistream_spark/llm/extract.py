@@ -322,7 +322,14 @@ def nfc_udf():
             lambda x: unicodedata.normalize("NFC", x) if x is not None else None
         )
 
-    return _nfc
+    # The UDF IS deterministic; the flag only narrows the optimizer's
+    # freedom to clone it. Without it, a downstream filter referencing
+    # the normalized column gets pushed beneath the normalize projection
+    # and Catalyst duplicates the UDF into BOTH operators — every row
+    # pays NFC twice (observed on the curated_crawl_docs chain: two
+    # ArrowEvalPython stages for one normalize call). Marking it
+    # non-deterministic pins one evaluation that both consumers share.
+    return _nfc.asNondeterministic()
 
 
 def normalize_text(

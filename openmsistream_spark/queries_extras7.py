@@ -39,7 +39,6 @@ from .llm.extract import (
     DEFAULT_MAX_LINK_DENSITY,
     DEFAULT_MIN_TEXT_LEN,
     MOJIBAKE,
-    SEG_SEP,
     extract_main_content,
     normalize_text,
     paragraphs,
@@ -441,9 +440,6 @@ def paragraph_novelty_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # javascript line on every 7th doc (dropped: banned token), a constant
 # closing line (kept), and page-level lorem-ipsum / brace markers on
 # every 11th / 13th doc (whole page dropped).
-_C4_AUG_SPARK = None  # built inline below; SQL twin mirrors it
-
-
 def _c4_aug_col() -> F.Column:
     return F.concat(
         F.substring("text", 1, 60), F.lit(" one done.\nok.\n"),

@@ -174,3 +174,16 @@ def test_c4_line_filter_rules(spark):
     )
     r2 = c4_line_filter(df2, "t").first()
     assert r2.n_kept == 2
+
+
+def test_e2e_chain_plan_single_arrow_stage(spark):
+    """curated_crawl_docs (extract -> normalize -> C4 rules chained)
+    must stay shuffle-free with exactly the one Arrow NFC stage — the
+    whole front half rides the scan's partitioning at any scale."""
+    from openmsistream_spark.queries import QUERIES
+
+    df = QUERIES["curated_crawl_docs"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
