@@ -24,6 +24,15 @@ structural gap, plus Dolma's paragraph-level dedup composition:
   re-assemble the survivors in order. Bloom verdicts are deterministic
   md5 arithmetic, mirrored exactly by the oracle (the
   ``bloom_gram_novelty`` convention).
+- ``c4_line_filter``: C4's content-free line/page rules (terminal
+  punctuation, min words, banned tokens, page markers) over planted
+  line variants that exercise every rule.
+- ``within_doc_paragraph_dedup``: Dolma's intra-page device — repeated
+  paragraphs inside one document keep only their first occurrence.
+- ``curated_crawl_docs``: the whole front half CHAINED (extract →
+  normalize → C4 rules); the planted script/style braces would kill
+  every page at the C4 '{' rule if extraction did not run first, so
+  the oracle pins the stage order itself.
 """
 
 from __future__ import annotations
