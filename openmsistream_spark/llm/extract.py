@@ -200,7 +200,7 @@ def c4_line_filter(
     and ``n_kept``; pages that fail the page rules are filtered out.
     """
     page_lc = F.lower(F.col(text_col))
-    page_ok = ~F.lit(False)
+    page_ok = F.lit(True)
     for marker in C4_PAGE_BANNED:
         page_ok = page_ok & ~page_lc.contains(marker.lower())
     lines = F.split(F.col(text_col), "\n")

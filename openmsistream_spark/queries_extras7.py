@@ -625,6 +625,13 @@ def within_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # line/page rules. The braces in the planted <style>/<script> blocks
 # would kill every page at the C4 page rule if extraction did not
 # remove them first — the stage ORDER is what this entry pins.
+#
+# Normalize mirror order matters even though every step is identity on
+# this ASCII corpus: mojibake repair INSIDE (first), then control
+# strip, then NFC — exactly normalize_text's sequence, same as the
+# _UNICODE_SQL mirror (a second-pass review caught the chain wrapped
+# the other way around; swapped before any non-ASCII corpus could
+# diverge the engines).
 _E2E_NORM = (
     "nfc_normalize(regexp_replace({x}, "
     r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'))"
@@ -661,7 +668,7 @@ _E2E_SQL = rf"""
       FROM feat GROUP BY doc_id, source),
     norm AS (
       SELECT doc_id, source,
-             {_sql_moji(_E2E_NORM.format(x='mt'))} AS t
+             {_E2E_NORM.format(x=_sql_moji('mt'))} AS t
       FROM main),
     pages AS (
       SELECT doc_id, source, string_split(t, chr(10)) AS lines,

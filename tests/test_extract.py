@@ -3,8 +3,6 @@ normalization, and the paragraph explode (raw-crawl front half,
 round 12). Edge semantics live here; the three-scale oracle pairing
 covers the corpus-level pipelines."""
 
-from pyspark.sql import functions as F
-
 from openmsistream_spark.llm.extract import (
     MOJIBAKE,
     extract_main_content,
