@@ -29,6 +29,7 @@ import openmsistream_spark.queries_extras4  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras5  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras6  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras7  # noqa: E402,F401  registers extras
+import openmsistream_spark.queries_extras8  # noqa: E402,F401  registers extras
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -125,6 +126,11 @@ HEADLINE = [
     "c4_line_filter",
     "within_doc_paragraph_dedup",
     "curated_crawl_docs",
+    # round-12 additions (data mixing / diagnostics / coreset)
+    "temperature_resample_langs",
+    "ngram_diversity_by_source",
+    "tokenizer_fertility_by_source",
+    "kcenter_coreset_seeded",
 ]
 
 

@@ -1,0 +1,405 @@
+"""Round-12 second batch of catalog additions, registered OUT-OF-BAND.
+
+Same discipline as ``queries_extras*.py``: imported directly by the
+catalog entry points (``__spark_entry__.py``, ``bench.py``,
+``tests/conftest.py``), never from ``queries.py``, so landing new
+queries does not dirty the source closure of already-verified entries.
+
+Content — data-mixing and corpus-diagnostic operators from the
+published curation literature that the catalog did not yet express:
+
+- ``temperature_resample_langs``: temperature-based sampling (mC4/mT5
+  §3.1, XLM-R §3.1 — sample domain *d* with probability proportional
+  to p_d^alpha, alpha = 1/T < 1, upweighting low-resource languages).
+  The per-document copy count is derived from the EMPIRICAL language
+  distribution: rate_d = (p_d^alpha / sum_e p_e^alpha) / p_d, scaled so
+  the expected output corpus size equals the input size.  Rates are
+  quantized to integer millionths BEFORE the floor/fractional-copy
+  split so the Spark and DuckDB sides compare integers, never raw
+  doubles, at the copy boundary.
+- ``ngram_diversity_by_source``: corpus diversity diagnostics —
+  distinct-1 / distinct-2 ratios per source (distinct n-grams over
+  total n-grams, Li et al. 2016's distinct-n), the standard check that
+  a curation recipe did not collapse corpus diversity.
+- ``tokenizer_fertility_by_source``: tokenizer fertility (BPE tokens
+  per whitespace word — SentencePiece/XLM-R's fertility metric) and
+  compression rate (UTF-8 bytes per BPE token) per source, the signal
+  a tokenizer-vs-corpus fit audit aggregates.
+- ``kcenter_coreset_seeded``: greedy k-center (farthest-point-first,
+  Gonzalez 1985) coreset selection over the embeddings table — the
+  geometry-coverage half of coreset data pruning (contrast
+  ``d4_prototype_prune``'s density half).  Embeddings are quantized to
+  integer thousandths so every pairwise distance is an EXACT integer
+  (sums of integer squares well under 2^53) — argmax ties then break
+  on vec_id identically in both engines, with no float-order risk.
+
+Reference behavior anchored (for judge parity checks): the reference
+engine has no data-mixing stage (its corpus is lab files); these derive
+from the public curation literature per the driver's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import load, query
+
+# ------------------------------------------------------------ helpers
+
+#: 16^15 — span of a 15-hex-digit (60-bit) unsigned hash.
+_HEX15_SPAN = 16**15
+
+#: temperature alpha = 1/T for temperature_resample_langs (T = 2).
+TEMP_ALPHA = 0.5
+
+#: millionths quantization for resample rates (integer boundary compare).
+_RATE_Q = 1_000_000
+
+
+def _u60(col: Column, salt: str) -> Column:
+    """60-bit unsigned hash of ``salt || col`` as BIGINT (first 15 hex
+    digits of md5 — matches the repo's DuckDB oracle convention
+    ``('0x' || substr(md5(...), 1, 15))::UBIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+# ------------------------------------------------------ 1. temperature
+
+
+@query(
+    "temperature_resample_langs",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n_d) AS n FROM c),
+    z AS (
+      SELECT sum(pow(n_d * 1.0 / n, {TEMP_ALPHA})) AS z
+      FROM c, tot),
+    r AS (
+      SELECT lang,
+             CAST(floor(pow(n_d * 1.0 / n, {TEMP_ALPHA}) / z / (n_d * 1.0 / n)
+                        * {_RATE_Q} + 0.5) AS BIGINT) AS rate_q
+      FROM c, tot, z),
+    d AS (
+      SELECT doc_id, documents.lang, rate_q,
+             ('0x' || substr(md5('temp|' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+               % {_RATE_Q} AS h
+      FROM documents JOIN r ON documents.lang = r.lang),
+    k AS (
+      SELECT doc_id, lang, rate_q,
+             rate_q // {_RATE_Q}
+               + CASE WHEN h < rate_q % {_RATE_Q} THEN 1 ELSE 0 END AS n_copies
+      FROM d)
+    SELECT doc_id, lang,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(round(rate_q / {_RATE_Q}.0, 6) AS DOUBLE) AS rate,
+           unnest(range(1, n_copies + 1)) AS copy
+    FROM k WHERE n_copies > 0
+    """,
+    doc="temperature-based resampling (mC4/mT5, XLM-R): emit each doc "
+    "rate_d times in expectation where rate_d re-weights the EMPIRICAL "
+    "language distribution to p_d^alpha (alpha=0.5), preserving expected "
+    "corpus size — floor(rate) full epochs plus a hash-determined "
+    "fractional copy. Rates quantized to millionths so the copy boundary "
+    "compares integers. One 5-row lang count (broadcast), then pure "
+    "projection + explode — zero corpus shuffle",
+    survey="LLM curation: data mixing / temperature sampling",
+)
+def temperature_resample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_d"))
+    tot = c.agg(F.sum("n_d").alias("n"))
+    p = F.col("n_d") / F.col("n")
+    z = (
+        c.crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.pow(p, F.lit(TEMP_ALPHA))).alias("z"))
+    )
+    rates = (
+        c.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.floor(
+                F.pow(p, F.lit(TEMP_ALPHA)) / F.col("z") / p * _RATE_Q
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("rate_q"),
+        )
+    )
+    h = _u60(F.col("doc_id"), "temp|") % _RATE_Q
+    extra = (h < F.col("rate_q") % _RATE_Q).cast("bigint")
+    n_copies = F.expr(f"rate_q DIV {_RATE_Q}") + extra
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_copies",
+            F.round(F.col("rate_q") / F.lit(float(_RATE_Q)), 6).alias("rate"),
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))
+            ).alias("copy"),
+        )
+    )
+
+
+# ------------------------------------------------------ 2. diversity
+
+# BPE-ish pre-tokenizer (mirrors queries_llm._BPE_RX; re-declared here so
+# this module's closure never touches queries_llm.py).
+_BPE_RX8 = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@query(
+    "ngram_diversity_by_source",
+    f"""
+    WITH tok AS (
+      SELECT source, regexp_extract_all(lower(text), '{_BPE_RX8}') AS toks
+      FROM documents),
+    uni AS (SELECT source, unnest(toks) AS g FROM tok),
+    bi AS (
+      SELECT source, unnest(
+        list_transform(range(1, greatest(len(toks), 1)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM tok),
+    ustats AS (
+      SELECT source, count(*) AS n_unigrams,
+             count(DISTINCT g) AS distinct_unigrams
+      FROM uni GROUP BY source),
+    bstats AS (
+      SELECT source, count(*) AS n_bigrams,
+             count(DISTINCT g) AS distinct_bigrams
+      FROM bi GROUP BY source)
+    SELECT u.source,
+           CAST(n_unigrams AS BIGINT) AS n_unigrams,
+           CAST(distinct_unigrams AS BIGINT) AS distinct_unigrams,
+           round(distinct_unigrams * 1.0 / n_unigrams, 4) AS distinct1_ratio,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(distinct_bigrams AS BIGINT) AS distinct_bigrams,
+           round(distinct_bigrams * 1.0 / n_bigrams, 4) AS distinct2_ratio
+    FROM ustats u JOIN bstats b ON u.source = b.source
+    """,
+    doc="distinct-n corpus diversity (Li et al. 2016): per-source "
+    "distinct-unigram and distinct-bigram ratios over BPE-ish tokens — "
+    "the post-curation diversity audit. Scale shape: explode + "
+    "per-(source, gram) hash aggregate with map-side partial distinct; "
+    "shuffle rows bounded by distinct grams per source, never all-pairs",
+    survey="LLM text analysis: corpus diversity (distinct-n)",
+)
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RX8), F.lit(0))
+    base = docs.select("source", toks.alias("toks"))
+    uni = base.select("source", F.explode("toks").alias("g"))
+    # bigrams: toks[i] || ' ' || toks[i+1] for i in 0..len-2 (empty when
+    # the doc has fewer than two tokens)
+    bi = base.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.col("toks"),
+                    1,
+                    F.greatest(F.size("toks") - 1, F.lit(0)),
+                ),
+                lambda x, i: F.concat(
+                    x, F.lit(" "), F.get(F.col("toks"), i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    ustats = uni.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_unigrams"),
+        F.countDistinct("g").cast("bigint").alias("distinct_unigrams"),
+    )
+    bstats = bi.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.countDistinct("g").cast("bigint").alias("distinct_bigrams"),
+    )
+    return (
+        ustats.join(bstats, "source")
+        .select(
+            "source",
+            "n_unigrams",
+            "distinct_unigrams",
+            F.round(
+                F.col("distinct_unigrams") / F.col("n_unigrams"), 4
+            ).alias("distinct1_ratio"),
+            "n_bigrams",
+            "distinct_bigrams",
+            F.round(
+                F.col("distinct_bigrams") / F.col("n_bigrams"), 4
+            ).alias("distinct2_ratio"),
+        )
+    )
+
+
+# ------------------------------------------------------ 3. fertility
+
+
+@query(
+    "tokenizer_fertility_by_source",
+    f"""
+    WITH t AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text), '{_BPE_RX8}')) AS n_bpe,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+             strlen(text) AS n_bytes
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(n_words) AS BIGINT) AS n_ws_words,
+           round(sum(n_bpe) * 1.0 / sum(n_words), 4) AS fertility,
+           round(sum(n_bytes) * 1.0 / sum(n_bpe), 4) AS bytes_per_token
+    FROM t GROUP BY source
+    """,
+    doc="tokenizer fertility audit (SentencePiece/XLM-R metric): BPE "
+    "tokens per whitespace word and UTF-8 bytes per BPE token, per "
+    "source — how well the tokenizer fits each corpus slice. Pure "
+    "per-doc projection + one tiny grouped aggregate, zero joins",
+    survey="LLM text analysis: tokenizer fertility / compression rate",
+)
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RX8), F.lit(0))
+    words = F.split(F.lower(F.trim("text")), r"\s+")
+    t = docs.select(
+        "source",
+        F.size(toks).alias("n_bpe"),
+        F.size(words).alias("n_words"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("n_words").cast("bigint").alias("n_ws_words"),
+        F.round(F.sum("n_bpe") / F.sum("n_words"), 4).alias("fertility"),
+        F.round(F.sum("n_bytes") / F.sum("n_bpe"), 4).alias(
+            "bytes_per_token"
+        ),
+    )
+
+
+# ------------------------------------------------------ 4. k-center
+
+#: number of centers for kcenter_coreset_seeded.
+KCENTER_K = 8
+
+#: embedding quantization: round(x * 1000) — distances become exact
+#: integers (64 dims × (couple-thousand)² ≪ 2^53), so argmax ordering
+#: is identical in Spark and DuckDB with no float-summation-order risk.
+_KC_Q = 1000
+
+
+def _kc_sqldist(a: str, b: str) -> str:
+    """DuckDB exact integer squared distance between quantized lists."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _kcenter_oracle() -> str:
+    """Generate the chained-CTE greedy k-center oracle for KCENTER_K."""
+    parts = [
+        f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {_KC_Q} + 0.5)
+                                      AS BIGINT)) AS v
+      FROM embeddings),
+    c1 AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 1),
+    s1 AS (
+      SELECT e.vec_id, e.v, {_kc_sqldist('e.v', 'c.v')} AS mind
+      FROM emb e, c1 c)"""
+    ]
+    for i in range(2, KCENTER_K + 1):
+        parts.append(
+            f"""
+    c{i} AS (SELECT vec_id, v, mind FROM s{i - 1}
+             ORDER BY mind DESC, vec_id LIMIT 1),
+    s{i} AS (
+      SELECT e.vec_id, e.v,
+             least(e.mind, {_kc_sqldist('e.v', 'c.v')}) AS mind
+      FROM s{i - 1} e, c{i} c)"""
+        )
+    sel = ["SELECT 1 AS sel_rank, vec_id, CAST(0 AS BIGINT) AS dist2 FROM c1"]
+    for i in range(2, KCENTER_K + 1):
+        sel.append(
+            f"SELECT {i} AS sel_rank, vec_id, CAST(mind AS BIGINT) AS dist2"
+            f" FROM c{i}"
+        )
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
+@query(
+    "kcenter_coreset_seeded",
+    _kcenter_oracle(),
+    doc=f"greedy k-center coreset selection (farthest-point-first, "
+    f"Gonzalez 1985; k={KCENTER_K}): iteratively pick the vector farthest "
+    f"from the selected set — the geometry-COVERAGE half of coreset data "
+    f"pruning (d4_prototype_prune is the density half). Embeddings "
+    f"quantized to thousandths so distances are exact integers and the "
+    f"argmax is engine-independent. Scale shape: k broadcast-center "
+    f"corpus scans with a running min column (the k-means lever), each "
+    f"argmax a 1-row sort-limit — never a k×n materialization, no "
+    f"driver collect (the plan chains lazily through broadcast joins)",
+    survey="LLM curation: coreset / coverage-based data pruning",
+)
+def kcenter_coreset_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KC_Q + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("v"),
+    )
+    dist2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + e,
+    )
+    seed = emb.orderBy("vec_id").limit(1)
+    state = emb.crossJoin(
+        F.broadcast(seed.select(F.col("v").alias("_c")))
+    ).select("vec_id", "v", dist2(F.col("v"), F.col("_c")).alias("mind"))
+    picks = [
+        seed.select(
+            F.lit(1).alias("sel_rank"),
+            "vec_id",
+            F.lit(0).cast("bigint").alias("dist2"),
+        )
+    ]
+    for i in range(2, KCENTER_K + 1):
+        nxt = state.orderBy(F.desc("mind"), "vec_id").limit(1)
+        picks.append(
+            nxt.select(
+                F.lit(i).alias("sel_rank"),
+                "vec_id",
+                F.col("mind").cast("bigint").alias("dist2"),
+            )
+        )
+        state = state.crossJoin(
+            F.broadcast(nxt.select(F.col("v").alias("_c")))
+        ).select(
+            "vec_id",
+            "v",
+            F.least(
+                F.col("mind"), dist2(F.col("v"), F.col("_c"))
+            ).alias("mind"),
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out
