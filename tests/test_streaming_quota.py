@@ -1,0 +1,185 @@
+"""Streaming per-key quota cap: lifetime budget across micro-batches,
+equivalence to the batch window form, exactly-once replay, ledger
+compaction, and the params sidecar guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmsistream_spark.operators.registry import make_registry
+from openmsistream_spark.streaming.quota import (
+    batch_quota_admit,
+    compact_quota_ledger,
+    quota_cap_stream_sink,
+)
+
+SCHEMA = "doc_id long, domain string"
+# three domains; d1 is hot (7 docs over 3 batches), d2 trickles, d3
+# appears once — with quota=3 d1 must be cut across batch boundaries
+BATCHES = [
+    [(0, "d1"), (1, "d1"), (2, "d2"), (3, "d3")],
+    [(4, "d1"), (5, "d1"), (6, "d2")],
+    [(7, "d1"), (8, "d1"), (9, "d1"), (10, "d2")],
+]
+QUOTA = 3
+
+
+def _run(spark, in_dir, out_dir, ckpt, reg, **kw):
+    src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+    q = (
+        quota_cap_stream_sink(
+            src, reg, out_dir, ckpt, quota=QUOTA, **kw
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+
+def _admitted(spark, out_dir):
+    return {
+        r.doc_id: (r.domain, r.admit_rank)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def _write_batches(spark, in_dir, batches):
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/b={b}")
+
+
+def _stream_batches(spark, tmp_path, batches, reg, **kw):
+    """Write + run ONE batch at a time so each file lands in its own
+    micro-batch (availableNow over pre-written files would fold them
+    all into batch 0)."""
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/b={b}")
+        _run(spark, in_dir, out_dir, ckpt, reg, **kw)
+    return out_dir
+
+
+def test_lifetime_quota_enforced_across_batches(spark, tmp_path):
+    reg = make_registry(spark, str(tmp_path / "led"), ["domain", "batch"])
+    out_dir = _stream_batches(spark, tmp_path, BATCHES, reg)
+    got = _admitted(spark, out_dir)
+    # d1: docs 0,1 (batch 0) + 4 (batch 1) fill the quota; 5,7,8,9 drop
+    # d2: 3 total docs, all admitted; d3: 1 doc admitted
+    assert got == {
+        0: ("d1", 1),
+        1: ("d1", 2),
+        2: ("d2", 1),
+        3: ("d3", 1),
+        4: ("d1", 3),
+        6: ("d2", 2),
+        10: ("d2", 3),
+    }
+    # per-key lifetime counts never exceed the quota
+    per_key = (
+        spark.read.parquet(out_dir).groupBy("domain").count().collect()
+    )
+    assert all(r["count"] <= QUOTA for r in per_key)
+
+
+def test_stream_equals_batch_window_form(spark, tmp_path):
+    """One stream over all rows == the batch entry's window semantics
+    (rank by id within key, keep rank <= quota)."""
+    reg = make_registry(spark, str(tmp_path / "led"), ["domain", "batch"])
+    out_dir = _stream_batches(spark, tmp_path, BATCHES, reg)
+    all_rows = [r for b in BATCHES for r in b]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    want = {
+        r.doc_id: (r.domain, r.rk)
+        for r in spark.createDataFrame(all_rows, SCHEMA)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= QUOTA)
+        .collect()
+    }
+    assert _admitted(spark, out_dir) == want
+
+
+def test_replay_is_exactly_once(spark, tmp_path):
+    reg = make_registry(spark, str(tmp_path / "led"), ["domain", "batch"])
+    out_dir = _stream_batches(spark, tmp_path, BATCHES[:2], reg)
+    first = _admitted(spark, out_dir)
+    # replay batch 1 through the pure step against the POST-upsert
+    # ledger: its own batch=1 deltas are not strictly earlier, so it
+    # re-admits exactly the original set
+    replay = batch_quota_admit(
+        spark.createDataFrame(BATCHES[1], SCHEMA),
+        reg.read(),
+        1,
+        quota=QUOTA,
+    )
+    got = {r.doc_id: (r.domain, r.admit_rank) for r in replay.collect()}
+    assert got == {d: first[d] for d in (4, 6)}
+    # and the ledger upsert is keyed on (domain, batch): re-upserting
+    # the same deltas changes nothing
+    before = sorted(map(tuple, reg.read().collect()))
+    deltas = (
+        replay.groupBy("domain")
+        .agg(F.count("*").alias("n_admitted"))
+        .withColumn("batch", F.lit(1).cast("long"))
+        .select("domain", "batch", "n_admitted")
+    )
+    reg.upsert(deltas)
+    assert sorted(map(tuple, reg.read().collect())) == before
+
+
+def test_compaction_preserves_future_priors(spark, tmp_path):
+    reg = make_registry(spark, str(tmp_path / "led"), ["domain", "batch"])
+    _stream_batches(spark, tmp_path, BATCHES[:2], reg)
+    prior_before = (
+        batch_quota_admit(
+            spark.createDataFrame(BATCHES[2], SCHEMA), reg.read(), 2, quota=QUOTA
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    compact_quota_ledger(reg, 1)
+    led = reg.read()
+    # folded to one row per key
+    assert led.count() == led.select("domain").distinct().count()
+    assert led.agg(F.max("batch")).first()[0] == 1
+    prior_after = (
+        batch_quota_admit(
+            spark.createDataFrame(BATCHES[2], SCHEMA), led, 2, quota=QUOTA
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in prior_before] == [tuple(r) for r in prior_after]
+
+
+def test_compact_every_runs_inside_sink(spark, tmp_path):
+    reg = make_registry(spark, str(tmp_path / "led"), ["domain", "batch"])
+    out_dir = _stream_batches(spark, tmp_path, BATCHES, reg, compact_every=2)
+    # batches 0..2 ran; compaction fired at batch 2 folding <=1: the
+    # ledger holds at most one folded row per key plus batch-2 deltas
+    led = reg.read()
+    assert led.filter(F.col("batch") < 1).count() == 0
+    # admissions unchanged by in-stream compaction
+    got = _admitted(spark, out_dir)
+    assert len(got) == 7 and got[4] == ("d1", 3)
+
+
+def test_quota_sidecar_guards_drift(spark, tmp_path):
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    reg = make_registry(spark, str(tmp_path / "led"), ["domain", "batch"])
+    _write_batches(spark, in_dir, BATCHES[:1])
+    _run(spark, in_dir, out_dir, str(tmp_path / "ckpt"), reg)
+    # restart with a DIFFERENT quota against the same ledger: refused
+    src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+    with pytest.raises(Exception, match="quota"):
+        quota_cap_stream_sink(
+            src, reg, out_dir, str(tmp_path / "ckpt2"), quota=QUOTA + 1
+        )
