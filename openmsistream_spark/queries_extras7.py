@@ -135,10 +135,15 @@ def _synth_html_spark(punct: bool = False) -> F.Column:
     # punct=True closes every body paragraph with a period — the E2E
     # chain needs terminal-punctuated lines for the C4 stage downstream
     dot = "'.', " if punct else ""
+    # empty text must yield ZERO paragraph blocks: Spark's
+    # sequence(1, 0) defaults to step -1 and returns [1, 0] (two
+    # phantom blocks), while the oracle's range(1, 0 + 1) is empty —
+    # guard with an explicit empty array so the engines agree
     paras = F.expr(
-        f"transform(sequence(1, int(ceil(length(text) / {_PARA_CHARS}.0))), "
+        f"CASE WHEN length(text) = 0 THEN array() "
+        f"ELSE transform(sequence(1, int(ceil(length(text) / {_PARA_CHARS}.0))), "
         f"k -> concat('<p>', substring(text, (k-1)*{_PARA_CHARS} + 1, "
-        f"{_PARA_CHARS}), {dot}'</p>'))"
+        f"{_PARA_CHARS}), {dot}'</p>')) END"
     )
     return F.concat(
         F.lit(_H_TITLE1), F.col("source"), F.lit(_H_TITLE2),
@@ -161,10 +166,13 @@ def _synth_html_sql(punct: bool = False) -> str:
         f" || {_sql_str(_H_NOISE1)} || CAST(doc_id AS VARCHAR) || {_sql_str(_H_NOISE2)}"
         f" || {_sql_str(_H_NAV1)} || source || {_sql_str(_H_NAV2)} || source"
         f" || {_sql_str(_H_NAV3)}"
-        f" || array_to_string(list_transform("
+        # coalesce: DuckDB's array_to_string([], '') is NULL, which would
+        # null the whole page for empty text — Spark's array_join of the
+        # (guarded) empty block list is '' instead
+        f" || coalesce(array_to_string(list_transform("
         f"range(1, CAST(ceil(length(text) / {_PARA_CHARS}.0) AS BIGINT) + 1),"
         f" k -> '<p>' || substr(text, CAST((k-1)*{_PARA_CHARS} + 1 AS BIGINT),"
-        f" {_PARA_CHARS}){dot} || '</p>'), '')"
+        f" {_PARA_CHARS}){dot} || '</p>'), ''), '')"
         f" || {_sql_str(_H_ENT1)} || source || {_sql_str(_H_ENT2)}"
         f" || {_sql_str(_H_REL1)} || source || {_sql_str(_H_REL2)} || source"
         f" || {_sql_str(_H_REL3)}"

@@ -43,12 +43,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.hashes import portable_hash64
 from .queries import load, query
 
 # ------------------------------------------------------------ helpers
-
-#: 16^15 — span of a 15-hex-digit (60-bit) unsigned hash.
-_HEX15_SPAN = 16**15
 
 #: temperature alpha = 1/T for temperature_resample_langs (T = 2).
 TEMP_ALPHA = 0.5
@@ -58,14 +56,10 @@ _RATE_Q = 1_000_000
 
 
 def _u60(col: Column, salt: str) -> Column:
-    """60-bit unsigned hash of ``salt || col`` as BIGINT (first 15 hex
-    digits of md5 — matches the repo's DuckDB oracle convention
+    """60-bit salted hash as BIGINT — the repo's one md5-prefix hash
+    convention (``functions.hashes.portable_hash64``; DuckDB mirror:
     ``('0x' || substr(md5(...), 1, 15))::UBIGINT``)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
+    return portable_hash64(F.concat(F.lit(salt), col.cast("string")))
 
 
 # ------------------------------------------------------ 1. temperature

@@ -61,14 +61,35 @@ def ensure_sidecar_params(
         spark.createDataFrame([want], schema).write.mode("overwrite").parquet(
             staging
         )
-        if registry.fs.exists(params_path):
-            registry.fs.delete(params_path)
+        # stage the old copy ASIDE and roll back on a failed swap (the
+        # full ParquetRegistry._overwrite discipline): delete-then-rename
+        # would leave NO sidecar if the rename fails or this writer dies
+        # between the two calls — and a concurrent sink's per-batch guard
+        # would then hard-fail with the 'predates parameter tracking'
+        # refusal even though both writers agree on parameters
+        old = f"{params_path}.old-{uuid.uuid4().hex[:8]}"
+        existed = registry.fs.exists(params_path)
+        if existed:
+            if not registry.fs.rename(params_path, old):
+                registry.fs.delete(staging)
+                raise IOError(
+                    f"{sink_name}: could not stage out old _params sidecar "
+                    f"at {params_path}"
+                )
         if not registry.fs.rename(staging, params_path):
+            rolled_back = (
+                registry.fs.rename(old, params_path) if existed else True
+            )
             registry.fs.delete(staging)
-            raise IOError(
+            msg = (
                 f"{sink_name}: could not swap staged _params sidecar into "
                 f"{params_path}"
             )
+            if not rolled_back:
+                msg += f"; ROLLBACK ALSO FAILED — previous sidecar left at {old}"
+            raise IOError(msg)
+        if existed:
+            registry.fs.delete(old)
         return
     if not registry.fs.exists(params_path):
         raise ValueError(

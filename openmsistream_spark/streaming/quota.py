@@ -60,8 +60,15 @@ def batch_quota_admit(
     the row within its key's lifetime budget)."""
     prior = None
     if ledger is not None:
+        # bound the broadcast to the keys THIS batch touches: the ledger
+        # holds every key the stream has ever admitted (millions of
+        # domains on a long crawl), and broadcasting all of their priors
+        # every batch would eventually blow the broadcast budget —
+        # micro-batch-sized is the invariant
+        batch_keys = batch_df.select(key_col).distinct()
         prior = (
             ledger.filter(F.col("batch") < F.lit(int(batch_id)))
+            .join(batch_keys, key_col, "left_semi")
             .groupBy(key_col)
             .agg(F.sum("n_admitted").alias("_prior"))
         )
@@ -125,15 +132,24 @@ def quota_cap_stream_sink(
             key_col=key_col,
             id_col=id_col,
         )
-        admitted.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        deltas = (
-            admitted.groupBy(key_col)
-            .agg(F.count("*").alias("n_admitted"))
-            .withColumn("batch", F.lit(int(batch_id)).cast("long"))
-            .select(key_col, "batch", "n_admitted")
-        )
-        # upsert keyed on [key, batch]: replay REPLACES its own deltas
-        quota_registry.upsert(deltas)
+        # persist for the two consumers (parquet write + delta derivation)
+        # so the ledger scan + prior join + window run ONCE per batch,
+        # not twice; released before the batch commits
+        admitted = admitted.persist()
+        try:
+            admitted.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={batch_id}"
+            )
+            deltas = (
+                admitted.groupBy(key_col)
+                .agg(F.count("*").alias("n_admitted"))
+                .withColumn("batch", F.lit(int(batch_id)).cast("long"))
+                .select(key_col, "batch", "n_admitted")
+            )
+            # upsert keyed on [key, batch]: replay REPLACES its own deltas
+            quota_registry.upsert(deltas)
+        finally:
+            admitted.unpersist()
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             # safe inside foreachBatch: Structured Streaming serializes
             # _write calls, so the whole-table replace races nothing

@@ -185,3 +185,43 @@ def test_e2e_chain_plan_single_arrow_stage(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
+
+
+def test_synth_html_empty_text_matches_oracle(spark):
+    """Spark's sequence(1, 0) defaults to step -1 ([1, 0] — two phantom
+    blocks) and DuckDB's array_to_string([], '') is NULL (nulling the
+    page): both empty-text edge cases are guarded, and the two synth
+    sides agree byte-for-byte (round-12 review finding)."""
+    import duckdb
+
+    from openmsistream_spark.queries_extras7 import (
+        _synth_html_spark,
+        _synth_html_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "", "src0"), (2, "x" * 250, "src1"), (3, "x" * 100, "s")],
+        "doc_id long, text string, source string",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 1 AS doc_id, '' AS \"text\", 'src0' AS source"
+        " UNION ALL SELECT 2, repeat('x', 250), 'src1'"
+        " UNION ALL SELECT 3, repeat('x', 100), 's'"
+    )
+    for punct in (False, True):
+        got = {
+            r.doc_id: r.h
+            for r in df.select(
+                "doc_id", _synth_html_spark(punct=punct).alias("h")
+            ).collect()
+        }
+        want = dict(
+            con.execute(
+                f"SELECT doc_id, {_synth_html_sql(punct=punct)} FROM t"
+            ).fetchall()
+        )
+        assert got == want
+        # an empty-text page is a real page with ZERO paragraph blocks
+        assert want[1] is not None and "<p>x" not in want[1]
+        assert want[2].count("<p>x") == 3 and want[3].count("<p>x") == 1
