@@ -43,19 +43,59 @@ from openmsistream_spark.llm.similarity import (  # noqa: E402
 )
 
 
+def _planted(spark, emb, n_clusters: int):
+    """Deterministic clustered control corpus: same (vec_id, dim) as the
+    input, each vector = a unit anchor (seeded by vec_id % n_clusters)
+    plus sigma=0.05 noise (seeded by vec_id)."""
+    import numpy as np
+
+    rows = emb.select("vec_id").orderBy("vec_id").collect()
+    dim = len(emb.select("embedding").first()[0])
+    anchors = []
+    for c in range(n_clusters):
+        rng = np.random.default_rng(1_000_003 + c)
+        a = rng.standard_normal(dim)
+        anchors.append(a / np.linalg.norm(a))
+    out = []
+    for r in rows:
+        c = r.vec_id % n_clusters
+        rng = np.random.default_rng(2_000_003 + r.vec_id)
+        v = anchors[c] + 0.05 * rng.standard_normal(dim)
+        out.append((r.vec_id, [float(x) for x in v]))
+    return spark.createDataFrame(out, "vec_id long, embedding array<float>")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--n-queries", type=int, default=100)
     ap.add_argument("--ivf-clusters", type=int, default=16)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "ANN_RECALL.json"))
+    ap.add_argument(
+        "--planted-clusters",
+        type=int,
+        default=0,
+        metavar="C",
+        help="replace the corpus with C planted gaussian-ish clusters "
+        "(same n/dim; deterministic) — the clustered-data control run",
+    )
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        name = "ANN_RECALL_PLANTED.json" if args.planted_clusters else "ANN_RECALL.json"
+        args.out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), name
+        )
 
     spark = oms.get_spark(app_name="measure-ann-recall")
     emb = spark.read.parquet(os.path.join(args.sf, "embeddings.parquet"))
+    if args.planted_clusters:
+        # CONTROL corpus: same cardinality/dim, but with real cluster
+        # structure — each vector is one of `planted` unit anchors plus
+        # small deterministic hash noise. If the space-partitioning
+        # variants recover high recall HERE, their low recall on the
+        # stock corpus is the isotropic data, not the implementation.
+        emb = _planted(spark, emb, args.planted_clusters)
     n = emb.count()
     step = max(1, n // args.n_queries)
     qids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").collect()][::step]
@@ -152,6 +192,7 @@ def main() -> None:
         "sf": args.sf,
         "corpus_n": n,
         "dim": len(emb.select("embedding").first()[0]),
+        "planted_clusters": args.planted_clusters or None,
         "results": results,
     }
     with open(args.out, "w") as f:
