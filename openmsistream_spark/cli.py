@@ -195,6 +195,34 @@ def build_parser() -> argparse.ArgumentParser:
         help="spark.sql.shuffle.partitions override",
     )
 
+    ec = sub.add_parser(
+        "extract-crawl",
+        help="raw-crawl FRONT half: HTML->text main-content extraction, "
+        "unicode normalize (mojibake/control/NFC), C4 line rules — the "
+        "published recipe's stage before curate-corpus",
+    )
+    ec.add_argument("in_parquet", help="input parquet (id + html or text column)")
+    ec.add_argument("out_dir", help="directory for the extracted parquet")
+    ec.add_argument("--id-col", default="doc_id")
+    ec.add_argument(
+        "--html-col", default=None,
+        help="column holding raw HTML pages; omit if the input is "
+        "already plain text (normalize + line rules only)",
+    )
+    ec.add_argument("--text-col", default="text", help="output text column")
+    ec.add_argument(
+        "--min-text-len", type=int, default=None,
+        help="main-content block keep threshold (with --html-col)",
+    )
+    ec.add_argument(
+        "--no-line-rules", action="store_true",
+        help="skip the C4 line/page rules (extract + normalize only)",
+    )
+    ec.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="spark.sql.shuffle.partitions override",
+    )
+
     return ap
 
 
@@ -337,6 +365,30 @@ def main(argv: Sequence[str] | None = None) -> int:
             )
             result["shards"] = manifest.select("bucket", "shard").distinct().count()
             result["shard_dir"] = args.shard_dir
+        print(json.dumps(result))
+        return 0
+
+    if args.command == "extract-crawl":
+        import json
+
+        from .streaming.extract import crawl_front_transform
+
+        pages = spark.read.parquet(args.in_parquet)
+        out = crawl_front_transform(
+            pages,
+            html_col=args.html_col,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            min_text_len=args.min_text_len,
+            apply_line_rules=not args.no_line_rules,
+        )
+        out.write.mode("overwrite").parquet(args.out_dir)
+        written = spark.read.parquet(args.out_dir)
+        result = {"out": args.out_dir, "docs": written.count()}
+        if not args.no_line_rules:
+            result["docs_with_kept_lines"] = written.filter(
+                "n_kept > 0"
+            ).count()
         print(json.dumps(result))
         return 0
 

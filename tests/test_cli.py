@@ -242,3 +242,49 @@ def test_cli_curate_corpus_decontaminates(spark, tmp_path, capsys):
     assert sorted(
         r.doc_id for r in spark.read.parquet(out).collect()
     ) == [2]
+
+
+def test_cli_extract_crawl_end_to_end(spark, tmp_path, capsys):
+    """extract-crawl: HTML -> main content -> normalize -> C4 rules,
+    from the CLI; the script's brace would kill the page at the C4
+    '{' rule if extraction did not remove the subtree first."""
+    import json
+
+    page = (
+        "<html><head><title>t</title>"
+        "<script>if (x) { y(); }</script></head><body>"
+        "<nav><a href='/'>Home</a></nav>"
+        "<p>This paragraph carries enough words to clear every single "
+        "line rule and it definitely ends with terminal punctuation.</p>"
+        "<footer>(c) <a href='/t'>Terms</a></footer></body></html>"
+    )
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "extracted")
+    spark.createDataFrame(
+        [(1, page), (2, "<html><body><p>short</p></body></html>")],
+        "doc_id long, html string",
+    ).write.parquet(src)
+
+    rc = cli.main(["extract-crawl", src, out, "--html-col", "html"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # doc 2's only block is too short to survive extraction, so the C4
+    # page rule (min 1 kept line) drops the whole page — documented
+    # c4_line_filter semantics
+    assert report["docs"] == 1 and report["docs_with_kept_lines"] == 1
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1}
+    assert "terminal punctuation." in got[1].text
+    assert "{" not in got[1].text and "Home" not in got[1].text
+
+    # text-only mode (no --html-col): normalize + line rules directly
+    src2 = str(tmp_path / "texts")
+    out2 = str(tmp_path / "norm")
+    spark.createDataFrame(
+        [(1, "A clean line with plenty of words that survives the rules.")],
+        "doc_id long, text string",
+    ).write.parquet(src2)
+    rc = cli.main(["extract-crawl", src2, out2])
+    assert rc == 0
+    row = spark.read.parquet(out2).first()
+    assert row.n_kept == 1 and row.text.endswith("rules.")
