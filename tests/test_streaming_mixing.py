@@ -1,0 +1,144 @@
+"""Streaming temperature resampling: census from strictly-earlier
+batches, rate math identical to the batch entry, exactly-once replay,
+unseen-key pass-through, and census compaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmsistream_spark.operators.registry import make_registry
+from openmsistream_spark.streaming.mixing import (
+    RATE_Q,
+    batch_temperature_resample,
+    compact_census_ledger,
+    temperature_resample_stream_sink,
+)
+
+SCHEMA = "doc_id long, lang string"
+# skewed census: en-heavy batch 0, so batch 1's en docs are downsampled
+# and the rare langs upsampled
+BATCHES = [
+    [(i, "en") for i in range(12)] + [(12, "fr"), (13, "de")],
+    [(20, "en"), (21, "en"), (22, "fr"), (23, "de"), (24, "zh")],
+    [(30, "en"), (31, "fr")],
+]
+ALPHA = 0.5
+
+
+def _stream(spark, tmp_path, batches, reg, **kw):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/b={b}")
+        src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+        q = (
+            temperature_resample_stream_sink(
+                src, reg, out_dir, ckpt, alpha=ALPHA, **kw
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not finish"
+    return out_dir
+
+
+def _ref_rates(census: dict, alpha: float = ALPHA) -> dict:
+    n = sum(census.values())
+    z = sum((c / n) ** alpha for c in census.values())
+    out = {}
+    for k, c in census.items():
+        p = c / n
+        out[k] = int((p**alpha) / z / p * RATE_Q + 0.5)
+    return out
+
+
+def test_batch0_passes_through_and_rates_follow_census(spark, tmp_path):
+    reg = make_registry(spark, str(tmp_path / "led"), ["lang", "batch"])
+    out_dir = _stream(spark, tmp_path, BATCHES[:2], reg)
+    out = spark.read.parquet(out_dir)
+    b0 = out.filter(F.col("doc_id") < 20)
+    # batch 0: no census yet -> every doc exactly once at rate 1
+    assert b0.count() == len(BATCHES[0])
+    assert b0.filter("rate != 1.0 OR n_copies != 1").count() == 0
+    # batch 1: rates derive from batch 0's census (en 12, fr 1, de 1)
+    rates = {
+        r.lang: r.rate
+        for r in out.filter(F.col("doc_id") >= 20)
+        .select("lang", "rate")
+        .distinct()
+        .collect()
+    }
+    want = _ref_rates({"en": 12, "fr": 1, "de": 1})
+    assert rates["en"] == pytest.approx(want["en"] / RATE_Q)
+    assert rates["fr"] == pytest.approx(want["fr"] / RATE_Q)
+    assert rates["en"] < 1.0 < rates["fr"]
+    # zh never appeared in the census: unseen-key pass-through at rate 1
+    assert rates["zh"] == 1.0
+
+
+def test_census_counts_input_not_copies(spark, tmp_path):
+    reg = make_registry(spark, str(tmp_path / "led"), ["lang", "batch"])
+    _stream(spark, tmp_path, BATCHES[:2], reg)
+    led = {(r.lang, r.batch): r.n_docs for r in reg.read().collect()}
+    # batch 1's en delta is 2 (input rows), even though fewer/more
+    # copies may have been emitted
+    assert led[("en", 0)] == 12 and led[("en", 1)] == 2
+    assert led[("zh", 1)] == 1
+
+
+def test_replay_is_exactly_once(spark, tmp_path):
+    reg = make_registry(spark, str(tmp_path / "led"), ["lang", "batch"])
+    out_dir = _stream(spark, tmp_path, BATCHES[:2], reg)
+    first = sorted(
+        (r.doc_id, r.copy)
+        for r in spark.read.parquet(out_dir).filter("doc_id >= 20").collect()
+    )
+    # replay batch 1 through the pure step against the POST-upsert
+    # ledger: its own batch=1 deltas are not strictly earlier, so the
+    # census, rates, and emitted multiset reproduce exactly
+    replay = batch_temperature_resample(
+        spark.createDataFrame(BATCHES[1], SCHEMA), reg.read(), 1, alpha=ALPHA
+    )
+    got = sorted((r.doc_id, r.copy) for r in replay.collect())
+    assert got == first
+
+
+def test_compaction_preserves_rates(spark, tmp_path):
+    reg = make_registry(spark, str(tmp_path / "led"), ["lang", "batch"])
+    _stream(spark, tmp_path, BATCHES[:2], reg)
+    before = sorted(
+        (r.doc_id, r.copy)
+        for r in batch_temperature_resample(
+            spark.createDataFrame(BATCHES[2], SCHEMA), reg.read(), 2
+        ).collect()
+    )
+    compact_census_ledger(reg, 1)
+    led = reg.read()
+    assert led.count() == led.select("lang").distinct().count()
+    after = sorted(
+        (r.doc_id, r.copy)
+        for r in batch_temperature_resample(
+            spark.createDataFrame(BATCHES[2], SCHEMA), led, 2
+        ).collect()
+    )
+    assert before == after
+
+
+def test_alpha_sidecar_guards_drift(spark, tmp_path):
+    reg = make_registry(spark, str(tmp_path / "led"), ["lang", "batch"])
+    _stream(spark, tmp_path, BATCHES[:1], reg)
+    src = spark.readStream.schema(SCHEMA).parquet(
+        str(tmp_path / "in" / "b=*")
+    )
+    with pytest.raises(Exception, match="alpha"):
+        temperature_resample_stream_sink(
+            src,
+            reg,
+            str(tmp_path / "out2"),
+            str(tmp_path / "ckpt2"),
+            alpha=0.3,
+        )
