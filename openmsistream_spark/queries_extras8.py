@@ -350,10 +350,24 @@ def _kcenter_oracle() -> str:
     survey="LLM curation: coreset / coverage-based data pruning",
 )
 def kcenter_coreset_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
+    emb = load(spark, sf_dir, "embeddings")
+    return greedy_kcenter(emb, KCENTER_K)
+
+
+def greedy_kcenter(
+    embeddings: DataFrame,
+    k: int = KCENTER_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy farthest-point-first selection over thousandth-quantized
+    embeddings — the reusable core of ``kcenter_coreset_seeded`` (the
+    stress tool drives it at replicated-corpus scale). Returns
+    (sel_rank, <id_col>, dist2)."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
         F.transform(
-            "embedding",
+            vec_col,
             lambda x: F.floor(x.cast("double") * _KC_Q + F.lit(0.5)).cast(
                 "bigint"
             ),
@@ -375,7 +389,7 @@ def kcenter_coreset_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint").alias("dist2"),
         )
     ]
-    for i in range(2, KCENTER_K + 1):
+    for i in range(2, k + 1):
         nxt = state.orderBy(F.desc("mind"), "vec_id").limit(1)
         picks.append(
             nxt.select(

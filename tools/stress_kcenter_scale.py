@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Scale stress of greedy k-center selection (round-12 scale audit).
+
+``greedy_kcenter`` chains k broadcast-center corpus scans lazily (no
+driver collect); the claimed scale shape is k sequential passes whose
+per-pass cost is one scan + one TakeOrderedAndProject (per-partition
+top-1 heaps + a driver merge of partition champions — never a global
+sort). This measures that claim: replicate sf0.1's embeddings (noise-
+salted so replicas are distinct vectors), run the same k=8 selection,
+and record wall seconds and REST shuffle bytes (must stay ~flat — the
+only exchanges are 1-row broadcasts and partition-champion merges).
+
+Correctness rides along: each run re-checks the greedy invariants
+(distinct picks, dist2 non-increasing, seed = min id) that
+tests/test_queries_extras8.py pins against a numpy reference at small n
+(replicas legitimately change WHICH vectors are picked, so the
+invariants — not the pick identities — are the cross-scale check).
+
+Results land in STRESS_KCENTER.json; SCALING.md cites the table.
+
+Usage: python tools/stress_kcenter_scale.py [mult ...]  (default 1 10 50)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from openmsistream_spark.queries_extras8 import KCENTER_K, greedy_kcenter
+from openmsistream_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def rest_totals(spark) -> dict[str, int]:
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    stages = json.loads(urllib.request.urlopen(url, timeout=10).read())
+    keys = ("shuffleWriteBytes", "shuffleReadBytes")
+    return {k: sum(s.get(k, 0) for s in stages) for k in keys}
+
+
+def build_corpus(spark, mult: int, out_dir: str) -> str:
+    """mult x sf0.1 embeddings; replicas are perturbed by a replica-
+    dependent deterministic offset so every vector is distinct (growth
+    adds geometry, not duplicates)."""
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n_base = emb.count()
+    reps = spark.range(mult).withColumnRenamed("id", "rep")
+    big = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_base).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (
+                    F.col("rep").cast("float")
+                    * (i.cast("float") + 1.0)
+                    % 7.0
+                )
+                / 100.0,
+            ).alias("embedding"),
+        )
+    )
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    path = os.path.join(out_dir, f"emb_x{mult}")
+    big.repartition(n_cpus).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_scale(spark, mult: int, work: str) -> dict:
+    path = build_corpus(spark, mult, work)
+    emb = spark.read.parquet(path)
+    n = emb.count()
+
+    # warm-up pass (codegen compile) on a 1-row slice
+    greedy_kcenter(emb.limit(64), k=2).collect()
+
+    before = rest_totals(spark)
+    t0 = time.monotonic()
+    rows = sorted(
+        greedy_kcenter(emb, k=KCENTER_K).collect(), key=lambda r: r.sel_rank
+    )
+    wall = round(time.monotonic() - t0, 3)
+    after = rest_totals(spark)
+
+    # greedy invariants at every scale
+    assert len({r.vec_id for r in rows}) == KCENTER_K
+    assert rows[0].dist2 == 0 and rows[0].vec_id == 0
+    dists = [r.dist2 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+
+    row = {
+        "mult": mult,
+        "n_vectors": n,
+        "k": KCENTER_K,
+        "wall_sec": wall,
+        "vectors_x_k_per_sec": round(n * KCENTER_K / wall),
+        "shuffle_write_mb": round(
+            (after["shuffleWriteBytes"] - before["shuffleWriteBytes"]) / 1e6, 3
+        ),
+        "shuffle_read_mb": round(
+            (after["shuffleReadBytes"] - before["shuffleReadBytes"]) / 1e6, 3
+        ),
+        "first_pick_dist2": rows[1].dist2,
+    }
+    print(json.dumps(row), file=sys.stderr)
+    return row
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
+    spark = get_spark(
+        app_name="stress-kcenter-scale",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4097"},
+    )
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STRESS_KCENTER.json",
+    )
+    results = []
+    with tempfile.TemporaryDirectory() as work:
+        for m in mults:
+            results.append(run_scale(spark, m, work))
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "sf_base": SF_DIR,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "results": results,
+            },
+            f,
+            indent=1,
+        )
+    print(f"wrote {out_path}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
