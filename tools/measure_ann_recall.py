@@ -175,18 +175,22 @@ def main() -> None:
             )
         )
 
-    t = time.monotonic()
-    books = pq_fit(emb, m=8, kc=16).cache()
-    books.count()
-    pq_train_wall = round(time.monotonic() - t, 3)
-    results.append(
-        measure(
-            "pq_adc",
-            {"m": 8, "kc": 16, "train_sec": pq_train_wall,
-             "compression_x": round(64 * 4 / 8, 1)},
-            pq_adc_topk(emb, books, qids, k=args.k),
+    dim = len(emb.select("embedding").first()[0])
+    for m in (8, 16):
+        t = time.monotonic()
+        books = pq_fit(emb, m=m, kc=16).cache()
+        books.count()
+        pq_train_wall = round(time.monotonic() - t, 3)
+        results.append(
+            measure(
+                "pq_adc",
+                {"m": m, "kc": 16, "train_sec": pq_train_wall,
+                 # float32 dim*4 bytes -> m one-byte codes
+                 "compression_x": round(dim * 4 / m, 1)},
+                pq_adc_topk(emb, books, qids, k=args.k),
+            )
         )
-    )
+        books.unpersist()
 
     record = {
         "sf": args.sf,
