@@ -98,3 +98,43 @@ def test_paragraphs_match_python_reference(spark, texts):
         i: _ref_paragraphs(t) for i, t in enumerate(texts)
     }
     assert got == want
+
+_soup_piece = st.one_of(
+    st.text(
+        alphabet=list("<>&;/=\"' abcdefghij\n\t!-"), min_size=0, max_size=12
+    ),
+    # no "&lt;"/"&#60;" pieces: entity decoding (correctly, after tag
+    # removal) turns them into literal '<' text, which the no-tag
+    # assertion below would misread as a leak — the entity ORDER
+    # semantics are pinned by test_extract_entities_and_script_lt
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<div", "<script>", "</script>", "<!--", "-->",
+            "<a href='x'>", "</a>", "&amp;", "<br/>",
+            "<style>", "</style>", "< p >", "<<>>", "</", ">",
+        ]
+    ),
+)
+
+
+@given(st.lists(st.lists(_soup_piece, max_size=25).map("".join), min_size=1, max_size=16))
+@settings(max_examples=12, deadline=None)
+def test_extract_survives_malformed_tag_soup(spark, pages):
+    """Real crawl HTML is malformed: unclosed tags, stray brackets,
+    half comments, nested script fragments. The extractor must never
+    throw, always yield sane counters, and never leak a script/style
+    subtree or a well-formed tag into the text."""
+    from openmsistream_spark.llm.extract import extract_main_content
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], "doc_id long, html string"
+    )
+    rows = extract_main_content(df, "html").collect()
+    assert len(rows) == len(pages)
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_blocks
+        assert (r.main_text == "") == (r.n_kept == 0)
+        # a kept block never contains a well-formed tag
+        import re as _re
+
+        assert not _re.search(r"<[a-z!/][^>]*>", r.main_text or "")
