@@ -383,13 +383,11 @@ def main(argv: Sequence[str] | None = None) -> int:
             apply_line_rules=not args.no_line_rules,
         )
         out.write.mode("overwrite").parquet(args.out_dir)
-        written = spark.read.parquet(args.out_dir)
-        result = {"out": args.out_dir, "docs": written.count()}
-        if not args.no_line_rules:
-            result["docs_with_kept_lines"] = written.filter(
-                "n_kept > 0"
-            ).count()
-        print(json.dumps(result))
+        # with line rules on, c4_line_filter already drops every page
+        # with zero kept lines, so every written doc has n_kept >= 1 —
+        # one count says it all
+        n_docs = spark.read.parquet(args.out_dir).count()
+        print(json.dumps({"out": args.out_dir, "docs": n_docs}))
         return 0
 
     raise AssertionError(f"unhandled command {args.command!r}")

@@ -55,11 +55,55 @@ TEMP_ALPHA = 0.5
 _RATE_Q = 1_000_000
 
 
+#: public alias (streaming/mixing.py shares the quantization).
+RATE_Q = _RATE_Q
+
+#: salt for the fractional-copy hash (shared with streaming/mixing.py —
+#: the replay guarantee depends on batch and stream hashing identically).
+TEMP_SALT = "temp|"
+
+
 def _u60(col: Column, salt: str) -> Column:
     """60-bit salted hash as BIGINT — the repo's one md5-prefix hash
     convention (``functions.hashes.portable_hash64``; DuckDB mirror:
     ``('0x' || substr(md5(...), 1, 15))::UBIGINT``)."""
     return portable_hash64(F.concat(F.lit(salt), col.cast("string")))
+
+
+def temperature_rate_frame(
+    counts: DataFrame, alpha: float, key_col: str = "lang"
+) -> DataFrame:
+    """(key, n_d) counts → (key, rate_q) temperature resampling rates,
+    quantized to integer millionths: rate_d = (p_d^alpha / Σ p^alpha) /
+    p_d. THE one implementation of the rate math — the batch catalog
+    entry and the streaming census sink (streaming/mixing.py) both call
+    it, so the stream's replay-identity claim ('rates exactly like the
+    batch entry') is coupling, not hand-mirroring."""
+    tot = counts.agg(F.sum("n_d").alias("n"))
+    p = F.col("n_d") / F.col("n")
+    z = (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.pow(p, F.lit(alpha))).alias("z"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(z))
+        .select(
+            key_col,
+            F.floor(
+                F.pow(p, F.lit(alpha)) / F.col("z") / p * _RATE_Q
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("rate_q"),
+        )
+    )
+
+
+def temperature_copy_hash(id_col: str = "doc_id") -> Column:
+    """The per-document fractional-copy hash (millionths), shared by
+    the batch entry and the streaming sink."""
+    return _u60(F.col(id_col), TEMP_SALT) % _RATE_Q
 
 
 # ------------------------------------------------------ 1. temperature
@@ -106,26 +150,8 @@ def _u60(col: Column, salt: str) -> Column:
 def temperature_resample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     c = docs.groupBy("lang").agg(F.count("*").alias("n_d"))
-    tot = c.agg(F.sum("n_d").alias("n"))
-    p = F.col("n_d") / F.col("n")
-    z = (
-        c.crossJoin(F.broadcast(tot))
-        .agg(F.sum(F.pow(p, F.lit(TEMP_ALPHA))).alias("z"))
-    )
-    rates = (
-        c.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(z))
-        .select(
-            "lang",
-            F.floor(
-                F.pow(p, F.lit(TEMP_ALPHA)) / F.col("z") / p * _RATE_Q
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("rate_q"),
-        )
-    )
-    h = _u60(F.col("doc_id"), "temp|") % _RATE_Q
+    rates = temperature_rate_frame(c, TEMP_ALPHA, "lang")
+    h = temperature_copy_hash("doc_id")
     extra = (h < F.col("rate_q") % _RATE_Q).cast("bigint")
     n_copies = F.expr(f"rate_q DIV {_RATE_Q}") + extra
     return (

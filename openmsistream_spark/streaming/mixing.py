@@ -43,10 +43,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashes import portable_hash64
-
-#: millionths quantization for rates (mirror of queries_extras8._RATE_Q).
-RATE_Q = 1_000_000
+from ..queries_extras8 import (
+    RATE_Q,
+    temperature_copy_hash,
+    temperature_rate_frame,
+)
 
 
 def batch_temperature_resample(
@@ -65,45 +66,32 @@ def batch_temperature_resample(
 
     Output: the input rows plus (rate DOUBLE, n_copies BIGINT,
     copy BIGINT)."""
-    census = None
-    if ledger is not None:
-        census = (
-            ledger.filter(F.col("batch") < F.lit(int(batch_id)))
-            .groupBy(key_col)
-            .agg(F.sum("n_docs").alias("n_d"))
-        )
-        if census.limit(1).count() == 0:
-            census = None
-    if census is None:
+    if ledger is None:
+        # batch 0: no census yet — pure pass-through, no extra jobs
         return (
             batch_df.withColumn("rate", F.lit(1.0))
             .withColumn("n_copies", F.lit(1).cast("bigint"))
             .withColumn("copy", F.lit(1).cast("bigint"))
         )
-    tot = census.agg(F.sum("n_d").alias("n"))
-    p = F.col("n_d") / F.col("n")
-    z = (
-        census.crossJoin(F.broadcast(tot))
-        .agg(F.sum(F.pow(p, F.lit(alpha))).alias("z"))
+    census = (
+        ledger.filter(F.col("batch") < F.lit(int(batch_id)))
+        .groupBy(key_col)
+        .agg(F.sum("n_docs").alias("n_d"))
     )
+    # an EMPTY census needs no special branch: the rate frame is then
+    # empty, the left join below yields null _rate_q, and the coalesce
+    # passes every doc through at rate 1 — same result, one less job.
+    # The rate MATH is the batch entry's own function (shared, not
+    # mirrored), so replay identity is coupling by construction; only
+    # the final per-doc join is pruned to the batch's keys, since the
+    # census/normalizer must see every key but the broadcast need not
+    # (cf. quota.py's identical bound — keys ever seen is unbounded).
     rates = (
-        census.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(z))
-        .select(
-            key_col,
-            F.floor(
-                F.pow(p, F.lit(alpha)) / F.col("z") / p * RATE_Q + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("_rate_q"),
-        )
+        temperature_rate_frame(census, alpha, key_col)
+        .withColumnRenamed("rate_q", "_rate_q")
+        .join(batch_df.select(key_col).distinct(), key_col, "left_semi")
     )
-    h = (
-        portable_hash64(
-            F.concat(F.lit("temp|"), F.col(id_col).cast("string"))
-        )
-        % RATE_Q
-    )
+    h = temperature_copy_hash(id_col)
     extra = (h < F.col("_rate_q") % RATE_Q).cast("bigint")
     n_copies = F.expr(f"_rate_q DIV {RATE_Q}") + extra
     return (
@@ -196,21 +184,8 @@ def temperature_resample_stream_sink(
 def compact_census_ledger(census_registry, upto_batch: int) -> None:
     """Fold every delta row with ``batch <= upto_batch`` into one row
     per key (tagged ``batch = upto_batch``) — same contract and
-    serialization requirements as ``compact_quota_ledger``."""
-    ledger = census_registry.read()
-    if ledger is None:
-        return
-    key_cols = [c for c in ledger.columns if c not in ("batch", "n_docs")]
-    folded = (
-        ledger.filter(F.col("batch") <= upto_batch)
-        .groupBy(*key_cols)
-        .agg(
-            F.lit(int(upto_batch)).cast("long").alias("batch"),
-            F.sum("n_docs").alias("n_docs"),
-        )
-    )
-    kept = ledger.filter(F.col("batch") > upto_batch)
-    cols = key_cols + ["batch", "n_docs"]
-    census_registry.replace(
-        kept.select(*cols).unionByName(folded.select(*cols))
-    )
+    serialization requirements as ``compact_quota_ledger`` (the shared
+    ``ledger_fold.fold_count_ledger`` implements both)."""
+    from .ledger_fold import fold_count_ledger
+
+    fold_count_ledger(census_registry, upto_batch, "n_docs")

@@ -173,20 +173,6 @@ def compact_quota_ledger(quota_registry, upto_batch: int) -> None:
     Concurrency contract: whole-table ``replace`` — MUST be serialized
     with the stream's upserts (pass ``compact_every=`` to the sink, or
     call only while the query is stopped)."""
-    ledger = quota_registry.read()
-    if ledger is None:
-        return
-    key_cols = [c for c in ledger.columns if c not in ("batch", "n_admitted")]
-    folded = (
-        ledger.filter(F.col("batch") <= upto_batch)
-        .groupBy(*key_cols)
-        .agg(
-            F.lit(int(upto_batch)).cast("long").alias("batch"),
-            F.sum("n_admitted").alias("n_admitted"),
-        )
-    )
-    kept = ledger.filter(F.col("batch") > upto_batch)
-    cols = key_cols + ["batch", "n_admitted"]
-    quota_registry.replace(
-        kept.select(*cols).unionByName(folded.select(*cols))
-    )
+    from .ledger_fold import fold_count_ledger
+
+    fold_count_ledger(quota_registry, upto_batch, "n_admitted")

@@ -271,9 +271,10 @@ def test_cli_extract_crawl_end_to_end(spark, tmp_path, capsys):
     # doc 2's only block is too short to survive extraction, so the C4
     # page rule (min 1 kept line) drops the whole page — documented
     # c4_line_filter semantics
-    assert report["docs"] == 1 and report["docs_with_kept_lines"] == 1
+    assert report["docs"] == 1
     got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
     assert set(got) == {1}
+    assert got[1].n_kept >= 1  # every surviving page has kept lines
     assert "terminal punctuation." in got[1].text
     assert "{" not in got[1].text and "Home" not in got[1].text
 

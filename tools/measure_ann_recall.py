@@ -92,9 +92,10 @@ def main() -> None:
     if args.planted_clusters:
         # CONTROL corpus: same cardinality/dim, but with real cluster
         # structure — each vector is one of `planted` unit anchors plus
-        # small deterministic hash noise. If the space-partitioning
-        # variants recover high recall HERE, their low recall on the
-        # stock corpus is the isotropic data, not the implementation.
+        # small seeded-rng noise (deterministic per vec_id). If the
+        # space-partitioning variants recover high recall HERE, their
+        # low recall on the stock corpus is the isotropic data, not the
+        # implementation.
         emb = _planted(spark, emb, args.planted_clusters)
     n = emb.count()
     step = max(1, n // args.n_queries)
@@ -195,7 +196,7 @@ def main() -> None:
     record = {
         "sf": args.sf,
         "corpus_n": n,
-        "dim": len(emb.select("embedding").first()[0]),
+        "dim": dim,
         "planted_clusters": args.planted_clusters or None,
         "results": results,
     }

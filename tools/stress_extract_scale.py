@@ -39,6 +39,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def rest_totals(spark) -> dict[str, int]:
     """Cumulative shuffle/in-out bytes across all completed stages."""
+    # settle: the status store is fed by the async listener bus — an
+    # immediate post-collect read can miss the final stages' metrics
+    time.sleep(1.0)
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     url = f"{base}/api/v1/applications/{app}/stages?status=complete"

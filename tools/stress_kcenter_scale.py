@@ -41,6 +41,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def rest_totals(spark) -> dict[str, int]:
+    # the AppStatusStore is fed by the async listener bus: settle
+    # briefly so the just-finished stages' metrics are applied before
+    # the snapshot (an immediate read can under-report the delta)
+    time.sleep(1.0)
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     url = f"{base}/api/v1/applications/{app}/stages?status=complete"
@@ -56,6 +60,10 @@ def build_corpus(spark, mult: int, out_dir: str) -> str:
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     n_base = emb.count()
     reps = spark.range(mult).withColumnRenamed("id", "rep")
+    # offset modulus 101 (prime, > any mult used): replicas r1 != r2
+    # (< 101) differ at EVERY dim, since (r1-r2)*(i+1) = 0 mod 101
+    # needs r1 = r2 — a composite small modulus (e.g. 7) would make
+    # replicas r and r+7 byte-identical, degenerate for k-center
     big = (
         emb.crossJoin(F.broadcast(reps))
         .select(
@@ -64,11 +72,10 @@ def build_corpus(spark, mult: int, out_dir: str) -> str:
                 "embedding",
                 lambda x, i: x
                 + (
-                    F.col("rep").cast("float")
-                    * (i.cast("float") + 1.0)
-                    % 7.0
+                    (F.col("rep").cast("float") * (i.cast("float") + 1.0))
+                    % 101.0
                 )
-                / 100.0,
+                / 1010.0,
             ).alias("embedding"),
         )
     )
