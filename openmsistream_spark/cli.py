@@ -227,7 +227,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Sequence[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if (
+        args.command == "extract-crawl"
+        and args.min_text_len is not None
+        and args.html_col is None
+    ):
+        # the keep threshold only applies during HTML main-content
+        # extraction; silently ignoring it in text-only mode would let a
+        # user believe they tuned something (round-12 advisory)
+        parser.error(
+            "--min-text-len only applies during HTML extraction — "
+            "pass --html-col, or drop --min-text-len for text-only input"
+        )
 
     # --config: reference-format INI resolves the bare topic name to a
     # kafka:// URI and supplies client options to the connector

@@ -78,7 +78,20 @@ def temperature_rate_frame(
     p_d. THE one implementation of the rate math — the batch catalog
     entry and the streaming census sink (streaming/mixing.py) both call
     it, so the stream's replay-identity claim ('rates exactly like the
-    batch entry') is coupling, not hand-mirroring."""
+    batch entry') is coupling, not hand-mirroring.
+
+    Exactness caveat (round-12 advisory, documented rather than hidden):
+    the quantization happens AFTER double-precision pow/sum/division
+    that Spark and DuckDB each compute independently, so the integer
+    compare at the copy boundary removes float-ORDER risk inside each
+    engine but not the residual CROSS-ENGINE risk that an ulp divergence
+    lands exactly on a floor(x*1e6+0.5) boundary and flips rate_q by 1.
+    No exact path exists — alpha=0.5 makes p^alpha irrational, and the
+    oracle SQL is a fixed string that cannot embed data-dependent
+    precomputed integers — so the quantization narrows the window to
+    ~1-ulp-of-1e6 rather than eliminating it. Within one engine (the
+    batch↔stream replay contract) the rates are bit-identical because
+    both sides call this same function on the same engine."""
     tot = counts.agg(F.sum("n_d").alias("n"))
     p = F.col("n_d") / F.col("n")
     z = (

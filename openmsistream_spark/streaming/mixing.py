@@ -66,9 +66,27 @@ def batch_temperature_resample(
 
     Output: the input rows plus (rate DOUBLE, n_copies BIGINT,
     copy BIGINT)."""
+    # both branches end on the SAME final projection (input columns,
+    # then rate / n_copies / copy, nullability pinned by the coalesce
+    # with a non-null literal — no row is ever null there, n_copies > 0
+    # is filtered and rate is always joined-or-defaulted): a checkpoint
+    # replay of batch 0 takes the census branch (the ledger exists by
+    # then, its own rows filter out) and must overwrite batch=0 with a
+    # parquet schema byte-identical to the original write — order AND
+    # required/optional flags (round-12 advisory)
+    def _finish(df: DataFrame) -> DataFrame:
+        return df.select(
+            *batch_df.columns,
+            F.coalesce(F.col("rate"), F.lit(0.0)).alias("rate"),
+            F.coalesce(F.col("n_copies"), F.lit(0).cast("bigint")).alias(
+                "n_copies"
+            ),
+            F.coalesce(F.col("copy"), F.lit(0).cast("bigint")).alias("copy"),
+        )
+
     if ledger is None:
         # batch 0: no census yet — pure pass-through, no extra jobs
-        return (
+        return _finish(
             batch_df.withColumn("rate", F.lit(1.0))
             .withColumn("n_copies", F.lit(1).cast("bigint"))
             .withColumn("copy", F.lit(1).cast("bigint"))
@@ -112,7 +130,7 @@ def batch_temperature_resample(
                 F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))
             ),
         )
-        .drop("_rate_q")
+        .transform(_finish)
     )
 
 
@@ -138,7 +156,7 @@ def temperature_resample_stream_sink(
     [key_col, "batch"])``. ``alpha`` and the column names are
     sidecar-guarded (a silently changed alpha would break replay
     identity). Returns the configured ``DataStreamWriter``."""
-    from .params_guard import sidecar_batch_guard
+    from .params_guard import refuse_lost_ledger, sidecar_batch_guard
 
     guard = sidecar_batch_guard(
         census_registry,
@@ -154,6 +172,11 @@ def temperature_resample_stream_sink(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         guard()
+        # census loss past batch 0 must refuse, not silently rate-1 the
+        # whole batch against an empty census (round-12 advisory)
+        refuse_lost_ledger(
+            census_registry, batch_id, "temperature_resample_stream_sink"
+        )
         ledger = census_registry.read()
         out = batch_temperature_resample(
             batch_df,

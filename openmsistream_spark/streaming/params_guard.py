@@ -116,6 +116,38 @@ def ensure_sidecar_params(
         )
 
 
+def refuse_lost_ledger(registry, batch_id: int, sink_name: str) -> None:
+    """Refuse the one ledger state that is only reachable by LOSING the
+    ledger: ``batch_id > 0`` (the checkpoint has committed at least one
+    batch) while the ledger is absent but its ``_params`` sidecar still
+    exists.
+
+    Every legitimate fresh start happens at batch 0 (new checkpoint) or
+    with no sidecar at all; the sink's own batch 0 creates the ledger
+    before its checkpoint commits, so by any later batch the ledger
+    exists unless it was destroyed afterward — a crash between
+    ``ParquetRegistry._overwrite``'s two renames, or a manual delete of
+    the ledger directory while the checkpoint survived. Treating that
+    as 'no history' would silently re-admit up to quota per key /
+    re-weight from an empty census against outputs already written;
+    this turns it into a refusal by name (round-12 advisory). Resets
+    remain possible by also deleting the checkpoint (start at batch 0)
+    or the sidecar (explicitly disclaiming the recorded parameters)."""
+    if int(batch_id) > 0 and not registry.exists():
+        params_path = registry.path.rstrip("/") + "_params"
+        if registry.fs.exists(params_path):
+            raise ValueError(
+                f"{sink_name}: batch {batch_id} found NO ledger at "
+                f"{registry.path} but its _params sidecar exists — the "
+                "ledger was lost after this stream's earlier batches "
+                "committed (crash mid-overwrite or manual delete). "
+                "Refusing to silently restart history: restore the "
+                "ledger (a .old-* staging copy may survive next to it), "
+                "or delete the checkpoint AND sidecar to genuinely start "
+                "fresh"
+            )
+
+
 def sidecar_batch_guard(registry, params: dict[str, int | str], sink_name: str):
     """Per-micro-batch form of the guard for foreachBatch sinks.
 

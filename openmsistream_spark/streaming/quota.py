@@ -112,7 +112,7 @@ def quota_cap_stream_sink(
     turns that into a refusal instead of a silent exactly-once break.
     Returns the configured ``DataStreamWriter`` — caller picks the
     trigger and calls ``.start()``."""
-    from .params_guard import sidecar_batch_guard
+    from .params_guard import refuse_lost_ledger, sidecar_batch_guard
 
     guard = sidecar_batch_guard(
         quota_registry,
@@ -123,6 +123,10 @@ def quota_cap_stream_sink(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         guard()
+        # a missing ledger is 'no history' ONLY at batch 0: past that,
+        # ledger-absent + sidecar-present means the ledger was LOST and
+        # silently re-admitting quota per key would break exactly-once
+        refuse_lost_ledger(quota_registry, batch_id, "quota_cap_stream_sink")
         ledger = quota_registry.read()
         admitted = batch_quota_admit(
             batch_df,

@@ -289,3 +289,16 @@ def test_cli_extract_crawl_end_to_end(spark, tmp_path, capsys):
     assert rc == 0
     row = spark.read.parquet(out2).first()
     assert row.n_kept == 1 and row.text.endswith("rules.")
+
+
+def test_cli_extract_crawl_rejects_min_text_len_without_html_col():
+    """--min-text-len only acts during HTML extraction; text-only mode
+    must refuse it loudly instead of silently ignoring the knob
+    (round-12 advisory)."""
+    import pytest
+
+    from openmsistream_spark import cli
+
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["extract-crawl", "in.parquet", "out", "--min-text-len", "40"])
+    assert exc.value.code == 2  # argparse usage error, before any Spark work

@@ -142,3 +142,51 @@ def test_alpha_sidecar_guards_drift(spark, tmp_path):
             str(tmp_path / "ckpt2"),
             alpha=0.3,
         )
+
+
+def test_batch0_replay_schema_order_matches_original(spark, tmp_path):
+    """A checkpoint replay of batch 0 takes the census branch (the
+    ledger exists by then; its own rows are not strictly earlier) —
+    the emitted frame must match the original batch-0 write in COLUMN
+    ORDER, not just values (round-12 advisory)."""
+    reg = make_registry(spark, str(tmp_path / "led"), ["lang", "batch"])
+    out_dir = _stream(spark, tmp_path, BATCHES[:1], reg)
+    original = spark.read.parquet(f"{out_dir}/batch=0")
+    replay = batch_temperature_resample(
+        spark.createDataFrame(BATCHES[0], SCHEMA), reg.read(), 0, alpha=ALPHA
+    )
+    # the structural claim is about the WRITTEN parquet: overwrite the
+    # partition the way the sink would and compare the read-back schema
+    # (column order + types as recorded in the file footer)
+    replay.write.mode("overwrite").parquet(str(tmp_path / "replay0"))
+    replayed = spark.read.parquet(str(tmp_path / "replay0"))
+    assert replayed.schema == original.schema
+    # and the in-memory branches agree on nullability too (batch-0
+    # literals vs census-branch coalesces)
+    b0 = batch_temperature_resample(
+        spark.createDataFrame(BATCHES[0], SCHEMA), None, 0, alpha=ALPHA
+    )
+    assert b0.schema == replay.schema
+    assert sorted(map(tuple, replay.collect())) == sorted(
+        map(tuple, original.collect())
+    )
+
+
+def test_lost_census_refused_mid_stream(spark, tmp_path):
+    reg = make_registry(spark, str(tmp_path / "led"), ["lang", "batch"])
+    out_dir = _stream(spark, tmp_path, BATCHES[:2], reg)
+    reg.fs.delete(reg.path)  # census lost; sidecar + checkpoint survive
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(BATCHES[2], SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{in_dir}/b=2")
+    src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+    q = (
+        temperature_resample_stream_sink(
+            src, reg, out_dir, ckpt, alpha=ALPHA
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="lost|NO ledger"):
+        q.awaitTermination(300)

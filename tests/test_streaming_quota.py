@@ -183,3 +183,50 @@ def test_quota_sidecar_guards_drift(spark, tmp_path):
         quota_cap_stream_sink(
             src, reg, out_dir, str(tmp_path / "ckpt2"), quota=QUOTA + 1
         )
+
+
+def test_lost_ledger_refused_mid_stream(spark, tmp_path):
+    """Ledger gone + sidecar present + checkpoint past batch 0 is only
+    reachable by LOSING the ledger — the sink must refuse, not silently
+    re-admit quota per key from scratch (round-12 advisory)."""
+    reg = make_registry(spark, str(tmp_path / "led"), ["domain", "batch"])
+    out_dir = _stream_batches(spark, tmp_path, BATCHES[:2], reg)
+    reg.fs.delete(reg.path)  # simulate loss; sidecar + checkpoint survive
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(BATCHES[2], SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{in_dir}/b=2")
+    src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+    q = (
+        quota_cap_stream_sink(src, reg, out_dir, ckpt, quota=QUOTA)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="lost|NO ledger"):
+        q.awaitTermination(300)
+
+
+def test_refuse_lost_ledger_states(spark, tmp_path):
+    """Unit contract of the refusal: fires ONLY for batch>0 + sidecar
+    present + ledger absent; every legitimate state passes."""
+    from openmsistream_spark.streaming.params_guard import (
+        ensure_sidecar_params,
+        refuse_lost_ledger,
+    )
+
+    reg = make_registry(spark, str(tmp_path / "led2"), ["domain", "batch"])
+    # no sidecar, no ledger: fresh start at any batch id passes (the
+    # explicit 'delete the sidecar to disclaim history' reset path)
+    refuse_lost_ledger(reg, 0, "t")
+    refuse_lost_ledger(reg, 3, "t")
+    ensure_sidecar_params(reg, {"quota": 3}, "t")
+    # sidecar present, ledger absent: batch 0 is a legitimate first
+    # batch; batch > 0 is the loss state
+    refuse_lost_ledger(reg, 0, "t")
+    with pytest.raises(ValueError, match="NO ledger"):
+        refuse_lost_ledger(reg, 1, "t")
+    # ledger present: always passes
+    reg.upsert(
+        spark.createDataFrame([("d1", 0, 1)], "domain string, batch long, n_admitted long")
+    )
+    refuse_lost_ledger(reg, 5, "t")
