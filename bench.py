@@ -30,6 +30,7 @@ import openmsistream_spark.queries_extras5  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras6  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras7  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras8  # noqa: E402,F401  registers extras
+import openmsistream_spark.queries_extras9  # noqa: E402,F401  registers extras
 
 HEADLINE = [
     "q1_pricing_summary",

@@ -94,12 +94,13 @@ def _pixel_features(px: "np.ndarray", width: int, height: int, channels: int) ->
     }
 
 
-def decode_bmp(content: bytes) -> dict:
-    """Uncompressed BMP (BITMAPINFOHEADER, 8/24/32 bpp): 14-byte file
-    header ('BM', pixel-data offset at byte 10), 40-byte info header
-    (width/height int32 — negative height = top-down), rows padded to
-    4-byte boundaries. Palette indices (8 bpp) are treated as grayscale
-    values; 24/32 bpp rows are BGR(A) order per the spec."""
+def bmp_pixels(content: bytes) -> "np.ndarray":
+    """Uncompressed BMP (BITMAPINFOHEADER, 8/24/32 bpp) → (h, w, c)
+    uint8 pixel array: 14-byte file header ('BM', pixel-data offset at
+    byte 10), 40-byte info header (width/height int32 — negative height
+    = top-down), rows padded to 4-byte boundaries. Palette indices
+    (8 bpp) are treated as grayscale values; 24/32 bpp rows are BGR(A)
+    order per the spec."""
     if len(content) < 54 or content[:2] != b"BM":
         raise ValueError("not a BMP")
     (data_off,) = struct.unpack_from("<I", content, 10)
@@ -125,13 +126,21 @@ def decode_bmp(content: bytes) -> dict:
         px = px[::-1]  # bottom-up storage → top-down array
     if channels >= 3:
         px = px[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]  # BGR(A)→RGB(A)
-    return _pixel_features(px, width, height, channels)
+    return px
 
 
-def decode_ppm(content: bytes) -> dict:
-    """Binary PPM (P6, RGB) / PGM (P5, gray): ASCII header of magic,
-    width, height, maxval (whitespace/comment separated), then raw
-    samples, one or three bytes per pixel (maxval <= 255)."""
+def decode_bmp(content: bytes) -> dict:
+    """Feature form of ``bmp_pixels`` (the decode_features contract)."""
+    px = bmp_pixels(content)
+    h, w, c = px.shape
+    return _pixel_features(px, w, h, c)
+
+
+def ppm_pixels(content: bytes) -> "np.ndarray":
+    """Binary PPM (P6, RGB) / PGM (P5, gray) → (h, w, c) uint8 pixel
+    array: ASCII header of magic, width, height, maxval (whitespace/
+    comment separated), then raw samples, one or three bytes per pixel
+    (maxval <= 255)."""
     if content[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PPM/PGM")
     channels = 3 if content[:2] == b"P6" else 1
@@ -155,10 +164,16 @@ def decode_ppm(content: bytes) -> dict:
     need = width * height * channels
     if len(content) < pos + need:
         raise ValueError("truncated PPM pixel data")
-    px = np.frombuffer(content, dtype=np.uint8, count=need, offset=pos).reshape(
+    return np.frombuffer(content, dtype=np.uint8, count=need, offset=pos).reshape(
         height, width, channels
     )
-    return _pixel_features(px, width, height, channels)
+
+
+def decode_ppm(content: bytes) -> dict:
+    """Feature form of ``ppm_pixels`` (the decode_features contract)."""
+    px = ppm_pixels(content)
+    h, w, c = px.shape
+    return _pixel_features(px, w, h, c)
 
 
 def decode_wav(content: bytes) -> dict:
@@ -208,6 +223,18 @@ def decode_wav(content: bytes) -> dict:
             float(samples.max()) if len(samples) else 0.0,
         ],
     }
+
+
+def sniff_pixels(content: bytes):
+    """Image-pixel twin of ``_sniff`` for the perceptual-hash family
+    (llm/phash.py): the matching pixel decoder (bytes → (h, w, c) uint8
+    array) for the dependency-free image formats, or None for non-image
+    bytes (audio has no perceptual-hash path here)."""
+    if content[:2] == b"BM":
+        return bmp_pixels
+    if content[:2] in (b"P5", b"P6"):
+        return ppm_pixels
+    return None
 
 
 def _sniff(content: bytes):

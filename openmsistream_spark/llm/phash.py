@@ -1,0 +1,283 @@
+"""Image perceptual hashing + Hamming-banded near-dup — the dedup
+treatment for the multimodal axis (every text modality already has
+one: exact / MinHash / SimHash / span / embedding).
+
+Two public fingerprint algorithms, both 64-bit, both computed from REAL
+decoded pixels (llm/multimodal.py's dependency-free BMP/PPM/PGM
+decoders — no codec libraries needed):
+
+- **dHash** (difference hash, the gradient member of the average-hash
+  family — public algorithm, Krawetz 2013 "Kind of Like That"):
+  grayscale → 8x9 area-average grid → bit (r, c) compares horizontally
+  adjacent cell means. This implementation is EXACT-INTEGER end to end:
+  grayscale uses the integer Rec.601 luma (299R+587G+114B, rounded),
+  grid cells are integral-image block sums, and the mean comparison is
+  cross-multiplied (sum_l * area_r < sum_r * area_l) so no float ever
+  enters — the DuckDB oracle reproduces every bit.
+- **pHash** (DCT hash, same lineage): grayscale → 32x32 area-resize →
+  2-D DCT-II → low-frequency 8x8 block → bit = coefficient > median of
+  the 63 AC coefficients. Float DCT (numpy matmul) — property-tested
+  (noise robustness, brightness invariance) rather than oracle-paired.
+
+Near-dup pairs reuse the repo's Hamming banding device
+(llm/dedup.py:simhash_band_pairs, the pigeonhole construction): split
+the 64-bit fingerprint into ``bands`` equal ranges; two fingerprints
+within hamming < bands agree exactly on at least one band, so an
+equi-join on (band, band_val) generates every such pair — never
+all-pairs. Candidates verify exactly with bit_count(a ^ b).
+
+Scale shape: one Arrow ``mapInPandas`` decode+hash stage (the only
+Python — same batch shape as multimodal.decode_features), then the
+fingerprint table is 16 bytes/image and everything downstream (banding
+explode, equi-join, bit_count) is JVM codegen. The reference engine has
+no image path (lab files only — nothing to cite there); this derives
+from the public perceptual-hash literature per the driver's brief
+("multimodal columns" as first-class).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .multimodal import sniff_pixels
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+    ]
+)
+
+#: dHash grid: 8 rows x 9 cols -> 8x8 = 64 horizontal comparisons.
+_DH_ROWS, _DH_COLS = 8, 9
+
+
+def gray_pixels(px: "np.ndarray") -> "np.ndarray":
+    """(h, w, c) uint8 → (h, w) int64 grayscale. Single-channel passes
+    through; RGB(A) uses integer Rec.601 luma, half-up rounded —
+    (299R + 587G + 114B + 500) // 1000 — so the result is exact and
+    engine-independent (no float weights)."""
+    p = px.astype(np.int64)
+    if p.shape[2] == 1:
+        return p[:, :, 0]
+    r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+    return (299 * r + 587 * g + 114 * b + 500) // 1000
+
+
+def _block_sums(gray: "np.ndarray", gh: int, gw: int):
+    """Exact integer area pooling: partition the (h, w) grayscale into a
+    gh x gw grid at boundaries floor(i*h/gh) / floor(j*w/gw) and return
+    (block pixel sums, block areas), both int64 — the integral-image
+    form, O(h*w) regardless of grid size."""
+    h, w = gray.shape
+    if h < gh or w < gw:
+        raise ValueError(f"image {h}x{w} smaller than the {gh}x{gw} hash grid")
+    s = np.zeros((h + 1, w + 1), dtype=np.int64)
+    s[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    rb = (np.arange(gh + 1) * h) // gh
+    cb = (np.arange(gw + 1) * w) // gw
+    corners = s[np.ix_(rb, cb)]
+    sums = (
+        corners[1:, 1:] - corners[:-1, 1:] - corners[1:, :-1] + corners[:-1, :-1]
+    )
+    areas = np.outer(np.diff(rb), np.diff(cb)).astype(np.int64)
+    return sums, areas
+
+
+def _to_signed64(fp: int) -> int:
+    """Two's-complement fold of a 64-bit unsigned fingerprint into the
+    signed BIGINT both Spark and parquet carry (DuckDB mirror:
+    CASE WHEN u >= 2^63 THEN u - 2^64 ELSE u END)."""
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def dhash_int(gray: "np.ndarray") -> int:
+    """64-bit dHash of an integer grayscale array, as signed int.
+
+    Bit k = r*8 + c (r in 0..7, c in 0..7) is set iff the 8x9 grid
+    cell (r, c)'s mean is LESS THAN cell (r, c+1)'s — compared as
+    cross-multiplied integer block sums (sum_l * area_r < sum_r *
+    area_l), exact for any image size: values <= 255 * h * w * area
+    stay far below 2^63 for any image this decoder family produces."""
+    sums, areas = _block_sums(gray, _DH_ROWS, _DH_COLS)
+    left_s, right_s = sums[:, :-1], sums[:, 1:]
+    left_a, right_a = areas[:, :-1], areas[:, 1:]
+    bits = (left_s * right_a) < (right_s * left_a)  # (8, 8) bool
+    fp = 0
+    for k in np.nonzero(bits.reshape(-1))[0]:
+        fp |= 1 << int(k)
+    return _to_signed64(fp)
+
+
+#: pHash intermediate resize (standard parameterization).
+_PH_SIZE = 32
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis (the scipy.fft.dct(norm='ortho')
+    matrix), built from first principles — no scipy in this container."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+_DCT32 = _dct_matrix(_PH_SIZE)
+
+
+def phash_int(gray: "np.ndarray") -> int:
+    """64-bit DCT pHash of an integer grayscale array, as signed int:
+    area-resize to 32x32 (exact block means, then float), 2-D DCT-II,
+    keep the low-frequency 8x8 corner, bit k set iff coefficient k
+    exceeds the MEDIAN of the 63 AC coefficients (DC participates in
+    the bits but not the median — the standard brightness-invariance
+    construction)."""
+    sums, areas = _block_sums(gray, _PH_SIZE, _PH_SIZE)
+    small = sums / areas  # float block means
+    coefs = (_DCT32 @ small @ _DCT32.T)[:8, :8].reshape(-1)
+    med = float(np.median(coefs[1:]))
+    fp = 0
+    for k in np.nonzero(coefs > med)[0]:
+        fp |= 1 << int(k)
+    return _to_signed64(fp)
+
+
+def image_fingerprints(
+    media: DataFrame,
+    algo: str = "dhash",
+    strict: bool = True,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Perceptual fingerprints for an image media frame → (media_id,
+    fingerprint BIGINT), one Arrow ``mapInPandas`` stage (decode + hash
+    per batch — the multimodal.decode_features shape).
+
+    ``strict=True`` (default — stricter than decode_features, on
+    purpose) raises on bytes the dependency-free decoders can't parse:
+    a hash-derived FAKE fingerprint would manufacture false
+    near-dup/non-dup verdicts, which is worse than failing.
+    ``strict=False`` instead SKIPS undecodable rows (emits nothing for
+    them) — the mixed-corpus mode where non-image blobs share the
+    column. There is deliberately no fake fallback here.
+    """
+    if algo not in ("dhash", "phash"):
+        raise ValueError(f"unknown perceptual hash algo {algo!r}")
+    hash_fn = dhash_int if algo == "dhash" else phash_int
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content) if row.content is not None else b""
+                dec = sniff_pixels(content)
+                if dec is None:
+                    if strict:
+                        raise ValueError(
+                            "image_fingerprints: undecodable media bytes "
+                            f"for media_id={row.media_id} (built-ins cover "
+                            "BMP/PPM/PGM; register a pixel decoder or pass "
+                            "strict=False to skip non-image rows)"
+                        )
+                    continue
+                fps.append(hash_fn(gray_pixels(dec(content))))
+                ids.append(row.media_id)
+            yield pd.DataFrame({"media_id": ids, "fingerprint": fps})
+
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(content_col).alias("content")
+    ).mapInPandas(_run, FINGERPRINT_SCHEMA)
+
+
+def hamming_band_pairs(
+    fps: DataFrame,
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 7,
+    id_col: str = "media_id",
+    fp_col: str = "fingerprint",
+    persist_fingerprints: bool = True,
+) -> DataFrame:
+    """Near-dup pairs over a fingerprint column via banded candidate
+    generation — the generic-fingerprint twin of
+    ``dedup.simhash_band_pairs`` (same pigeonhole device, same skew
+    notes; that one derives its fingerprint from text, this one takes
+    any precomputed ``bits``-bit BIGINT).
+
+    Keep ``max_hamming < bands`` for a guaranteed-complete sweep (two
+    fingerprints within hamming < bands agree on >= 1 band). Returns
+    (id_a, id_b, hamming) with id_a < id_b, one row per pair. All
+    JVM-side: shiftrightunsigned + mask banding, equi-join, one
+    bit_count verify; per-pair band multiplicity collapses in the same
+    groupBy that carries the hamming value.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    if persist_fingerprints:
+        # both self-join branches hang off the fingerprint table and
+        # exchange reuse does not bridge them (the simhash_band_pairs
+        # finding) — 16 bytes/image, caller may unpersist
+        from pyspark import StorageLevel
+
+        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # logical shift: the sign bit must not smear
+                        # into high bands (mask kills it for low ones)
+                        F.shiftrightunsigned("_fp", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "_fp", "_bk.band", "_bk.band_val")
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "band", "band_val"
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min(F.expr("bit_count(fp_a ^ fp_b)")).cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    algo: str = "dhash",
+    bands: int = 8,
+    max_hamming: int = 7,
+    strict: bool = True,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """decode → perceptual fingerprint → Hamming-banded pairs, in one
+    call: (id_a, id_b, hamming). The image analogue of the text
+    ``simhash_band_pairs`` entry point."""
+    fps = image_fingerprints(
+        media, algo=algo, strict=strict, id_col=id_col, content_col=content_col
+    )
+    return hamming_band_pairs(fps, bands=bands, max_hamming=max_hamming)

@@ -1,0 +1,202 @@
+"""Round-13 catalog additions, registered OUT-OF-BAND.
+
+Same discipline as ``queries_extras*.py``: imported directly by the
+catalog entry points (``__spark_entry__.py``, ``bench.py``,
+``tests/conftest.py``), never from ``queries.py``, so landing new
+queries does not dirty the source closure of already-verified entries.
+
+Content — the image perceptual near-dup family (llm/phash.py), closing
+the one multimodal axis without a dedup treatment (round-12 verdict #1):
+
+- ``image_dhash_fingerprints``: REAL perceptual fingerprints through
+  the distributed Arrow stage — each document's 288-char ASCII-safe
+  prefix is framed as a binary 18x16 PGM (the ``multimodal_pgm_decode``
+  convention), decoded by the dependency-free codec, grayscale
+  area-pooled onto the 8x9 dHash grid and bit-compared. Every step is
+  integer arithmetic (block SUMS under equal areas, cross-multiplied
+  means in the general case), so the DuckDB oracle reproduces each of
+  the 64 bits exactly.
+- ``image_dhash_neardup_pairs``: the near-dup report — every document
+  contributes its original framed image AND a deterministically
+  perturbed twin (one character rewritten at position doc_id % 288),
+  fingerprints go through the Hamming band machinery (8 bands x 8 bits,
+  max_hamming=7 < bands ⇒ banding is COMPLETE, so the banded Spark plan
+  and the brute-force all-pairs oracle agree by construction). The twin
+  guarantees the entry is never vacuous: one changed character moves
+  one 2x2 pooling block, flipping at most its two adjacent comparison
+  bits, so every (original, twin) pair sits at hamming <= 2.
+
+Published algorithm: dHash / average-hash family (Krawetz 2013); the
+reference engine has no image path (lab files only), per the driver's
+brief these derive from public knowledge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import load, query
+
+# framed image geometry: 18 wide x 16 high = 288 bytes, chosen so the
+# 8x9 dHash grid pools exact 2x2 blocks (equal areas -> the oracle
+# compares plain block sums)
+_IMG_W, _IMG_H = 18, 16
+_IMG_BYTES = _IMG_W * _IMG_H
+_PGM_HDR = f"P5 {_IMG_W} {_IMG_H} 255\n"
+
+#: 2^k literals for the oracle's bit packing — the 2^63 literal parses
+#: as HUGEINT in DuckDB, promoting the whole list so the fingerprint
+#: sum is exact (then folded to signed BIGINT like the Spark side).
+_POWS = "list_value(" + ", ".join(str(1 << k) for k in range(64)) + ")"
+
+#: ASCII-safe 288-char prefix filter (the multimodal_pgm_decode
+#: contract: Spark frames the first 288 BYTES while the oracle
+#: enumerates the first 288 characters' code points — identical iff
+#: every prefix char is 1-byte UTF-8).
+_PFX_FILTER_SQL = (
+    f"length(text) >= {_IMG_BYTES} "
+    f"AND octet_length(encode(substr(text, 1, {_IMG_BYTES}))) = {_IMG_BYTES}"
+)
+
+# shared oracle CTE: (media_id, pfx) -> signed 64-bit dhash. Block (r,c)
+# of the 8x9 grid covers pixel rows 2r..2r+1, cols 2c..2c+1; with
+# 1-based list indexing the four members of block k (r=k//9, c=k%9) sit
+# at r*36 + c*2 + {1, 2, 19, 20}. Bit k (r=k//8, c=k%8) is set iff
+# block (r,c)'s sum < block (r,c+1)'s (equal 2x2 areas -> sum compare
+# == mean compare, matching llm/phash.dhash_int's cross-multiplied
+# general form).
+_DHASH_CTE = f"""
+    px AS (
+      SELECT media_id,
+             list_transform(range(1, {_IMG_BYTES + 1}),
+                            i -> CAST(ascii(substr(pfx, CAST(i AS INT), 1))
+                                      AS BIGINT)) AS codes
+      FROM framed),
+    bs AS (
+      SELECT media_id,
+             list_transform(range(0, 72), k ->
+               codes[(k // 9) * 36 + (k % 9) * 2 + 1]
+             + codes[(k // 9) * 36 + (k % 9) * 2 + 2]
+             + codes[(k // 9) * 36 + (k % 9) * 2 + 19]
+             + codes[(k // 9) * 36 + (k % 9) * 2 + 20]) AS bsum
+      FROM px),
+    fp AS (
+      SELECT media_id,
+             list_sum(list_transform(range(0, 64), k ->
+               CASE WHEN bsum[(k // 8) * 9 + (k % 8) + 1]
+                       < bsum[(k // 8) * 9 + (k % 8) + 2]
+                    THEN {_POWS}[CAST(k AS INT) + 1] ELSE 0 END)) AS u
+      FROM bs),
+    hashed AS (
+      SELECT media_id,
+             CAST(CASE WHEN u >= 9223372036854775808
+                       THEN u - 18446744073709551616 ELSE u END
+                  AS BIGINT) AS dhash
+      FROM fp)"""
+
+
+def _framed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (media_id, content): ASCII-safe 288-char prefixes
+    framed as binary 18x16 PGM images (media_id = doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, _IMG_BYTES)
+    return docs.filter(
+        (F.length("text") >= _IMG_BYTES)
+        & (F.octet_length(F.encode(prefix, "UTF-8")) == _IMG_BYTES)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(F.lit(_PGM_HDR), prefix), "UTF-8").alias("content"),
+    )
+
+
+@query(
+    "image_dhash_fingerprints",
+    f"""
+    WITH framed AS (
+      SELECT doc_id AS media_id, substr(text, 1, {_IMG_BYTES}) AS pfx
+      FROM documents
+      WHERE {_PFX_FILTER_SQL}),
+    {_DHASH_CTE}
+    SELECT media_id, dhash FROM hashed
+    """,
+    doc="image perceptual fingerprints (dHash, Krawetz 2013) computed "
+    "from REAL decoded pixels: docs framed as binary 18x16 PGM, decoded "
+    "and gray-pooled onto the 8x9 grid inside one Arrow mapInPandas "
+    "stage; every bit integer-exact against an independent ASCII-code "
+    "oracle. Scale shape: one Python (Arrow) decode+hash stage, zero "
+    "shuffle — the fingerprint table is 16 bytes/image",
+    survey="LLM multimodal: image perceptual hash (dHash — round-13, "
+    "closes VERDICT r12 #1)",
+)
+def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.phash import image_fingerprints
+
+    media = _framed_media(spark, sf_dir)
+    return image_fingerprints(media, algo="dhash").select(
+        "media_id", F.col("fingerprint").alias("dhash")
+    )
+
+
+@query(
+    "image_dhash_neardup_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, {_IMG_BYTES}) AS pfx
+      FROM documents
+      WHERE {_PFX_FILTER_SQL}),
+    framed AS (
+      SELECT doc_id * 2 AS media_id, pfx FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1,
+             substr(pfx, 1, CAST(doc_id % {_IMG_BYTES} AS INT))
+             || CASE WHEN substr(pfx, CAST(doc_id % {_IMG_BYTES} AS INT) + 1, 1) = 'A'
+                     THEN 'B' ELSE 'A' END
+             || substr(pfx, CAST(doc_id % {_IMG_BYTES} AS INT) + 2)
+      FROM base),
+    {_DHASH_CTE}
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+    """,
+    doc="image near-dup pairs: dHash fingerprints through Hamming "
+    "banding (8 bands x 8 bits; max_hamming=7 < bands makes the banded "
+    "sweep COMPLETE, so the all-pairs oracle is semantically identical). "
+    "Each doc contributes its framed image plus a one-char-perturbed "
+    "twin — a planted near-dup at hamming <= 2, so the entry is never "
+    "vacuous. Scale shape: one Arrow decode+hash stage, then JVM-only "
+    "banding (explode + equi-join + bit_count verify) — never all-pairs "
+    "on the Spark side",
+    survey="LLM multimodal: image near-dup (dHash + Hamming banding — "
+    "round-13, closes VERDICT r12 #1)",
+)
+def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.phash import hamming_band_pairs, image_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, _IMG_BYTES)
+    base = docs.filter(
+        (F.length("text") >= _IMG_BYTES)
+        & (F.octet_length(F.encode(prefix, "UTF-8")) == _IMG_BYTES)
+    ).select("doc_id", prefix.alias("pfx"))
+    # deterministic one-char perturbation at position doc_id % 288
+    # (0-based): 'A' unless the original char is 'A', then 'B' — ASCII
+    # either way, so the oracle's code-point view stays byte-exact
+    orig_ch = F.expr(f"substring(pfx, CAST(doc_id % {_IMG_BYTES} AS INT) + 1, 1)")
+    pert = F.concat(
+        F.expr(f"substring(pfx, 1, CAST(doc_id % {_IMG_BYTES} AS INT))"),
+        F.when(orig_ch == "A", F.lit("B")).otherwise(F.lit("A")),
+        F.expr(f"substring(pfx, CAST(doc_id % {_IMG_BYTES} AS INT) + 2, {_IMG_BYTES})"),
+    )
+    variants = base.select(
+        (F.col("doc_id") * 2).alias("media_id"), F.col("pfx").alias("img")
+    ).unionAll(
+        base.select((F.col("doc_id") * 2 + 1).alias("media_id"), pert.alias("img"))
+    )
+    media = variants.select(
+        "media_id",
+        F.encode(F.concat(F.lit(_PGM_HDR), F.col("img")), "UTF-8").alias("content"),
+    )
+    fps = image_fingerprints(media, algo="dhash")
+    return hamming_band_pairs(fps, bits=64, bands=8, max_hamming=7)

@@ -68,6 +68,11 @@ PYTHON_ALLOWED = {
     # the chained front half includes the normalize stage, hence the
     # same single sanctioned Arrow NFC stage as unicode_normalize_docs
     "curated_crawl_docs",
+    # image perceptual hashing: ONE Arrow decode+hash stage (the
+    # multimodal codec shape, llm/phash.image_fingerprints); the
+    # near-dup entry's banding/join/bit_count stay JVM codegen
+    "image_dhash_fingerprints",
+    "image_dhash_neardup_pairs",
 }
 
 

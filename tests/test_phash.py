@@ -1,0 +1,213 @@
+"""Image perceptual hashing (llm/phash.py): dHash integer exactness
+against a naive reference, pHash invariance properties, strict-mode
+decode policy, banding completeness vs brute force, format
+independence (BMP == PGM for the same pixels), and planted near-dup
+recall through the full distributed path."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from openmsistream_spark.llm.phash import (
+    _block_sums,
+    _to_signed64,
+    dhash_int,
+    gray_pixels,
+    hamming_band_pairs,
+    image_fingerprints,
+    image_neardup_pairs,
+    phash_int,
+)
+
+
+def _pgm(gray2d: np.ndarray) -> bytes:
+    h, w = gray2d.shape
+    return f"P5 {w} {h} 255\n".encode() + gray2d.astype(np.uint8).tobytes()
+
+
+def _bmp_gray8(gray2d: np.ndarray) -> bytes:
+    """8-bpp grayscale BMP of the same pixels (bottom-up, padded)."""
+    h, w = gray2d.shape
+    row_bytes = (w + 3) & ~3
+    body = b"".join(
+        bytes(gray2d[r].astype(np.uint8)) + b"\x00" * (row_bytes - w)
+        for r in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, 0, 0, 0, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + info + body
+
+
+def _naive_dhash(gray: np.ndarray) -> int:
+    """Straight-from-the-definition reference: float block means over
+    the floor-boundary 8x9 grid, bit set iff left mean < right mean."""
+    h, w = gray.shape
+    rb = [(i * h) // 8 for i in range(9)]
+    cb = [(j * w) // 9 for j in range(10)]
+    means = np.array(
+        [
+            [gray[rb[r] : rb[r + 1], cb[c] : cb[c + 1]].mean() for c in range(9)]
+            for r in range(8)
+        ]
+    )
+    fp = 0
+    for r in range(8):
+        for c in range(8):
+            if means[r, c] < means[r, c + 1]:
+                fp |= 1 << (r * 8 + c)
+    return _to_signed64(fp)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+@given(
+    st.integers(8, 40),
+    st.integers(9, 40),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_dhash_matches_naive_reference(h, w, seed):
+    """The cross-multiplied integer compare equals the float-mean
+    definition whenever the float means are not exactly tied — and when
+    they ARE tied the integer form is the well-defined one (strict <),
+    so compare through the same tie rule."""
+    gray = np.random.RandomState(seed).randint(0, 256, size=(h, w)).astype(np.int64)
+    assert dhash_int(gray) == _naive_dhash(gray)
+
+
+def test_block_sums_exact_partition():
+    gray = np.arange(16 * 18, dtype=np.int64).reshape(16, 18)
+    sums, areas = _block_sums(gray, 8, 9)
+    assert sums.sum() == gray.sum()  # blocks tile the image exactly
+    assert areas.sum() == 16 * 18
+    assert (areas == 4).all()  # 2x2 everywhere for divisible dims
+    with pytest.raises(ValueError, match="smaller than"):
+        _block_sums(gray[:4], 8, 9)
+
+
+def test_gray_pixels_luma_and_passthrough():
+    gray = np.array([[[7]]], dtype=np.uint8)
+    assert gray_pixels(gray)[0, 0] == 7
+    rgb = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]]], dtype=np.uint8)
+    # integer Rec.601, half-up: 299*255/1000=76.245 -> 76, 587*255/1000
+    # = 149.685 -> 150 (the +500 rounds), 114*255/1000=29.07 -> 29
+    assert list(gray_pixels(rgb)[0]) == [76, 150, 29]
+
+
+def test_phash_invariance_properties():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 200, size=(48, 64)).astype(np.int64)
+    base = phash_int(img)
+    # small additive noise on a few pixels barely moves the hash
+    noisy = img.copy()
+    idx = rng.choice(img.size, 20, replace=False)
+    noisy.reshape(-1)[idx] += rng.randint(-8, 9, size=20)
+    assert _hamming(base, phash_int(np.clip(noisy, 0, 255))) <= 6
+    # global brightness shift is near-invariant (median-threshold form)
+    assert _hamming(base, phash_int(np.clip(img + 30, 0, 255))) <= 4
+    # an unrelated image is far (expected ~32 of 64 bits)
+    other = rng.randint(0, 256, size=(48, 64)).astype(np.int64)
+    assert _hamming(base, phash_int(other)) >= 16
+    # dHash shows the same contrast
+    assert _hamming(dhash_int(img), dhash_int(other)) >= 16
+
+
+def test_bmp_and_pgm_fingerprints_agree(spark):
+    """Format independence: the SAME pixels through either container
+    yield the identical fingerprint (decode is lossless; the hash sees
+    pixels, not bytes)."""
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, size=(16, 18)).astype(np.int64) for _ in range(5)]
+    rows = []
+    for i, g in enumerate(imgs):
+        rows.append((2 * i, bytearray(_pgm(g))))
+        rows.append((2 * i + 1, bytearray(_bmp_gray8(g))))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: r.fingerprint
+        for r in image_fingerprints(media).collect()
+    }
+    for i, g in enumerate(imgs):
+        assert got[2 * i] == got[2 * i + 1] == dhash_int(g)
+
+
+def test_strict_raises_skip_mode_skips(spark):
+    media = spark.createDataFrame(
+        [(0, bytearray(_pgm(np.zeros((16, 18), dtype=np.int64)))),
+         (1, bytearray(b"not an image"))],
+        "media_id long, content binary",
+    )
+    with pytest.raises(Exception, match="undecodable"):
+        image_fingerprints(media, strict=True).collect()
+    got = image_fingerprints(media, strict=False).collect()
+    assert [r.media_id for r in got] == [0]
+
+
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=2, max_size=24, unique=True))
+@settings(max_examples=15, deadline=None)
+def test_banding_complete_vs_bruteforce(spark, fps):
+    """Pigeonhole completeness: with max_hamming < bands the banded
+    join finds EXACTLY the brute-force pair set, for arbitrary signed
+    fingerprints (sign bit lives in the top band — the
+    shiftrightunsigned path)."""
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "media_id long, fingerprint long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_band_pairs(df, bands=8, max_hamming=7).collect()
+    }
+    want = {
+        (i, j, _hamming(fps[i], fps[j]))
+        for i in range(len(fps))
+        for j in range(i + 1, len(fps))
+        if _hamming(fps[i], fps[j]) <= 7
+    }
+    assert got == want
+
+
+def test_planted_neardup_recall_end_to_end(spark):
+    """The ANN_RECALL-style control: 30 distinct base images, each with
+    a noised twin (4 perturbed pixels). Every planted (base, twin) pair
+    must come back from the banded sweep (completeness ⇒ recall 1.0 on
+    pairs within the hamming budget), and no pair may bridge two
+    different base images (the random images sit ~32 bits apart)."""
+    rng = np.random.RandomState(42)
+    rows = []
+    planted = set()
+    for i in range(30):
+        g = rng.randint(0, 256, size=(16, 18)).astype(np.int64)
+        twin = g.copy()
+        idx = rng.choice(g.size, 4, replace=False)
+        twin.reshape(-1)[idx] = rng.randint(0, 256, size=4)
+        assert _hamming(dhash_int(g), dhash_int(twin)) <= 7, "planted pair too far"
+        rows.append((2 * i, bytearray(_pgm(g))))
+        rows.append((2 * i + 1, bytearray(_pgm(twin))))
+        planted.add((2 * i, 2 * i + 1))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(media, max_hamming=7).collect()
+    }
+    assert planted <= pairs, f"missed planted pairs: {planted - pairs}"
+    cross = {
+        (a, b) for a, b in pairs if a // 2 != b // 2
+    }
+    assert not cross, f"false bridges between unrelated images: {cross}"
+
+
+def test_image_fingerprints_plan_is_one_arrow_stage(spark):
+    media = spark.createDataFrame(
+        [(0, bytearray(_pgm(np.zeros((16, 18), dtype=np.int64))))],
+        "media_id long, content binary",
+    )
+    plan = image_neardup_pairs(media)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") <= 2  # the cached decode+hash stage
