@@ -45,6 +45,40 @@ from .textstats import pii_redact, quality_filter
 _LSH_KEYS = ("n", "num_hashes", "rows_per_band", "threshold", "max_shingle_df")
 
 
+def contaminated_ids(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """The verdict half of ``decontaminate``: ids of training documents
+    sharing >= ``min_hits`` distinct word n-grams with the eval set —
+    one column, ``id_col``. Factored out so the tag-mode pipeline
+    (``tag_corpus``) can emit the decision as a column while the filter
+    form anti-joins it (one implementation, two consumers)."""
+    from .dedup import word_shingles
+
+    ev = (
+        word_shingles(
+            eval_docs, n=n, id_col=eval_id_col, text_col=eval_text_col, hashed=True
+        )
+        .select("shingle")
+        .distinct()
+    )
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, hashed=True)
+    return (
+        sh.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") >= min_hits)
+        .select(id_col)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -70,22 +104,15 @@ def decontaminate(
 
     Returns the surviving rows of ``docs``, unchanged.
     """
-    from .dedup import word_shingles
-
-    ev = (
-        word_shingles(
-            eval_docs, n=n, id_col=eval_id_col, text_col=eval_text_col, hashed=True
-        )
-        .select("shingle")
-        .distinct()
-    )
-    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col, hashed=True)
-    contaminated = (
-        sh.join(F.broadcast(ev), "shingle")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("_hits"))
-        .filter(F.col("_hits") >= min_hits)
-        .select(id_col)
+    contaminated = contaminated_ids(
+        docs,
+        eval_docs,
+        n=n,
+        min_hits=min_hits,
+        id_col=id_col,
+        text_col=text_col,
+        eval_id_col=eval_id_col,
+        eval_text_col=eval_text_col,
     )
     return docs.join(contaminated, id_col, "left_anti")
 
@@ -270,3 +297,183 @@ def curate_corpus(
 
     curated = pii_redact(kept, text_col=text_col).drop(text_col, "keep")
     return curated, counts
+
+
+#: sequenced stage-verdict columns tag_corpus can emit, in drop-mode
+#: application order (attrition_report attributes first-fail in this
+#: order; stages a tag run disabled are simply absent).
+CURATION_TAG_STAGES = (
+    "keep_exact",
+    "keep_neardup",
+    "keep_decontam",
+    "keep_novelty",
+    "keep_quality",
+)
+
+#: the quality stage's per-rule verdicts (non-exclusive audit columns).
+CURATION_QUALITY_RULES = ("ok_len", "ok_token_len", "ok_diversity", "ok_punct")
+
+
+def tag_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    neardup: bool = False,
+    neardup_conf: dict[str, Any] | None = None,
+    eval_docs: DataFrame | None = None,
+    decontaminate_conf: dict[str, Any] | None = None,
+    novelty_bloom=None,
+    novelty_max_seen_frac: float = 0.5,
+    novelty_gram_n: int = 8,
+    quality_thresholds: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Dolma-style TAG-don't-drop curation: the same decisions
+    ``curate_corpus`` makes, emitted as per-stage boolean columns on
+    EVERY input row instead of applied as filters — so one pass over a
+    100 TB corpus serves many downstream filter policies, and each
+    rule's attrition is auditable (``attrition_report``).
+
+    Emitted columns (on top of every input column):
+
+    - ``content_hash``, ``keep_exact`` — the doc is its content-hash
+      cluster's representative (min id), the exact-dedup decision.
+    - ``keep_neardup`` (with ``neardup=True``) — survives MinHash-LSH
+      near-dup clustering, judged over the EXACT-DEDUP SURVIVORS (the
+      one input-set-dependent stage: drop mode runs LSH after exact
+      dedup, so equivalence requires the same candidate universe).
+      NULL for docs that already failed ``keep_exact`` (never judged).
+    - ``keep_decontam`` (with ``eval_docs``) — shares < min_hits eval
+      n-grams (per-doc vs the frozen eval set, judged on every row).
+    - ``keep_novelty`` (with ``novelty_bloom``) — seen-gram fraction
+      within budget (per-doc vs the frozen mask; docs too short to
+      produce a gram pass unjudged, as in drop mode).
+    - ``n_tokens``, ``ok_len``/``ok_token_len``/``ok_diversity``/
+      ``ok_punct``, ``keep_quality`` — the heuristic gate with its
+      per-rule verdicts (per-doc, judged on every row).
+
+    Filter equivalence (pinned by test): ``keep_exact AND
+    coalesce(keep_neardup, true) AND keep_decontam AND keep_novelty AND
+    keep_quality`` selects exactly ``curate_corpus``'s survivor set for
+    the same configuration. NOT covered by tag mode (drop-mode only,
+    documented): ledger-incremental dedup and span excision — both
+    REWRITE corpus membership/text across runs rather than judge a row,
+    and the quality/PII stages of drop mode run on the excised text.
+
+    Scale shape: pure composition of the already-audited operators —
+    each stage adds one hash-keyed aggregate or broadcast join; no new
+    shuffle classes. Input columns named like the computed outputs are
+    dropped first (the ``curate_corpus`` rule).
+    """
+    computed = {
+        "content_hash", "n_tokens", "keep",
+        *CURATION_TAG_STAGES, *CURATION_QUALITY_RULES,
+    }
+    docs = docs.drop(*(c for c in docs.columns if c in computed))
+
+    hashed = docs.withColumn("content_hash", F.md5(_normalized(text_col)))
+    reps = exact_dedup(docs, id_col=id_col, text_col=text_col).select(
+        "content_hash", "representative_id"
+    )
+    tagged = (
+        hashed.join(reps, "content_hash")
+        .withColumn("keep_exact", F.col(id_col) == F.col("representative_id"))
+        .drop("representative_id")
+    )
+
+    if neardup:
+        conf = dict(neardup_conf or {})
+        lsh_kwargs = {k: conf[k] for k in _LSH_KEYS if k in conf}
+        survivors = tagged.filter("keep_exact").select(id_col, text_col)
+        pairs = minhash_lsh_dedup(
+            survivors, id_col=id_col, text_col=text_col, **lsh_kwargs
+        )
+        nd = dedup_clusters(
+            survivors.select(id_col), pairs, id_col=id_col
+        ).select(id_col, F.col("is_representative").alias("keep_neardup"))
+        tagged = tagged.join(nd, id_col, "left")
+
+    if eval_docs is not None:
+        bad = contaminated_ids(
+            docs,
+            eval_docs,
+            id_col=id_col,
+            text_col=text_col,
+            **(decontaminate_conf or {}),
+        ).withColumn("_contam", F.lit(True))
+        tagged = (
+            tagged.join(bad, id_col, "left")
+            .withColumn("keep_decontam", F.col("_contam").isNull())
+            .drop("_contam")
+        )
+
+    if novelty_bloom is not None:
+        from .bloom import gram_novelty
+
+        nv = gram_novelty(
+            docs, novelty_bloom, n=novelty_gram_n, id_col=id_col,
+            text_col=text_col,
+        )
+        max_e4 = round(novelty_max_seen_frac * 10_000)
+        fail = nv.filter(
+            (F.col("n_grams") - F.col("n_novel")) * 10_000
+            > F.lit(max_e4) * F.col("n_grams")
+        ).select(id_col).withColumn("_stale", F.lit(True))
+        tagged = (
+            tagged.join(fail, id_col, "left")
+            .withColumn("keep_novelty", F.col("_stale").isNull())
+            .drop("_stale")
+        )
+
+    qf = quality_filter(
+        docs.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        **(quality_thresholds or {}),
+    ).select(
+        id_col,
+        "n_tokens",
+        *CURATION_QUALITY_RULES,
+        F.col("keep").alias("keep_quality"),
+    )
+    return tagged.join(qf, id_col)
+
+
+def attrition_report(
+    tagged: DataFrame,
+    group_col: str = "source",
+    stage_cols: "tuple[str, ...] | list[str] | None" = None,
+    rule_cols: "tuple[str, ...] | list[str]" = CURATION_QUALITY_RULES,
+) -> DataFrame:
+    """Per-group attrition audit over a ``tag_corpus`` frame: how many
+    rows each curation rule removes, by ``group_col`` (source/domain/
+    language — the table a curation recipe review reads).
+
+    Stage drops are FIRST-FAIL attributed in drop-mode order (a doc
+    failing exact dedup is not double-counted under quality), so
+    ``n_input == drop_* summed + n_kept`` per group; NULL stage
+    verdicts (stage disabled, or doc unjudged because already dead)
+    count as pass-through, matching drop-mode sequencing. The per-rule
+    ``fail_*`` columns are NON-exclusive counts over all judged rows —
+    the per-rule audit signal Dolma-style tagging exists to provide.
+    One grouped aggregate; every count is a sum of boolean casts.
+    """
+    stages = [
+        c for c in (stage_cols or CURATION_TAG_STAGES) if c in tagged.columns
+    ]
+    aggs = [F.count("*").cast("bigint").alias("n_input")]
+    alive = F.lit(True)
+    for c in stages:
+        ok = F.coalesce(F.col(c), F.lit(True))
+        suffix = c[5:] if c.startswith("keep_") else c
+        aggs.append(
+            F.sum((alive & ~ok).cast("bigint")).alias(f"drop_{suffix}")
+        )
+        alive = alive & ok
+    for rc in rule_cols:
+        if rc in tagged.columns:
+            aggs.append(
+                F.sum((~F.coalesce(F.col(rc), F.lit(True))).cast("bigint"))
+                .alias(f"fail_{rc[3:] if rc.startswith('ok_') else rc}")
+            )
+    aggs.append(F.sum(alive.cast("bigint")).alias("n_kept"))
+    return tagged.groupBy(group_col).agg(*aggs)

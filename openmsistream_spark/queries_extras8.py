@@ -382,10 +382,12 @@ def _kcenter_oracle() -> str:
     f"from the selected set — the geometry-COVERAGE half of coreset data "
     f"pruning (d4_prototype_prune is the density half). Embeddings "
     f"quantized to thousandths so distances are exact integers and the "
-    f"argmax is engine-independent. Scale shape: k broadcast-center "
-    f"corpus scans with a running min column (the k-means lever), each "
-    f"argmax a 1-row sort-limit — never a k×n materialization, no "
-    f"driver collect (the plan chains lazily through broadcast joins)",
+    f"argmax is engine-independent. Scale shape: exactly k corpus scans "
+    f"with a running min column, each materialized via the iterutil "
+    f"plan-truncation discipline (round-13 — the r12 lazy chain "
+    f"re-executed the whole prefix per pick); each argmax is a 1-row "
+    f"TakeOrderedAndProject (per-partition top-1 heaps, never a global "
+    f"sort), driver traffic k single rows — never a k×n materialization",
     survey="LLM curation: coreset / coverage-based data pruning",
 )
 def kcenter_coreset_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,11 +400,34 @@ def greedy_kcenter(
     k: int = KCENTER_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Greedy farthest-point-first selection over thousandth-quantized
     embeddings — the reusable core of ``kcenter_coreset_seeded`` (the
-    stress tool drives it at replicated-corpus scale). Returns
-    (sel_rank, <id_col>, dist2)."""
+    stress tools drive it at replicated-corpus scale and across k).
+    Returns (sel_rank, <id_col>, dist2); identical math and tie rules
+    to the original lazy form, verified by the unchanged oracle.
+
+    Round-13 restructure (closes VERDICT r12 #3): the original lazily
+    CHAINED each pick's running-min state through all previous picks,
+    so pick i's subtree re-analyzed and re-executed the whole prefix —
+    the round-6 lazy-chain failure shape (measured: k=8 7.5 s, k=16
+    did not finish in 9 min at sf0.1). This is the iterutil discipline
+    instead, the same as every other iterative loop in the repo
+    (kmeans_fit, dedup_clusters, bpe_train): per pick, ONE bounded
+    1-row collect (the argmax — a TakeOrderedAndProject, per-partition
+    top-1 heaps, never a global sort) and ONE ``truncate_plan``
+    materialization of the new running-min frame, so the logical plan
+    stays depth-1 and total work is exactly k corpus scans. The picked
+    center's vector enters the next scan as a constant-folded literal
+    array (64 literals — no join at all, cheaper than the broadcast it
+    replaces). Driver traffic is k single rows; the result frame is
+    assembled from those k rows. ``checkpoint_dir`` opts into reliable
+    checkpoints for fault-tolerant 100 TB runs (iterutil contract).
+    """
+    from .llm.iterutil import truncate_plan
+
+    spark = embeddings.sparkSession
     emb = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.transform(
@@ -412,41 +437,41 @@ def greedy_kcenter(
             ),
         ).alias("v"),
     )
-    dist2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, e: acc + e,
+
+    def dist2_to(center_vals: list) -> Column:
+        lit_c = F.array(*[F.lit(int(x)).cast("bigint") for x in center_vals])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc + e,
+        )
+
+    seed_rows = emb.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        return spark.createDataFrame(
+            [], "sel_rank int, vec_id bigint, dist2 bigint"
+        ).withColumnRenamed("vec_id", id_col)
+    seed = seed_rows[0]
+    centers = [(1, seed.vec_id, 0)]
+    state = truncate_plan(
+        emb.select("vec_id", "v", dist2_to(seed.v).alias("mind")),
+        checkpoint_dir,
     )
-    seed = emb.orderBy("vec_id").limit(1)
-    state = emb.crossJoin(
-        F.broadcast(seed.select(F.col("v").alias("_c")))
-    ).select("vec_id", "v", dist2(F.col("v"), F.col("_c")).alias("mind"))
-    picks = [
-        seed.select(
-            F.lit(1).alias("sel_rank"),
-            "vec_id",
-            F.lit(0).cast("bigint").alias("dist2"),
-        )
-    ]
     for i in range(2, k + 1):
-        nxt = state.orderBy(F.desc("mind"), "vec_id").limit(1)
-        picks.append(
-            nxt.select(
-                F.lit(i).alias("sel_rank"),
-                "vec_id",
-                F.col("mind").cast("bigint").alias("dist2"),
+        top_rows = state.orderBy(F.desc("mind"), "vec_id").limit(1).collect()
+        if not top_rows:
+            break
+        top = top_rows[0]
+        centers.append((i, top.vec_id, int(top.mind)))
+        if i < k:
+            state = truncate_plan(
+                state.select(
+                    "vec_id",
+                    "v",
+                    F.least(F.col("mind"), dist2_to(top.v)).alias("mind"),
+                ),
+                checkpoint_dir,
             )
-        )
-        state = state.crossJoin(
-            F.broadcast(nxt.select(F.col("v").alias("_c")))
-        ).select(
-            "vec_id",
-            "v",
-            F.least(
-                F.col("mind"), dist2(F.col("v"), F.col("_c"))
-            ).alias("mind"),
-        )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionAll(p)
-    return out
+    return spark.createDataFrame(
+        centers, "sel_rank int, vec_id bigint, dist2 bigint"
+    ).withColumnRenamed("vec_id", id_col)

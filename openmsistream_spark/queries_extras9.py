@@ -200,3 +200,72 @@ def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fps = image_fingerprints(media, algo="dhash")
     return hamming_band_pairs(fps, bits=64, bands=8, max_hamming=7)
+
+
+# ------------------------------------------------ tag-mode curation
+
+# DuckDB mirrors of the quality-stat macros (the quality_filter_docs
+# oracle's expressions, re-declared so this module's closure never
+# touches queries.py internals beyond load/query)
+_NORM9 = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKS9 = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@query(
+    "curation_tag_attrition",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source, text, md5({_NORM9}) AS ch FROM documents),
+    reps AS (SELECT ch, min(doc_id) AS rep FROM h GROUP BY ch),
+    s AS (
+      SELECT h.doc_id, h.source, (h.doc_id = r.rep) AS keep_exact,
+             CAST(len({_TOKS9}) AS BIGINT) AS n_tokens,
+             round(list_sum(list_transform({_TOKS9}, w -> length(w))) * 1.0
+                   / len({_TOKS9}), 4) AS mtl,
+             round(len(list_distinct({_TOKS9})) * 1.0 / len({_TOKS9}), 4) AS dr,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS np,
+             length(text) AS nc
+      FROM h JOIN reps r ON h.ch = r.ch),
+    v AS (
+      SELECT doc_id, source, keep_exact,
+             (n_tokens >= 20) AS ok_len,
+             (mtl BETWEEN 3.0 AND 12.0) AS ok_token_len,
+             (dr >= 0.3) AS ok_diversity,
+             (np * 1.0 / nc <= 0.2) AS ok_punct
+      FROM s)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_input,
+           CAST(sum(CASE WHEN NOT keep_exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS drop_exact,
+           CAST(sum(CASE WHEN keep_exact AND NOT (ok_len AND ok_token_len
+                          AND ok_diversity AND ok_punct)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+           CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_len,
+           CAST(sum(CASE WHEN NOT ok_token_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_token_len,
+           CAST(sum(CASE WHEN NOT ok_diversity THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_diversity,
+           CAST(sum(CASE WHEN NOT ok_punct THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_punct,
+           CAST(sum(CASE WHEN keep_exact AND ok_len AND ok_token_len
+                          AND ok_diversity AND ok_punct
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM v GROUP BY source
+    """,
+    doc="Dolma-style tag-don't-drop curation audit: one pass emits every "
+    "stage decision as a boolean column (tag_corpus), then a per-source "
+    "attrition report — first-fail-attributed stage drops (n_input == "
+    "drop_exact + drop_quality + n_kept) plus non-exclusive per-rule "
+    "fail counts, the auditability tagging exists for. Scale shape: the "
+    "exact-dedup hash aggregate + per-doc codegen quality rules + one "
+    "grouped aggregate — no new shuffle classes over drop mode",
+    survey="LLM curation: tag-don't-drop mode + attrition report "
+    "(round-13, VERDICT r12 #4)",
+)
+def curation_tag_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curate import attrition_report, tag_corpus
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tagged = tag_corpus(docs)
+    return attrition_report(tagged, "source")

@@ -678,3 +678,76 @@ def test_incremental_ledgers_refuse_geometry_drift(spark, tmp_path):
     incremental_embedding_dedup(emb, ereg, n_bits=4).collect()
     with pytest.raises(ValueError, match="n_bits"):
         incremental_embedding_dedup(emb, ereg, n_bits=6)
+
+
+# ---------------------------------------------------------------- tag mode
+
+
+def test_tag_mode_filter_equals_drop_mode(spark, sf_dir):
+    """Dolma tag-don't-drop equivalence (round-13): filtering the tagged
+    frame on every stage verdict selects exactly curate_corpus's
+    survivor set, for the same configuration — exact dedup + LSH
+    near-dup + decontamination + quality, all enabled."""
+    from openmsistream_spark.llm.curate import curate_corpus, tag_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    ev = docs.filter("doc_id % 17 = 0").select(
+        F.col("doc_id").alias("eval_id"), F.col("text").alias("eval_text")
+    )
+    conf = dict(
+        neardup=True,
+        neardup_conf={"threshold": 0.5},
+        eval_docs=ev,
+        decontaminate_conf={"eval_id_col": "eval_id", "eval_text_col": "eval_text"},
+    )
+    dropped, _ = curate_corpus(docs, report=False, **conf)
+    want = {r.doc_id for r in dropped.select("doc_id").collect()}
+    tagged = tag_corpus(docs, **conf)
+    got = {
+        r.doc_id
+        for r in tagged.filter(
+            F.col("keep_exact")
+            & F.coalesce("keep_neardup", F.lit(True))
+            & F.col("keep_decontam")
+            & F.col("keep_quality")
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+    # tag mode judges EVERY row for the per-doc stages (the point of
+    # tagging: one pass, many policies) — quality verdicts exist even
+    # for docs that died at exact dedup
+    assert tagged.count() == docs.count()
+    assert tagged.filter(F.col("keep_quality").isNull()).count() == 0
+
+
+def test_attrition_report_first_fail_accounting(spark):
+    """drop_* columns are first-fail attributed: per group,
+    n_input == sum(drop_*) + n_kept, and per-rule fail_* columns count
+    non-exclusively."""
+    from openmsistream_spark.llm.curate import attrition_report, tag_corpus
+
+    clean_a = " ".join(f"alpha{i:02d}" for i in range(24))  # 24 distinct tokens
+    clean_b = " ".join(f"beta{i:02d}" for i in range(24))
+    rows = [
+        # s1: a twin pair (doc 2 dies exact), one short doc (quality)
+        (1, "s1", clean_a),
+        (2, "s1", clean_a),
+        (3, "s1", "too short"),
+        # s2: one clean doc, one punct-heavy AND short (two rules fail,
+        # but first-fail attribution books it once under quality)
+        (4, "s2", clean_b),
+        (5, "s2", "!!! ??? ***"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rep = {r.source: r for r in attrition_report(tag_corpus(docs)).collect()}
+    s1, s2 = rep["s1"], rep["s2"]
+    assert (s1.n_input, s1.drop_exact, s1.drop_quality, s1.n_kept) == (3, 1, 1, 1)
+    assert (s2.n_input, s2.drop_exact, s2.drop_quality, s2.n_kept) == (2, 0, 1, 1)
+    # doc 5 fails len AND punct: both audit columns count it
+    assert s2.fail_len == 1 and s2.fail_punct == 1
+    for r in (s1, s2):
+        assert r.n_input == r.drop_exact + r.drop_quality + r.n_kept

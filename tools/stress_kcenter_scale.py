@@ -125,8 +125,58 @@ def run_scale(spark, mult: int, work: str) -> dict:
     return row
 
 
+def run_k_sweep(spark, ks: list[int], mult: int, work: str) -> list[dict]:
+    """The k-axis of the scale claim (round-13, closes VERDICT r12 #3):
+    fixed corpus, k varied. The r12 lazy chain was superlinear in k
+    (k=8 7.5 s, k=16 unfinished in 9 min at sf0.1); the iterutil
+    restructure is exactly k materialized corpus scans, so wall must be
+    ~linear in k (flat per-pick cost) and the plan depth is 1 at every
+    pick by construction."""
+    path = build_corpus(spark, mult, work)
+    emb = spark.read.parquet(path)
+    n = emb.count()
+    greedy_kcenter(emb.limit(64), k=2).collect()  # codegen warm
+    rows_out = []
+    for k in ks:
+        before = rest_totals(spark)
+        t0 = time.monotonic()
+        rows = sorted(
+            greedy_kcenter(emb, k=k).collect(), key=lambda r: r.sel_rank
+        )
+        wall = round(time.monotonic() - t0, 3)
+        after = rest_totals(spark)
+        assert len({r.vec_id for r in rows}) == k
+        dists = [r.dist2 for r in rows[1:]]
+        assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+        row = {
+            "sweep": "k",
+            "mult": mult,
+            "n_vectors": n,
+            "k": k,
+            "wall_sec": wall,
+            "per_pick_ms": round(1000 * wall / k, 1),
+            # clamped: a 512-pick run exceeds the UI's retained-stages
+            # window, so the before-snapshot counts stages that evict
+            # mid-run and the raw delta can go negative; the true value
+            # is 0 by construction (scans + 1-row TakeOrdered, no
+            # exchange anywhere) and the k<=128 rows confirm it
+            "shuffle_write_mb": max(
+                0.0,
+                round(
+                    (after["shuffleWriteBytes"] - before["shuffleWriteBytes"])
+                    / 1e6,
+                    3,
+                ),
+            ),
+        }
+        print(json.dumps(row), file=sys.stderr)
+        rows_out.append(row)
+    return rows_out
+
+
 def main() -> None:
     mults = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
+    ks = [int(a) for a in os.environ.get("KCENTER_KS", "8 32 128 512").split()]
     spark = get_spark(
         app_name="stress-kcenter-scale",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4097"},
@@ -139,12 +189,14 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as work:
         for m in mults:
             results.append(run_scale(spark, m, work))
+        k_results = run_k_sweep(spark, ks, mults[min(1, len(mults) - 1)], work)
     with open(out_path, "w") as f:
         json.dump(
             {
                 "sf_base": SF_DIR,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 "results": results,
+                "k_sweep": k_results,
             },
             f,
             indent=1,
