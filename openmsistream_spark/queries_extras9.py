@@ -269,3 +269,39 @@ def curation_tag_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     tagged = tag_corpus(docs)
     return attrition_report(tagged, "source")
+
+
+# ------------------------------------------- seeded corpus shuffle
+
+#: shards for the corpus_shuffle_assignment entry.
+_SHUF_N = 16
+
+
+@query(
+    "corpus_shuffle_assignment",
+    f"""
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::UBIGINT AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(h % {_SHUF_N} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % {_SHUF_N}
+                                   ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM k
+    """,
+    doc="seeded deterministic corpus shuffle (the training-loader "
+    "epoch-shuffle device): shard = md5-hash(salt|id) % 16, pos = hash "
+    "rank within the shard — a global pseudo-random order realized as "
+    "ONE hash shuffle + per-shard sort, never a global ORDER BY; pure "
+    "function of (salt, id) so every engine/rerun reproduces the "
+    "identical permutation",
+    survey="LLM curation: seeded corpus shuffle / stable shard layout "
+    "(round-13, VERDICT r12 #6)",
+)
+def corpus_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.shuffle import shuffle_assignment
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_assignment(docs, n_shards=_SHUF_N, salt="shuf")
