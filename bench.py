@@ -132,6 +132,12 @@ HEADLINE = [
     "ngram_diversity_by_source",
     "tokenizer_fertility_by_source",
     "kcenter_coreset_seeded",
+    # round-13 additions (image perceptual near-dup, tag-mode curation,
+    # seeded corpus shuffle)
+    "image_dhash_fingerprints",
+    "image_dhash_neardup_pairs",
+    "curation_tag_attrition",
+    "corpus_shuffle_assignment",
 ]
 
 
