@@ -136,6 +136,10 @@ HEADLINE = [
     # seeded corpus shuffle)
     "image_dhash_fingerprints",
     "image_dhash_neardup_pairs",
+    "audio_envelope_fingerprints",
+    "audio_envelope_neardup_pairs",
+    "video_keyframe_fingerprints",
+    "video_keyframe_neardup_pairs",
     "curation_tag_attrition",
     "corpus_shuffle_assignment",
 ]

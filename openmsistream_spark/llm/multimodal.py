@@ -136,16 +136,19 @@ def decode_bmp(content: bytes) -> dict:
     return _pixel_features(px, w, h, c)
 
 
-def ppm_pixels(content: bytes) -> "np.ndarray":
-    """Binary PPM (P6, RGB) / PGM (P5, gray) → (h, w, c) uint8 pixel
-    array: ASCII header of magic, width, height, maxval (whitespace/
-    comment separated), then raw samples, one or three bytes per pixel
-    (maxval <= 255)."""
-    if content[:2] not in (b"P5", b"P6"):
+def _pnm_one(content: bytes, pos: int):
+    """Parse ONE binary PPM (P6, RGB) / PGM (P5, gray) image starting at
+    byte ``pos``: ASCII header of magic, width, height, maxval
+    (whitespace/comment separated), then raw samples, one or three bytes
+    per pixel (maxval <= 255). Returns ((h, w, c) uint8 array, position
+    just past the pixel data) — the PNM spec allows images to be
+    concatenated in one stream, which ``pnm_stream_frames`` uses as the
+    dependency-free video container."""
+    if content[pos : pos + 2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PPM/PGM")
-    channels = 3 if content[:2] == b"P6" else 1
+    channels = 3 if content[pos : pos + 2] == b"P6" else 1
     # tokenize the header: magic + 3 ints, '#' comments run to newline
-    pos, vals = 2, []
+    pos, vals = pos + 2, []
     while len(vals) < 3:
         while pos < len(content) and content[pos : pos + 1].isspace():
             pos += 1
@@ -164,9 +167,34 @@ def ppm_pixels(content: bytes) -> "np.ndarray":
     need = width * height * channels
     if len(content) < pos + need:
         raise ValueError("truncated PPM pixel data")
-    return np.frombuffer(content, dtype=np.uint8, count=need, offset=pos).reshape(
+    px = np.frombuffer(content, dtype=np.uint8, count=need, offset=pos).reshape(
         height, width, channels
     )
+    return px, pos + need
+
+
+def ppm_pixels(content: bytes) -> "np.ndarray":
+    """Single binary PPM/PGM → (h, w, c) uint8 pixel array."""
+    px, _end = _pnm_one(content, 0)
+    return px
+
+
+def pnm_stream_frames(content: bytes) -> "list[np.ndarray]":
+    """Multi-image PNM stream → ordered list of (h, w, c) uint8 frames.
+    The PNM spec permits concatenating images in one file; this is the
+    repo's dependency-free VIDEO container (each image = one frame).
+    Frames may differ in size/depth; raises on an empty or malformed
+    stream."""
+    frames, pos = [], 0
+    while pos < len(content):
+        if content[pos : pos + 1].isspace():
+            pos += 1  # optional whitespace between concatenated images
+            continue
+        px, pos = _pnm_one(content, pos)
+        frames.append(px)
+    if not frames:
+        raise ValueError("empty PNM stream")
+    return frames
 
 
 def decode_ppm(content: bytes) -> dict:
@@ -176,11 +204,13 @@ def decode_ppm(content: bytes) -> dict:
     return _pixel_features(px, w, h, c)
 
 
-def decode_wav(content: bytes) -> dict:
-    """PCM WAV: RIFF/WAVE container, 'fmt ' chunk (format 1 = integer
-    PCM, 8- or 16-bit), 'data' chunk of interleaved little-endian
-    samples. Features are summary statistics over samples normalized to
-    [-1, 1]; ``n_frames`` is the per-channel sample count."""
+def wav_pcm(content: bytes):
+    """Raw integer PCM view of a WAV: (samples, n_channels, sample_rate,
+    bits) where ``samples`` is the interleaved int64 array CENTERED at
+    zero (8-bit unsigned gets 128 subtracted; 16-bit is already signed)
+    but NOT rescaled — the exact-integer form the perceptual audio hash
+    (llm/audiofp.py) needs. Raises ValueError on anything that is not
+    8/16-bit integer PCM."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos, fmt, data = 12, None, None
@@ -198,14 +228,21 @@ def decode_wav(content: bytes) -> dict:
     if audio_fmt != 1 or bits not in (8, 16):
         raise ValueError(f"non-PCM or {bits}-bit WAV unsupported")
     if bits == 16:
-        samples = (
-            np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.float64)
-            / 32768.0
+        samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(
+            np.int64
         )
     else:  # 8-bit WAV is unsigned, midpoint 128
-        samples = (
-            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
-        ) / 128.0
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    return samples, n_channels, sample_rate, bits
+
+
+def decode_wav(content: bytes) -> dict:
+    """PCM WAV: RIFF/WAVE container, 'fmt ' chunk (format 1 = integer
+    PCM, 8- or 16-bit), 'data' chunk of interleaved little-endian
+    samples. Features are summary statistics over samples normalized to
+    [-1, 1]; ``n_frames`` is the per-channel sample count."""
+    raw, n_channels, sample_rate, bits = wav_pcm(content)
+    samples = raw.astype(np.float64) / (32768.0 if bits == 16 else 128.0)
     n_frames = len(samples) // max(1, n_channels)
     rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
     return {
@@ -229,7 +266,8 @@ def sniff_pixels(content: bytes):
     """Image-pixel twin of ``_sniff`` for the perceptual-hash family
     (llm/phash.py): the matching pixel decoder (bytes → (h, w, c) uint8
     array) for the dependency-free image formats, or None for non-image
-    bytes (audio has no perceptual-hash path here)."""
+    bytes (the audio perceptual-hash path sniffs WAV itself —
+    llm/audiofp.py)."""
     if content[:2] == b"BM":
         return bmp_pixels
     if content[:2] in (b"P5", b"P6"):

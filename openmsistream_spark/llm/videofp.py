@@ -1,0 +1,196 @@
+"""Video keyframe near-dup — the third leg of the multimodal dedup
+treatment (images: llm/phash.py, audio: llm/audiofp.py).
+
+A "video" here is the dependency-free container the sandbox can
+actually decode: a multi-image PNM stream (the PNM spec permits
+concatenating images in one file — ffmpeg's image2pipe emits exactly
+this), each image one frame. The operator family is the published
+video-dedup recipe: sample keyframes, perceptual-hash each sampled
+frame (dHash, llm/phash.py — integer-exact), then call two videos
+near-duplicates when enough TEMPORALLY ALIGNED keyframes match within
+a Hamming budget.
+
+Scale shape: ONE Arrow ``mapInPandas`` decode+sample+hash stage per
+corpus (the multimodal codec batch shape) emitting (media_id, frame_i,
+fingerprint) — 24 bytes per sampled frame; then banding, join, and
+aggregation are pure JVM codegen. The banded candidate join carries
+``frame_i`` in its key, so only aligned frames ever pair — candidates
+scale with per-(frame, band-value) bucket sizes, never all-pairs of
+frames or of videos. The reference engine has no video path (lab files
+only); this derives from the public perceptual-hash / keyframe-dedup
+literature per the driver's brief ("multimodal columns": frame-sample
+as a first-class op).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .multimodal import pnm_stream_frames
+from .phash import dhash_int, gray_pixels, phash_int
+
+FRAME_FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_i", T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+    ]
+)
+
+
+def video_frame_fingerprints(
+    media: DataFrame,
+    every_nth: int = 1,
+    algo: str = "dhash",
+    strict: bool = True,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Keyframe fingerprints for a video media frame → (media_id,
+    frame_i, fingerprint): decode the PNM stream, keep every
+    ``every_nth``-th frame (frame_i is the index in the FULL stream —
+    the multimodal.sample_frames rule), dHash/pHash each kept frame.
+    One Arrow stage; the same strictness policy as the image/audio
+    families (strict raises on undecodable bytes, non-strict skips the
+    row — no fake fallback)."""
+    if algo not in ("dhash", "phash"):
+        raise ValueError(f"unknown perceptual hash algo {algo!r}")
+    if every_nth < 1:
+        raise ValueError("every_nth must be >= 1")
+    hash_fn = dhash_int if algo == "dhash" else phash_int
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, fps = [], [], []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content) if row.content is not None else b""
+                try:
+                    px_frames = pnm_stream_frames(content)
+                except ValueError:
+                    if strict:
+                        raise ValueError(
+                            "video_frame_fingerprints: undecodable media "
+                            f"bytes for media_id={row.media_id} (built-in "
+                            "covers multi-image binary PNM streams; pass "
+                            "strict=False to skip non-video rows)"
+                        )
+                    continue
+                for i, px in enumerate(px_frames):
+                    if i % every_nth:
+                        continue
+                    ids.append(row.media_id)
+                    frames.append(i)
+                    fps.append(hash_fn(gray_pixels(px)))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_i": frames, "fingerprint": fps}
+            )
+
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(content_col).alias("content")
+    ).mapInPandas(_run, FRAME_FINGERPRINT_SCHEMA)
+
+
+def frame_aligned_band_pairs(
+    fps: DataFrame,
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 7,
+    persist_fingerprints: bool = True,
+) -> DataFrame:
+    """Aligned frame-pair report over (media_id, frame_i, fingerprint):
+    the phash.hamming_band_pairs pigeonhole device with ``frame_i``
+    threaded through the band join key, so frame k of one video only
+    ever pairs with frame k of another (temporal alignment). Returns
+    (id_a, id_b, frame_i, hamming), id_a < id_b, one row per aligned
+    frame pair within the budget; max_hamming < bands keeps the sweep
+    complete."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = fps.select("media_id", "frame_i", "fingerprint")
+    if persist_fingerprints:
+        from pyspark import StorageLevel
+
+        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = fp.select(
+        "media_id",
+        "frame_i",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("fingerprint", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("media_id", "frame_i", "fingerprint", "_bk.band", "_bk.band_val")
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        F.col("fingerprint").alias("fp_a"),
+        "frame_i",
+        "band",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("fingerprint").alias("fp_b"),
+        "frame_i",
+        "band",
+        "band_val",
+    )
+    return (
+        a.join(b, ["frame_i", "band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "frame_i")
+        .agg(F.min(F.expr("bit_count(fp_a ^ fp_b)")).cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    every_nth: int = 1,
+    algo: str = "dhash",
+    bands: int = 8,
+    max_hamming: int = 7,
+    min_frames: int = 1,
+    strict: bool = True,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """decode → keyframe fingerprints → aligned banded frame pairs →
+    per-video-pair rollup: (id_a, id_b, n_frames_matched, min_hamming),
+    keeping pairs with at least ``min_frames`` aligned keyframes inside
+    the Hamming budget. The video analogue of image/audio
+    ``*_neardup_pairs``."""
+    fps = video_frame_fingerprints(
+        media,
+        every_nth=every_nth,
+        algo=algo,
+        strict=strict,
+        id_col=id_col,
+        content_col=content_col,
+    )
+    frame_pairs = frame_aligned_band_pairs(
+        fps, bands=bands, max_hamming=max_hamming
+    )
+    return (
+        frame_pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames_matched"),
+            F.min("hamming").cast("bigint").alias("min_hamming"),
+        )
+        .filter(F.col("n_frames_matched") >= min_frames)
+    )

@@ -29,9 +29,30 @@ the one multimodal axis without a dedup treatment (round-12 verdict #1):
 Published algorithm: dHash / average-hash family (Krawetz 2013); the
 reference engine has no image path (lab files only), per the driver's
 brief these derive from public knowledge.
+
+Round-13 batch 2 — the AUDIO twin of the image family (llm/audiofp.py):
+``audio_envelope_fingerprints`` / ``audio_envelope_neardup_pairs``
+frame each document's 260-char ASCII-safe prefix as a REAL 8-bit PCM
+mono WAV (260 = 65 envelope frames x 4 samples), decode it with the
+dependency-free WAV parser, and hash the integer-exact temporal-energy
+envelope (the Haitsma-Kalker 2002 sign-of-difference device in the
+time domain) — the same oracle discipline (every bit reproduced from
+ASCII codes in DuckDB) and the same Hamming band machinery.
+
+Round-13 batch 2 also adds the VIDEO leg (llm/videofp.py):
+``video_keyframe_fingerprints`` / ``video_keyframe_neardup_pairs``
+frame each 480-char ASCII-safe prefix as a 3-frame multi-image PGM
+stream (overlapping cuts — consecutive frames share 2/3 of their
+pixels), sample every 2nd frame, dHash each sampled frame, and roll
+aligned banded frame matches up to video pairs (min_frames=2). The
+oracle reuses the image _DHASH_CTE verbatim by encoding (video, frame)
+as media_id*4 + frame_i.
 """
 
 from __future__ import annotations
+
+import base64
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -200,6 +221,318 @@ def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fps = image_fingerprints(media, algo="dhash")
     return hamming_band_pairs(fps, bits=64, bands=8, max_hamming=7)
+
+
+# --------------------------------------- audio envelope near-dup
+#
+# The audio twin of the image device above (llm/audiofp.py): each
+# document's 260-char ASCII-safe prefix becomes the sample bytes of an
+# 8-bit unsigned PCM mono WAV (260 = 65 frames x 4 samples, so the
+# 65-frame envelope grid pools equal-length frames and the oracle
+# compares plain sums). The decoder centers 8-bit samples at 128, so
+# frame energy = sum of (128 - code) — every step integer-exact.
+
+_AUD_BYTES = 260
+
+#: RIFF/WAVE header for a 260-sample 8-bit mono 8 kHz PCM clip, as a
+#: base64 literal (the header contains NUL bytes, so it is prepended
+#: JVM-side via unbase64 + binary concat rather than a string literal).
+_WAV_HDR_B64 = base64.b64encode(
+    b"RIFF"
+    + struct.pack("<I", 36 + _AUD_BYTES)
+    + b"WAVE"
+    + b"fmt "
+    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+    + b"data"
+    + struct.pack("<I", _AUD_BYTES)
+).decode("ascii")
+
+_AUD_PFX_FILTER_SQL = (
+    f"length(text) >= {_AUD_BYTES} "
+    f"AND octet_length(encode(substr(text, 1, {_AUD_BYTES}))) = {_AUD_BYTES}"
+)
+
+# shared oracle CTE: (media_id, pfx) -> signed 64-bit envelope hash.
+# Frame f (0-based, 1-based list indexing) pools samples f*4+1..f*4+4;
+# 8-bit WAV samples are unsigned with midpoint 128, so |centered| =
+# 128 - code for ASCII. Bit k is set iff frame k's energy < frame
+# k+1's (equal 4-sample frames -> sum compare == the cross-multiplied
+# mean compare in llm/audiofp.envelope_hash_int).
+_ENVHASH_CTE = f"""
+    px AS (
+      SELECT media_id,
+             list_transform(range(1, {_AUD_BYTES + 1}),
+                            i -> CAST(ascii(substr(pfx, CAST(i AS INT), 1))
+                                      AS BIGINT)) AS codes
+      FROM framed),
+    env AS (
+      SELECT media_id,
+             list_transform(range(0, 65), f ->
+               (128 - codes[f * 4 + 1]) + (128 - codes[f * 4 + 2])
+             + (128 - codes[f * 4 + 3]) + (128 - codes[f * 4 + 4])) AS e
+      FROM px),
+    fp AS (
+      SELECT media_id,
+             list_sum(list_transform(range(0, 64), k ->
+               CASE WHEN e[k + 1] < e[k + 2]
+                    THEN {_POWS}[CAST(k AS INT) + 1] ELSE 0 END)) AS u
+      FROM env),
+    hashed AS (
+      SELECT media_id,
+             CAST(CASE WHEN u >= 9223372036854775808
+                       THEN u - 18446744073709551616 ELSE u END
+                  AS BIGINT) AS envhash
+      FROM fp)"""
+
+
+def _framed_audio(variants: DataFrame) -> DataFrame:
+    """(media_id, pcm STRING) → (media_id, content): prefix bytes
+    framed as a complete 8-bit PCM WAV, all JVM-side (unbase64 header
+    + binary concat)."""
+    return variants.select(
+        "media_id",
+        F.concat(
+            F.unbase64(F.lit(_WAV_HDR_B64)), F.encode(F.col("pcm"), "UTF-8")
+        ).alias("content"),
+    )
+
+
+@query(
+    "audio_envelope_fingerprints",
+    f"""
+    WITH framed AS (
+      SELECT doc_id AS media_id, substr(text, 1, {_AUD_BYTES}) AS pfx
+      FROM documents
+      WHERE {_AUD_PFX_FILTER_SQL}),
+    {_ENVHASH_CTE}
+    SELECT media_id, envhash FROM hashed
+    """,
+    doc="audio perceptual fingerprints (temporal-envelope hash — the "
+    "sign-of-difference device of Haitsma & Kalker 2002 over time-domain "
+    "frame energies): docs framed as REAL 8-bit PCM WAV clips, decoded "
+    "and envelope-hashed inside one Arrow mapInPandas stage; every bit "
+    "integer-exact against an independent ASCII-code oracle. Scale "
+    "shape: one Python (Arrow) decode+hash stage, zero shuffle — the "
+    "fingerprint table is 16 bytes/clip",
+    survey="LLM multimodal: audio perceptual hash (envelope — round-13, "
+    "extends the image dedup treatment to the audio modality)",
+)
+def audio_envelope_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.audiofp import audio_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, _AUD_BYTES)
+    variants = docs.filter(
+        (F.length("text") >= _AUD_BYTES)
+        & (F.octet_length(F.encode(prefix, "UTF-8")) == _AUD_BYTES)
+    ).select(F.col("doc_id").alias("media_id"), prefix.alias("pcm"))
+    return audio_fingerprints(_framed_audio(variants)).select(
+        "media_id", F.col("fingerprint").alias("envhash")
+    )
+
+
+@query(
+    "audio_envelope_neardup_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, {_AUD_BYTES}) AS pfx
+      FROM documents
+      WHERE {_AUD_PFX_FILTER_SQL}),
+    framed AS (
+      SELECT doc_id * 2 AS media_id, pfx FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1,
+             substr(pfx, 1, CAST(doc_id % {_AUD_BYTES} AS INT))
+             || CASE WHEN substr(pfx, CAST(doc_id % {_AUD_BYTES} AS INT) + 1, 1) = 'A'
+                     THEN 'B' ELSE 'A' END
+             || substr(pfx, CAST(doc_id % {_AUD_BYTES} AS INT) + 2)
+      FROM base),
+    {_ENVHASH_CTE}
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.envhash, b.envhash)) AS BIGINT) AS hamming
+    FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.envhash, b.envhash)) <= 7
+    """,
+    doc="audio near-dup pairs: envelope fingerprints through the SAME "
+    "Hamming band machinery as the image family (8 bands x 8 bits; "
+    "max_hamming=7 < bands makes the banded sweep COMPLETE, so the "
+    "all-pairs oracle is semantically identical). Each doc contributes "
+    "its framed clip plus a one-sample-perturbed twin — one sample "
+    "touches one frame, flipping at most its 2 adjacent comparison "
+    "bits, a planted near-dup at hamming <= 2. Scale shape: one Arrow "
+    "decode+hash stage, then JVM-only banding — never all-pairs on the "
+    "Spark side",
+    survey="LLM multimodal: audio near-dup (envelope hash + Hamming "
+    "banding — round-13)",
+)
+def audio_envelope_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.audiofp import audio_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, _AUD_BYTES)
+    base = docs.filter(
+        (F.length("text") >= _AUD_BYTES)
+        & (F.octet_length(F.encode(prefix, "UTF-8")) == _AUD_BYTES)
+    ).select("doc_id", prefix.alias("pfx"))
+    orig_ch = F.expr(f"substring(pfx, CAST(doc_id % {_AUD_BYTES} AS INT) + 1, 1)")
+    pert = F.concat(
+        F.expr(f"substring(pfx, 1, CAST(doc_id % {_AUD_BYTES} AS INT))"),
+        F.when(orig_ch == "A", F.lit("B")).otherwise(F.lit("A")),
+        F.expr(f"substring(pfx, CAST(doc_id % {_AUD_BYTES} AS INT) + 2, {_AUD_BYTES})"),
+    )
+    variants = base.select(
+        (F.col("doc_id") * 2).alias("media_id"), F.col("pfx").alias("pcm")
+    ).unionAll(
+        base.select((F.col("doc_id") * 2 + 1).alias("media_id"), pert.alias("pcm"))
+    )
+    return audio_neardup_pairs(_framed_audio(variants), bands=8, max_hamming=7)
+
+
+# --------------------------------------- video keyframe near-dup
+#
+# The third multimodal leg (llm/videofp.py): each qualifying document's
+# 480-char ASCII-safe prefix becomes a 3-frame "video" — a multi-image
+# PNM stream (public PNM concatenation convention) of 18x16 PGM frames
+# cut at overlapping offsets 0/96/192, so consecutive frames share 2/3
+# of their pixels (temporal coherence, like real footage). Keyframe
+# sampling keeps every 2nd frame (0 and 2); each sampled frame dHashes
+# integer-exactly, and the oracle reuses _DHASH_CTE verbatim by
+# encoding (video, frame) into one id: media_id = vid * 4 + frame_i.
+
+_VID_FRAME_OFF = (0, 192)  # sampled frames' char offsets (frames 0, 2)
+_VID_BYTES = 480
+
+
+def _vid_pfx_filter_sql() -> str:
+    return (
+        f"length(text) >= {_VID_BYTES} "
+        f"AND octet_length(encode(substr(text, 1, {_VID_BYTES}))) = {_VID_BYTES}"
+    )
+
+
+def _framed_video(variants: DataFrame) -> DataFrame:
+    """(media_id, p STRING of 480 chars) → (media_id, content): a
+    3-frame multi-image PGM stream cut at offsets 0/96/192, all
+    JVM-side string ops + one encode."""
+    parts = []
+    for off in (0, 96, 192):
+        parts.append(F.lit(_PGM_HDR))
+        parts.append(F.substring("p", off + 1, _IMG_BYTES))
+    return variants.select(
+        "media_id", F.encode(F.concat(*parts), "UTF-8").alias("content")
+    )
+
+
+@query(
+    "video_keyframe_fingerprints",
+    f"""
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, {_VID_BYTES}) AS p
+      FROM documents
+      WHERE {_vid_pfx_filter_sql()}),
+    framed AS (
+      SELECT doc_id * 4 AS media_id, substr(p, 1, {_IMG_BYTES}) AS pfx FROM base
+      UNION ALL
+      SELECT doc_id * 4 + 2, substr(p, 193, {_IMG_BYTES}) FROM base),
+    {_DHASH_CTE}
+    SELECT h.media_id // 4 AS media_id,
+           h.media_id % 4 AS frame_i,
+           h.dhash
+    FROM hashed h
+    """,
+    doc="video keyframe fingerprints: docs framed as 3-frame multi-image "
+    "PGM streams (the PNM concatenation convention — the dependency-free "
+    "video container), the stream decoded and every 2nd frame sampled + "
+    "dHashed inside ONE Arrow mapInPandas stage; every bit integer-exact "
+    "against the ASCII-code oracle (frame identity encoded as media_id*4 "
+    "+ frame_i so the image dHash CTE is reused verbatim). Scale shape: "
+    "one Python (Arrow) decode+sample+hash stage, zero shuffle — 24 "
+    "bytes per sampled keyframe",
+    survey="LLM multimodal: video keyframe sampling + perceptual hash "
+    "(round-13, third multimodal leg)",
+)
+def video_keyframe_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.videofp import video_frame_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, _VID_BYTES)
+    variants = docs.filter(
+        (F.length("text") >= _VID_BYTES)
+        & (F.octet_length(F.encode(prefix, "UTF-8")) == _VID_BYTES)
+    ).select(F.col("doc_id").alias("media_id"), prefix.alias("p"))
+    return video_frame_fingerprints(_framed_video(variants), every_nth=2).select(
+        "media_id", "frame_i", F.col("fingerprint").alias("dhash")
+    )
+
+
+@query(
+    "video_keyframe_neardup_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, {_VID_BYTES}) AS p
+      FROM documents
+      WHERE {_vid_pfx_filter_sql()}),
+    vids AS (
+      SELECT doc_id * 2 AS vid, p FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1,
+             substr(p, 1, CAST(doc_id % {_VID_BYTES} AS INT))
+             || CASE WHEN substr(p, CAST(doc_id % {_VID_BYTES} AS INT) + 1, 1) = 'A'
+                     THEN 'B' ELSE 'A' END
+             || substr(p, CAST(doc_id % {_VID_BYTES} AS INT) + 2)
+      FROM base),
+    framed AS (
+      SELECT vid * 4 AS media_id, substr(p, 1, {_IMG_BYTES}) AS pfx FROM vids
+      UNION ALL
+      SELECT vid * 4 + 2, substr(p, 193, {_IMG_BYTES}) FROM vids),
+    {_DHASH_CTE}
+    SELECT a.media_id // 4 AS id_a, b.media_id // 4 AS id_b,
+           CAST(count(*) AS BIGINT) AS n_frames_matched,
+           CAST(min(bit_count(xor(a.dhash, b.dhash))) AS BIGINT) AS min_hamming
+    FROM hashed a JOIN hashed b
+      ON a.media_id % 4 = b.media_id % 4
+     AND a.media_id // 4 < b.media_id // 4
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+    GROUP BY a.media_id // 4, b.media_id // 4
+    HAVING count(*) >= 2
+    """,
+    doc="video near-dup pairs: keyframe dHashes through TEMPORALLY "
+    "ALIGNED Hamming banding (frame_i threaded into the band join key, "
+    "so frame k only pairs with frame k; max_hamming=7 < 8 bands keeps "
+    "the sweep complete and the all-pairs oracle semantically "
+    "identical), rolled up per video pair with min_frames=2 — BOTH "
+    "sampled keyframes must match. Each doc contributes its 3-frame "
+    "stream plus a one-char-perturbed twin: the perturbation moves one "
+    "2x2 pooling block in at most two overlapping frames, <= 2 bits "
+    "each, so every (original, twin) pair survives — never vacuous. "
+    "Scale shape: one Arrow decode+sample+hash stage, then JVM-only "
+    "banding/join/rollup — never all-pairs of frames or videos",
+    survey="LLM multimodal: video near-dup (aligned keyframe dHash + "
+    "Hamming banding — round-13, third multimodal leg)",
+)
+def video_keyframe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.videofp import video_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, _VID_BYTES)
+    base = docs.filter(
+        (F.length("text") >= _VID_BYTES)
+        & (F.octet_length(F.encode(prefix, "UTF-8")) == _VID_BYTES)
+    ).select("doc_id", prefix.alias("p"))
+    orig_ch = F.expr(f"substring(p, CAST(doc_id % {_VID_BYTES} AS INT) + 1, 1)")
+    pert = F.concat(
+        F.expr(f"substring(p, 1, CAST(doc_id % {_VID_BYTES} AS INT))"),
+        F.when(orig_ch == "A", F.lit("B")).otherwise(F.lit("A")),
+        F.expr(f"substring(p, CAST(doc_id % {_VID_BYTES} AS INT) + 2, {_VID_BYTES})"),
+    )
+    variants = base.select(
+        (F.col("doc_id") * 2).alias("media_id"), F.col("p").alias("p")
+    ).unionAll(
+        base.select((F.col("doc_id") * 2 + 1).alias("media_id"), pert.alias("p"))
+    )
+    return video_neardup_pairs(
+        _framed_video(variants), every_nth=2, bands=8, max_hamming=7, min_frames=2
+    )
 
 
 # ------------------------------------------------ tag-mode curation

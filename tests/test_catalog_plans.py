@@ -73,6 +73,14 @@ PYTHON_ALLOWED = {
     # near-dup entry's banding/join/bit_count stay JVM codegen
     "image_dhash_fingerprints",
     "image_dhash_neardup_pairs",
+    # audio envelope hashing: the same single Arrow decode+hash stage
+    # (llm/audiofp.audio_fingerprints); banding stays JVM codegen
+    "audio_envelope_fingerprints",
+    "audio_envelope_neardup_pairs",
+    # video keyframe hashing: one Arrow decode+sample+hash stage
+    # (llm/videofp.video_frame_fingerprints); aligned banding JVM-side
+    "video_keyframe_fingerprints",
+    "video_keyframe_neardup_pairs",
 }
 
 
