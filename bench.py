@@ -140,6 +140,8 @@ HEADLINE = [
     "audio_envelope_neardup_pairs",
     "video_keyframe_fingerprints",
     "video_keyframe_neardup_pairs",
+    "audio_quality_stats",
+    "video_scene_changes",
     "curation_tag_attrition",
     "corpus_shuffle_assignment",
 ]

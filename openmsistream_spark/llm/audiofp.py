@@ -124,6 +124,88 @@ def audio_fingerprints(
     ).mapInPandas(_run, FINGERPRINT_SCHEMA)
 
 
+QUALITY_SCHEMA_FIELDS = [
+    ("media_id", "long"),
+    ("n_samples", "long"),
+    ("n_silent", "long"),
+    ("n_clipped", "long"),
+    ("n_zero_cross", "long"),
+    ("sum_abs", "long"),
+]
+
+
+def audio_quality_counts(
+    samples: "np.ndarray", silence_max: int, clip_min: int
+) -> tuple:
+    """Integer-exact quality counters over one centered sample array:
+    (n_samples, n_silent, n_clipped, n_zero_cross, sum_abs) where
+    silent = |s| <= silence_max, clipped = |s| >= clip_min, and a zero
+    crossing is a strict sign change (s[i] * s[i+1] < 0). All exact
+    integers — the audio analogue of the text quality heuristics
+    (llm/textstats.py), and like them designed so ratios/thresholds are
+    the CALLER's policy while the engine emits auditable counts."""
+    a = np.abs(samples)
+    return (
+        int(len(samples)),
+        int((a <= silence_max).sum()),
+        int((a >= clip_min).sum()),
+        int(((samples[:-1].astype(np.int64) * samples[1:]) < 0).sum())
+        if len(samples) > 1
+        else 0,
+        int(a.sum()),
+    )
+
+
+def audio_quality_stats(
+    media: DataFrame,
+    silence_max: int = 40,
+    clip_min: int = 60,
+    strict: bool = True,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-clip audio quality counters → (media_id, n_samples, n_silent,
+    n_clipped, n_zero_cross, sum_abs), one Arrow stage over the same
+    decode as ``audio_fingerprints`` (channel-0 fold). Counts, not
+    ratios, so every column is an exact integer both engines reproduce;
+    silence/clipping thresholds are in raw centered-sample units (8-bit
+    full scale 128, 16-bit 32768). The published curation use: drop
+    clips that are mostly silence or mostly clipped before expensive
+    downstream featurization."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(n, T.LongType()) for n, _ in QUALITY_SCHEMA_FIELDS]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {n: [] for n, _ in QUALITY_SCHEMA_FIELDS}
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content) if row.content is not None else b""
+                try:
+                    samples, n_channels, _rate, _bits = wav_pcm(content)
+                except ValueError:
+                    if strict:
+                        raise ValueError(
+                            "audio_quality_stats: undecodable media bytes for "
+                            f"media_id={row.media_id} (pass strict=False to "
+                            "skip non-audio rows)"
+                        )
+                    continue
+                if n_channels > 1:
+                    samples = samples[0::n_channels]
+                vals = audio_quality_counts(samples, silence_max, clip_min)
+                out["media_id"].append(row.media_id)
+                for (name, _), v in zip(QUALITY_SCHEMA_FIELDS[1:], vals):
+                    out[name].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(content_col).alias("content")
+    ).mapInPandas(_run, schema)
+
+
 def audio_neardup_pairs(
     media: DataFrame,
     bands: int = 8,

@@ -159,6 +159,55 @@ def frame_aligned_band_pairs(
     )
 
 
+def video_scene_changes(
+    media: DataFrame,
+    every_nth: int = 1,
+    algo: str = "dhash",
+    threshold: int = 10,
+    strict: bool = True,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Shot-boundary detection by perceptual-hash jump (the published
+    keyframe-selection device: a scene cut is a consecutive-frame pair
+    whose fingerprints differ by MORE than ``threshold`` Hamming bits;
+    within a shot, frames drift only a few bits). Returns (media_id,
+    n_frames, n_scene_changes).
+
+    Scale shape: the one Arrow decode+hash stage, then a per-video lag
+    window (hash-partitioned by media_id, ordered by frame_i — state
+    scales with frames per video, never corpus-wide) and one grouped
+    count. The curation use: sample one keyframe per detected scene
+    instead of every n-th frame."""
+    from pyspark.sql import Window
+
+    fps = video_frame_fingerprints(
+        media,
+        every_nth=every_nth,
+        algo=algo,
+        strict=strict,
+        id_col=id_col,
+        content_col=content_col,
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_i")
+    prev = F.lag("fingerprint").over(w)
+    jump = F.expr("bit_count(fingerprint ^ _prev)")
+    return (
+        fps.withColumn("_prev", prev)
+        .withColumn(
+            "_cut",
+            F.when(F.col("_prev").isNull(), F.lit(0)).otherwise(
+                (jump > threshold).cast("int")
+            ),
+        )
+        .groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum("_cut").cast("bigint").alias("n_scene_changes"),
+        )
+    )
+
+
 def video_neardup_pairs(
     media: DataFrame,
     every_nth: int = 1,

@@ -388,6 +388,53 @@ def audio_envelope_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_neardup_pairs(_framed_audio(variants), bands=8, max_hamming=7)
 
 
+@query(
+    "audio_quality_stats",
+    f"""
+    WITH framed AS (
+      SELECT doc_id AS media_id, substr(text, 1, {_AUD_BYTES}) AS pfx
+      FROM documents
+      WHERE {_AUD_PFX_FILTER_SQL}),
+    px AS (
+      SELECT media_id,
+             list_transform(range(1, {_AUD_BYTES + 1}),
+                            i -> CAST(ascii(substr(pfx, CAST(i AS INT), 1))
+                                      AS BIGINT) - 128) AS c
+      FROM framed)
+    SELECT media_id,
+           CAST({_AUD_BYTES} AS BIGINT) AS n_samples,
+           CAST(len(list_filter(c, x -> abs(x) <= 40)) AS BIGINT) AS n_silent,
+           CAST(len(list_filter(c, x -> abs(x) >= 60)) AS BIGINT) AS n_clipped,
+           CAST(len(list_filter(range(1, {_AUD_BYTES}),
+                                i -> c[i] * c[i + 1] < 0)) AS BIGINT)
+             AS n_zero_cross,
+           CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT) AS sum_abs
+    FROM px
+    """,
+    doc="per-clip audio quality counters (the audio analogue of the text "
+    "quality heuristics): silence count (|sample| <= 40 of 128 full "
+    "scale), clipping count (|sample| >= 60), strict-sign zero "
+    "crossings, and total absolute energy — exact INTEGER counts (never "
+    "ratios) over the real decoded PCM, so both engines agree bit-for-"
+    "bit and the drop policy stays with the caller. Scale shape: one "
+    "Arrow decode+count stage, zero shuffle — 48 bytes/clip out. "
+    "Curation use: drop mostly-silent / mostly-clipped clips before "
+    "expensive featurization",
+    survey="LLM multimodal: audio quality scoring (round-13 — "
+    "silence/clipping/energy counters)",
+)
+def audio_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.audiofp import audio_quality_stats as _aq
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, _AUD_BYTES)
+    variants = docs.filter(
+        (F.length("text") >= _AUD_BYTES)
+        & (F.octet_length(F.encode(prefix, "UTF-8")) == _AUD_BYTES)
+    ).select(F.col("doc_id").alias("media_id"), prefix.alias("pcm"))
+    return _aq(_framed_audio(variants), silence_max=40, clip_min=60)
+
+
 # --------------------------------------- video keyframe near-dup
 #
 # The third multimodal leg (llm/videofp.py): each qualifying document's
@@ -533,6 +580,98 @@ def video_keyframe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_neardup_pairs(
         _framed_video(variants), every_nth=2, bands=8, max_hamming=7, min_frames=2
     )
+
+
+def _pert_sql(src: str, pos: str) -> str:
+    """SQL for the one-char perturbation device on a 288-char string:
+    rewrite character at 0-based position ``pos`` to 'A' ('B' if it was
+    already 'A')."""
+    return (
+        f"substr({src}, 1, CAST({pos} AS INT)) "
+        f"|| CASE WHEN substr({src}, CAST({pos} AS INT) + 1, 1) = 'A' "
+        f"THEN 'B' ELSE 'A' END "
+        f"|| substr({src}, CAST({pos} AS INT) + 2)"
+    )
+
+
+@query(
+    "video_scene_changes",
+    f"""
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, {_IMG_BYTES}) AS f0
+      FROM documents
+      WHERE {_PFX_FILTER_SQL}),
+    framed AS (
+      SELECT doc_id * 8 AS media_id, f0 AS pfx FROM base
+      UNION ALL
+      SELECT doc_id * 8 + 1, {_pert_sql("f0", f"doc_id % {_IMG_BYTES}")} FROM base
+      UNION ALL
+      SELECT doc_id * 8 + 2,
+             {_pert_sql("f0", f"(doc_id + 131) % {_IMG_BYTES}")} FROM base
+      UNION ALL
+      SELECT doc_id * 8 + 3,
+             CASE WHEN doc_id % 2 = 0 THEN reverse(f0)
+                  ELSE {_pert_sql("f0", f"(doc_id + 173) % {_IMG_BYTES}")} END
+      FROM base),
+    {_DHASH_CTE}
+    SELECT a.media_id // 8 AS media_id,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN bit_count(xor(a.dhash, b.dhash)) > 10
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_scene_changes
+    FROM hashed a JOIN hashed b
+      ON b.media_id = a.media_id + 1 AND a.media_id % 8 < 3
+    GROUP BY a.media_id // 8
+    """,
+    doc="shot-boundary detection by perceptual-hash jump (the published "
+    "keyframe-selection device): consecutive frames whose dHashes differ "
+    "by > 10 Hamming bits mark a scene cut. Each doc frames as a 4-frame "
+    "stream: base frame, two one-char-perturbed drift frames (each "
+    "transition moves <= 4 bits — GUARANTEED under threshold, a real "
+    "within-shot model), then for EVEN doc_ids the REVERSED frame (a "
+    "planted hard cut -> count 1) and for odd ones a third drift frame "
+    "(-> count 0), so the entry verifies both outcomes and genuinely "
+    "distinguishes drift from cut. Scale shape: "
+    "one Arrow decode+hash stage, then a per-video lag window "
+    "(partitioned by media_id — state scales with frames per video, "
+    "never corpus-wide) and one grouped count. Curation use: sample one "
+    "keyframe per scene instead of every n-th frame",
+    survey="LLM multimodal: video scene-change detection (round-13 — "
+    "hash-jump shot boundaries)",
+)
+def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.videofp import video_scene_changes as _vsc
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, _IMG_BYTES)
+    base = docs.filter(
+        (F.length("text") >= _IMG_BYTES)
+        & (F.octet_length(F.encode(prefix, "UTF-8")) == _IMG_BYTES)
+    ).select(F.col("doc_id").alias("media_id"), prefix.alias("f0"))
+
+    def pert(pos_sql: str):
+        ch = F.expr(f"substring(f0, CAST({pos_sql} AS INT) + 1, 1)")
+        return F.concat(
+            F.expr(f"substring(f0, 1, CAST({pos_sql} AS INT))"),
+            F.when(ch == "A", F.lit("B")).otherwise(F.lit("A")),
+            F.expr(f"substring(f0, CAST({pos_sql} AS INT) + 2, {_IMG_BYTES})"),
+        )
+
+    frames = [
+        F.col("f0"),
+        pert(f"media_id % {_IMG_BYTES}"),
+        pert(f"(media_id + 131) % {_IMG_BYTES}"),
+        F.when(F.col("media_id") % 2 == 0, F.reverse(F.col("f0"))).otherwise(
+            pert(f"(media_id + 173) % {_IMG_BYTES}")
+        ),
+    ]
+    parts = []
+    for expr in frames:
+        parts.append(F.lit(_PGM_HDR))
+        parts.append(expr)
+    media = base.select(
+        "media_id", F.encode(F.concat(*parts), "UTF-8").alias("content")
+    )
+    return _vsc(media, every_nth=1, threshold=10)
 
 
 # ------------------------------------------------ tag-mode curation

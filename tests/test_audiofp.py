@@ -127,6 +127,40 @@ def test_multichannel_folds_to_channel0():
     assert (ch, bits) == (2, 16) and len(samples) == 800
 
 
+def test_audio_quality_counts_exact():
+    from openmsistream_spark.llm.audiofp import audio_quality_counts
+
+    s = np.array([0, 5, -5, 100, -100, 30, -31, 0, 2], dtype=np.int64)
+    n, silent, clipped, zc, sa = audio_quality_counts(s, silence_max=10, clip_min=90)
+    assert n == 9
+    assert silent == 5  # 0, 5, -5, 0, 2
+    assert clipped == 2  # 100, -100
+    # strict sign changes: (5,-5), (-5,100), (100,-100), (-100,30),
+    # (30,-31) = 5 (zeros never cross — product is 0, not < 0)
+    assert zc == 5
+    assert sa == sum(abs(int(x)) for x in s)
+
+
+def test_audio_quality_stats_distributed(spark):
+    from openmsistream_spark.llm.audiofp import audio_quality_counts, audio_quality_stats
+
+    rng = np.random.RandomState(9)
+    u8 = rng.randint(0, 256, size=300).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(5, bytearray(_wav8(u8.tobytes())))], "media_id long, content binary"
+    )
+    row = audio_quality_stats(media, silence_max=40, clip_min=60).collect()[0]
+    want = audio_quality_counts(u8.astype(np.int64) - 128, 40, 60)
+    assert (
+        row.n_samples,
+        row.n_silent,
+        row.n_clipped,
+        row.n_zero_cross,
+        row.sum_abs,
+    ) == want
+    assert row.n_zero_cross > 0  # real signed audio does cross zero
+
+
 def test_strict_raises_skip_mode_skips(spark):
     media = spark.createDataFrame(
         [

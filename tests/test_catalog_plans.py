@@ -81,6 +81,10 @@ PYTHON_ALLOWED = {
     # (llm/videofp.video_frame_fingerprints); aligned banding JVM-side
     "video_keyframe_fingerprints",
     "video_keyframe_neardup_pairs",
+    # audio quality counters / video scene-change detection: the same
+    # single Arrow decode stage; windows/aggregates JVM-side
+    "audio_quality_stats",
+    "video_scene_changes",
 }
 
 

@@ -104,6 +104,37 @@ def test_aligned_banding_vs_bruteforce(spark):
     assert not any(r[0] == 6 and r[1] == 7 for r in got)  # cross-frame blocked
 
 
+def test_scene_changes_drift_vs_cut(spark):
+    """Within-shot drift (few perturbed pixels, <= threshold bits) is
+    never counted; a hard cut (unrelated frame) always is; the first
+    frame of a video is never a cut."""
+    from openmsistream_spark.llm.videofp import video_scene_changes
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, size=(16, 18)).astype(np.uint8)
+    drift1, drift2 = base.copy(), base.copy()
+    drift1[0, 0] ^= 3
+    drift2[5, 7] ^= 5
+    cut = rng.randint(0, 256, size=(16, 18)).astype(np.uint8)
+    assert _hamming(
+        dhash_int(gray_pixels(base[:, :, None])),
+        dhash_int(gray_pixels(cut[:, :, None])),
+    ) > 10
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_stream([base, drift1, drift2]))),  # one shot
+            (2, bytearray(_stream([base, drift1, cut, cut]))),  # one cut
+        ],
+        "media_id long, content binary",
+    )
+    got = {
+        r.media_id: (r.n_frames, r.n_scene_changes)
+        for r in video_scene_changes(media, threshold=10).collect()
+    }
+    assert got[1] == (3, 0)
+    assert got[2] == (4, 1)
+
+
 def test_planted_video_neardup_end_to_end(spark):
     """20 random 3-frame videos, each with a twin whose middle frame is
     replaced by noise and whose sampled frames (0, 2) get 2 perturbed
