@@ -142,6 +142,7 @@ HEADLINE = [
     "video_keyframe_neardup_pairs",
     "audio_quality_stats",
     "video_scene_changes",
+    "image_dhash_neardup_combo",
     "curation_tag_attrition",
     "corpus_shuffle_assignment",
 ]

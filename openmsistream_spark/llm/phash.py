@@ -265,6 +265,99 @@ def hamming_band_pairs(
     )
 
 
+def hamming_combo_pairs(
+    fps: DataFrame,
+    bits: int = 64,
+    blocks: int = 6,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    fp_col: str = "fingerprint",
+    persist_fingerprints: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via COMBINATION blocking — the construction that
+    survives 100 TB (Manku, Jain & Das Sarma 2007, "Detecting
+    Near-Duplicates for Web Crawling", the simhash dedup run at 8B
+    pages). Pigeonhole: a pair within ``max_hamming`` leaves at least
+    ``blocks - max_hamming`` of the ``blocks`` bit-blocks untouched, so
+    joining on every C(blocks, blocks-max_hamming) combination of
+    block values finds EVERY such pair — like ``hamming_band_pairs``,
+    but the join key is the CONCATENATION of several blocks.
+
+    Why it matters at scale: simple banding's key width is
+    bits/bands < bits/max_hamming — at max_hamming=7 that is 8 bits =
+    256 buckets, so candidates grow ~n^2/256 and the join melts around
+    10^5 items (measured: STRESS_MEDIAFP). Combination keys are
+    (blocks-max_hamming) x width bits wide — 32 bits at the Manku
+    parameterization (6 blocks, h=3) — so buckets stay near-singleton
+    into the billions; the price is C(blocks, untouched) explode rows
+    per item (20 at 6/3) and a LOWER hamming budget. The published
+    trade: crawl-scale near-dup runs at h<=3; wide budgets (h=7) are a
+    small-corpus / verification device.
+
+    Returns (id_a, id_b, hamming) like hamming_band_pairs; the
+    candidate keys pack the selected block values into one BIGINT
+    (selected widths always sum to < 63 bits here), all JVM codegen.
+    """
+    untouched = blocks - max_hamming
+    if untouched < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more than {blocks} blocks "
+            "(at least one block must be guaranteed untouched)"
+        )
+    if bits % blocks != 0:
+        raise ValueError(f"bits={bits} not divisible by blocks={blocks}")
+    width = bits // blocks
+    if untouched * width > 62:
+        raise ValueError(
+            f"combination key of {untouched}x{width} bits exceeds BIGINT"
+        )
+    mask = (1 << width) - 1
+    from itertools import combinations
+
+    combos = list(combinations(range(blocks), untouched))
+
+    fp = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    if persist_fingerprints:
+        from pyspark import StorageLevel
+
+        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _key(combo) -> "F.Column":
+        key = F.lit(0).cast("bigint")
+        for j, b in enumerate(combo):
+            block = F.shiftrightunsigned("_fp", b * width).bitwiseAND(F.lit(mask))
+            key = key.bitwiseOR(F.shiftleft(block, j * width))
+        return key
+
+    keyed = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("combo"), _key(c).alias("combo_key")
+                    )
+                    for ci, c in enumerate(combos)
+                ]
+            )
+        ).alias("_ck"),
+    ).select("_id", "_fp", "_ck.combo", "_ck.combo_key")
+    a = keyed.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "combo", "combo_key"
+    )
+    b = keyed.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "combo", "combo_key"
+    )
+    return (
+        a.join(b, ["combo", "combo_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min(F.expr("bit_count(fp_a ^ fp_b)")).cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def image_neardup_pairs(
     media: DataFrame,
     algo: str = "dhash",

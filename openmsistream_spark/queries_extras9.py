@@ -223,6 +223,70 @@ def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_band_pairs(fps, bits=64, bands=8, max_hamming=7)
 
 
+@query(
+    "image_dhash_neardup_combo",
+    f"""
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, {_IMG_BYTES}) AS pfx
+      FROM documents
+      WHERE {_PFX_FILTER_SQL}),
+    framed AS (
+      SELECT doc_id * 2 AS media_id, pfx FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1,
+             substr(pfx, 1, CAST(doc_id % {_IMG_BYTES} AS INT))
+             || CASE WHEN substr(pfx, CAST(doc_id % {_IMG_BYTES} AS INT) + 1, 1) = 'A'
+                     THEN 'B' ELSE 'A' END
+             || substr(pfx, CAST(doc_id % {_IMG_BYTES} AS INT) + 2)
+      FROM base),
+    {_DHASH_CTE}
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+    doc="image near-dup pairs through COMBINATION blocking (Manku et "
+    "al. 2007, the crawl-scale simhash-dedup construction): a pair "
+    "within hamming 3 leaves >= 3 of 6 bit-blocks untouched, so the "
+    "56-combination equi-join on 40-BIT packed keys (8 equal blocks, "
+    ">= 5 untouched) finds every such pair — near-singleton buckets into the billions, where the simple "
+    "8-bit-band sweep's 256 buckets melt around 10^5 items (measured: "
+    "STRESS_MEDIAFP). Same one-char-perturbed twin device (hamming <= "
+    "2, inside the tighter budget), brute-force all-pairs oracle — "
+    "semantically identical by the pigeonhole bound. Scale shape: one "
+    "Arrow decode+hash stage, then JVM-only combo-key explode (56 "
+    "rows/item), equi-join, bit_count verify",
+    survey="LLM multimodal: image near-dup at crawl scale (Manku "
+    "combination blocking — round-13)",
+)
+def image_dhash_neardup_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.phash import hamming_combo_pairs, image_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, _IMG_BYTES)
+    base = docs.filter(
+        (F.length("text") >= _IMG_BYTES)
+        & (F.octet_length(F.encode(prefix, "UTF-8")) == _IMG_BYTES)
+    ).select("doc_id", prefix.alias("pfx"))
+    orig_ch = F.expr(f"substring(pfx, CAST(doc_id % {_IMG_BYTES} AS INT) + 1, 1)")
+    pert = F.concat(
+        F.expr(f"substring(pfx, 1, CAST(doc_id % {_IMG_BYTES} AS INT))"),
+        F.when(orig_ch == "A", F.lit("B")).otherwise(F.lit("A")),
+        F.expr(f"substring(pfx, CAST(doc_id % {_IMG_BYTES} AS INT) + 2, {_IMG_BYTES})"),
+    )
+    variants = base.select(
+        (F.col("doc_id") * 2).alias("media_id"), F.col("pfx").alias("img")
+    ).unionAll(
+        base.select((F.col("doc_id") * 2 + 1).alias("media_id"), pert.alias("img"))
+    )
+    media = variants.select(
+        "media_id",
+        F.encode(F.concat(F.lit(_PGM_HDR), F.col("img")), "UTF-8").alias("content"),
+    )
+    fps = image_fingerprints(media, algo="dhash")
+    return hamming_combo_pairs(fps, bits=64, blocks=8, max_hamming=3)
+
+
 # --------------------------------------- audio envelope near-dup
 #
 # The audio twin of the image device above (llm/audiofp.py): each

@@ -85,6 +85,8 @@ PYTHON_ALLOWED = {
     # single Arrow decode stage; windows/aggregates JVM-side
     "audio_quality_stats",
     "video_scene_changes",
+    # same single Arrow decode+hash stage; combo-key join JVM-side
+    "image_dhash_neardup_combo",
 }
 
 

@@ -171,6 +171,44 @@ def test_banding_complete_vs_bruteforce(spark, fps):
     assert got == want
 
 
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=2, max_size=20, unique=True))
+@settings(max_examples=15, deadline=None)
+def test_combo_blocking_complete_vs_bruteforce(spark, fps):
+    """Manku combination blocking: with 6 blocks and max_hamming=3, at
+    least 3 blocks are untouched, so the 20-combination join finds
+    EXACTLY the brute-force pair set at hamming <= 3 — for arbitrary
+    signed fingerprints (sign bit in the top block, packed keys)."""
+    from openmsistream_spark.llm.phash import hamming_combo_pairs
+
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "media_id long, fingerprint long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_combo_pairs(
+            df, bits=64, blocks=8, max_hamming=3
+        ).collect()
+    }
+    want = {
+        (i, j, _hamming(fps[i], fps[j]))
+        for i in range(len(fps))
+        for j in range(i + 1, len(fps))
+        if _hamming(fps[i], fps[j]) <= 3
+    }
+    assert got == want
+
+
+def test_combo_blocking_param_guards():
+    from openmsistream_spark.llm.phash import hamming_combo_pairs
+
+    with pytest.raises(ValueError, match="more than"):
+        hamming_combo_pairs(None, blocks=4, max_hamming=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        hamming_combo_pairs(None, bits=64, blocks=7, max_hamming=3)
+    with pytest.raises(ValueError, match="exceeds BIGINT"):
+        hamming_combo_pairs(None, bits=64, blocks=64, max_hamming=1)
+
+
 def test_planted_neardup_recall_end_to_end(spark):
     """The ANN_RECALL-style control: 30 distinct base images, each with
     a noised twin (4 perturbed pixels). Every planted (base, twin) pair
