@@ -143,6 +143,7 @@ HEADLINE = [
     "audio_quality_stats",
     "video_scene_changes",
     "image_dhash_neardup_combo",
+    "simhash_combo_neardup",
     "curation_tag_attrition",
     "corpus_shuffle_assignment",
 ]
@@ -223,6 +224,39 @@ def _incremental_lsh_ingest(spark, sf_dir):
     return incremental_minhash_dedup(b2, reg, run_id="bench-b2").select("doc_id")
 
 
+def _incremental_media_ingest(spark, sf_dir):
+    """Cross-run MEDIA near-dup at bench scale: the documents table
+    framed as PGM images, ingested as two batches (even/odd doc_id)
+    through incremental_fingerprint_neardup against a fresh durable
+    fingerprint ledger — times the full incremental path (Arrow
+    decode+hash, Manku combo-key ledger probe, within-batch keep-first,
+    two upserts, admitted re-derive), the per-batch loop of a
+    continuous multimodal corpus build."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from openmsistream_spark.llm.phash import (
+        image_fingerprints,
+        incremental_fingerprint_neardup,
+    )
+    from openmsistream_spark.operators.registry import make_registry
+    from openmsistream_spark.queries_extras9 import _framed_media
+
+    base = os.path.join(tempfile.gettempdir(), f"bench_fp_ledger_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    reg = make_registry(spark, base + "/fp", ["media_id"], backend="parquet")
+    media = _framed_media(spark, sf_dir)
+    b1 = image_fingerprints(media.filter(F.col("media_id") % 2 == 0))
+    b2 = image_fingerprints(media.filter(F.col("media_id") % 2 == 1))
+    incremental_fingerprint_neardup(b1, reg, run_id="bench-b1").count()
+    return incremental_fingerprint_neardup(b2, reg, run_id="bench-b2").select(
+        "media_id"
+    )
+
+
 def _keep_both_shared(spark, sf_dir):
     """Both keep policies (canonical min-id + quality-aware best) off ONE
     pair pipeline + ONE connected-components run, via the pairs=/
@@ -282,6 +316,7 @@ EXTRA = {
     "assembly_100_chunks": _adversarial_assembly(100),
     "assembly_5k_chunks": _adversarial_assembly(5000),
     "incremental_lsh_ingest_2batch": _incremental_lsh_ingest,
+    "incremental_media_ingest_2batch": _incremental_media_ingest,
     "dedup_keep_both_shared": _keep_both_shared,
 }
 

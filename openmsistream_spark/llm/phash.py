@@ -265,6 +265,52 @@ def hamming_band_pairs(
     )
 
 
+def _combo_keyed(
+    fp: DataFrame, bits: int, blocks: int, max_hamming: int
+) -> DataFrame:
+    """(_id, _fp) → exploded (_id, _fp, combo, combo_key): one row per
+    C(blocks, blocks-max_hamming) block combination, the selected block
+    values packed into one BIGINT key. Shared by the self-join pair
+    sweep and the cross-run ledger probe."""
+    untouched = blocks - max_hamming
+    if untouched < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more than {blocks} blocks "
+            "(at least one block must be guaranteed untouched)"
+        )
+    if bits % blocks != 0:
+        raise ValueError(f"bits={bits} not divisible by blocks={blocks}")
+    width = bits // blocks
+    if untouched * width > 62:
+        raise ValueError(
+            f"combination key of {untouched}x{width} bits exceeds BIGINT"
+        )
+    mask = (1 << width) - 1
+    from itertools import combinations
+
+    combos = list(combinations(range(blocks), untouched))
+
+    def _key(combo) -> "F.Column":
+        key = F.lit(0).cast("bigint")
+        for j, b in enumerate(combo):
+            block = F.shiftrightunsigned("_fp", b * width).bitwiseAND(F.lit(mask))
+            key = key.bitwiseOR(F.shiftleft(block, j * width))
+        return key
+
+    return fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(ci).alias("combo"), _key(c).alias("combo_key"))
+                    for ci, c in enumerate(combos)
+                ]
+            )
+        ).alias("_ck"),
+    ).select("_id", "_fp", "_ck.combo", "_ck.combo_key")
+
+
 def hamming_combo_pairs(
     fps: DataFrame,
     bits: int = 64,
@@ -298,51 +344,12 @@ def hamming_combo_pairs(
     candidate keys pack the selected block values into one BIGINT
     (selected widths always sum to < 63 bits here), all JVM codegen.
     """
-    untouched = blocks - max_hamming
-    if untouched < 1:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs more than {blocks} blocks "
-            "(at least one block must be guaranteed untouched)"
-        )
-    if bits % blocks != 0:
-        raise ValueError(f"bits={bits} not divisible by blocks={blocks}")
-    width = bits // blocks
-    if untouched * width > 62:
-        raise ValueError(
-            f"combination key of {untouched}x{width} bits exceeds BIGINT"
-        )
-    mask = (1 << width) - 1
-    from itertools import combinations
-
-    combos = list(combinations(range(blocks), untouched))
-
     fp = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
     if persist_fingerprints:
         from pyspark import StorageLevel
 
         fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
-
-    def _key(combo) -> "F.Column":
-        key = F.lit(0).cast("bigint")
-        for j, b in enumerate(combo):
-            block = F.shiftrightunsigned("_fp", b * width).bitwiseAND(F.lit(mask))
-            key = key.bitwiseOR(F.shiftleft(block, j * width))
-        return key
-
-    keyed = fp.select(
-        "_id",
-        "_fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ci).alias("combo"), _key(c).alias("combo_key")
-                    )
-                    for ci, c in enumerate(combos)
-                ]
-            )
-        ).alias("_ck"),
-    ).select("_id", "_fp", "_ck.combo", "_ck.combo_key")
+    keyed = _combo_keyed(fp, bits, blocks, max_hamming)
     a = keyed.select(
         F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "combo", "combo_key"
     )
@@ -355,6 +362,105 @@ def hamming_combo_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.min(F.expr("bit_count(fp_a ^ fp_b)")).cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def incremental_fingerprint_neardup(
+    fps: DataFrame,
+    registry,
+    bits: int = 64,
+    blocks: int = 8,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    fp_col: str = "fingerprint",
+    run_id: str | None = None,
+) -> DataFrame:
+    """Cross-run perceptual near-dup against a durable fingerprint
+    ledger — the media twin of ``dedup.incremental_exact_dedup`` /
+    the sign-LSH embedding ledger: each ingest run admits only media
+    whose fingerprint is not within ``max_hamming`` of ANY prior run's
+    admitted fingerprint (nor of a smaller-id admit in the same batch),
+    then records the new fingerprints. Works for any modality's 64-bit
+    (or ``bits``-bit) fingerprint column: image dHash, audio envelope,
+    video keyframes.
+
+    The ledger holds (media_id, fingerprint, run_id) — 24 bytes/item,
+    never content. Both the ledger probe and the within-batch sweep use
+    Manku combination keys (``_combo_keyed``), so the probe is an
+    equi-join on near-singleton buckets at any ledger size — the
+    crawl-scale shape, with the h <= blocks-1 budget bound.
+
+    Within-batch rule: an item matching a SMALLER id in the batch is
+    dropped (greedy keep-first, deterministic; not a transitive-closure
+    clustering — a~b and b~c drops both b and c even if a!~c, the
+    conservative choice for an admission gate).
+
+    Recovery/replay: the ledger upsert is the only materialization and
+    the returned frame re-derives this run's admissions FROM the
+    committed ledger (rows tagged ``run_id``), so re-running the same
+    ``run_id`` returns the identical admitted set (exactly-once
+    replay); a fresh uuid per call admits nothing on replay — the
+    conservative batch semantics (the incremental_exact_dedup
+    contract).
+    """
+    import uuid
+
+    run_id = run_id if run_id is not None else uuid.uuid4().hex
+    batch = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    keyed = _combo_keyed(batch, bits, blocks, max_hamming)
+
+    # vs-ledger probe: any prior fingerprint within budget blocks the id
+    seen = registry.read()
+    if seen is not None:
+        seen_keyed = _combo_keyed(
+            seen.select(
+                F.col("media_id").alias("_id"), F.col("fingerprint").alias("_fp")
+            ),
+            bits,
+            blocks,
+            max_hamming,
+        ).select(
+            "combo", "combo_key", F.col("_fp").alias("_ledger_fp")
+        )
+        blocked = (
+            keyed.join(seen_keyed, ["combo", "combo_key"])
+            .filter(F.expr("bit_count(_fp ^ _ledger_fp)") <= max_hamming)
+            .select("_id")
+            .distinct()
+        )
+        batch = batch.join(blocked, "_id", "left_anti")
+        keyed = _combo_keyed(batch, bits, blocks, max_hamming)
+
+    # within-batch keep-first: drop ids matching a smaller surviving id
+    a = keyed.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "combo", "combo_key"
+    )
+    b = keyed.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "combo", "combo_key"
+    )
+    dup_ids = (
+        a.join(b, ["combo", "combo_key"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.expr("bit_count(fp_a ^ fp_b)") <= max_hamming)
+        )
+        .select(F.col("id_b").alias("_id"))
+        .distinct()
+    )
+    admitted = batch.join(dup_ids, "_id", "left_anti")
+
+    registry.upsert(
+        admitted.select(
+            F.col("_id").alias("media_id"),
+            F.col("_fp").alias("fingerprint"),
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+    # re-derive from the committed ledger (durable; replay-identical)
+    return (
+        registry.read()
+        .filter(F.col("run_id") == run_id)
+        .select("media_id", "fingerprint")
     )
 
 

@@ -57,7 +57,7 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import load, query
+from .queries import SIMHASH32_CTE, load, query
 
 # framed image geometry: 18 wide x 16 high = 288 bytes, chosen so the
 # 8x9 dHash grid pools exact 2x2 blocks (equal areas -> the oracle
@@ -285,6 +285,38 @@ def image_dhash_neardup_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fps = image_fingerprints(media, algo="dhash")
     return hamming_combo_pairs(fps, bits=64, blocks=8, max_hamming=3)
+
+
+@query(
+    "simhash_combo_neardup",
+    SIMHASH32_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh32 a JOIN sh32 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs through Manku combination blocking — "
+    "the crawl-scale upgrade of simhash_band_neardup: its 4x8-bit bands "
+    "have 256 key values (candidates ~n^2/256, the measured "
+    "STRESS_MEDIAFP melt), while 56 combinations of >= 5-of-8 4-bit "
+    "blocks give 20-BIT packed keys (1M values) — near-singleton "
+    "buckets far past the band construction's wall, same hamming <= 3 "
+    "budget, pigeonhole-complete (brute-force all-pairs oracle is "
+    "semantically identical). Scale shape: the two map-side-combinable "
+    "simhash shuffles, then combo-key explode (56/doc) + equi-join + "
+    "bit_count verify, all JVM codegen",
+    survey="LLM near-dup at scale: SimHash combination blocking "
+    "(Manku 2007 — round-13)",
+)
+def simhash_combo_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.dedup import simhash
+    from .llm.phash import hamming_combo_pairs
+
+    sh = simhash(load(spark, sf_dir, "documents"), bits=32)
+    return hamming_combo_pairs(
+        sh, bits=32, blocks=8, max_hamming=3, id_col="doc_id", fp_col="simhash"
+    )
 
 
 # --------------------------------------- audio envelope near-dup

@@ -209,6 +209,54 @@ def test_combo_blocking_param_guards():
         hamming_combo_pairs(None, bits=64, blocks=64, max_hamming=1)
 
 
+def test_incremental_fingerprint_neardup_across_runs(spark, tmp_path):
+    """Cross-run media near-dup ledger: within-batch keep-first,
+    ledger blocking across runs, and exactly-once replay semantics
+    (same run_id -> identical admitted set; fresh run_id -> empty)."""
+    from openmsistream_spark.llm.phash import incremental_fingerprint_neardup
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(
+        spark, str(tmp_path / "fp_ledger"), ["media_id"], backend="parquet"
+    )
+    A = 0x0123456789ABCDEF
+    B = A ^ 0b101  # hamming 2 from A -> within-batch dup of A
+    C = 0x7EDCBA9876543210
+    run1 = spark.createDataFrame(
+        [(1, _to_signed64(A)), (2, _to_signed64(B)), (3, _to_signed64(C))],
+        "media_id long, fingerprint long",
+    )
+    out1 = {r.media_id for r in incremental_fingerprint_neardup(run1, reg).collect()}
+    assert out1 == {1, 3}
+
+    D = A ^ (1 << 63)  # hamming 1 from A -> blocked by the ledger
+    E = 0x0F0F0F0F0F0F0F0F
+    Fp = E ^ 0b11  # within-batch dup of E
+    run2 = spark.createDataFrame(
+        [(4, _to_signed64(D)), (5, _to_signed64(E)), (6, _to_signed64(Fp))],
+        "media_id long, fingerprint long",
+    )
+    out2 = {
+        r.media_id
+        for r in incremental_fingerprint_neardup(run2, reg, run_id="r2").collect()
+    }
+    assert out2 == {5}
+    # replay with the SAME run_id: identical admitted set (exactly-once)
+    replay = {
+        r.media_id
+        for r in incremental_fingerprint_neardup(run2, reg, run_id="r2").collect()
+    }
+    assert replay == {5}
+    # replay with a FRESH run_id: everything already in the ledger
+    fresh = {
+        r.media_id for r in incremental_fingerprint_neardup(run2, reg).collect()
+    }
+    assert fresh == set()
+    # the ledger holds exactly the admitted fingerprints
+    ledger = {r.media_id for r in reg.read().collect()}
+    assert ledger == {1, 3, 5}
+
+
 def test_planted_neardup_recall_end_to_end(spark):
     """The ANN_RECALL-style control: 30 distinct base images, each with
     a noised twin (4 perturbed pixels). Every planted (base, twin) pair
