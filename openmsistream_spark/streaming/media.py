@@ -1,0 +1,107 @@
+"""Streaming multimodal near-dup ingest — the streaming twin of
+``llm/phash.incremental_fingerprint_neardup``, completing the
+batch↔stream parity the text families already have (exact dedup,
+MinHash-LSH, span, bloom, quota, mixing, …) for the perceptual
+fingerprint families (image dHash, audio envelope, video keyframes).
+
+Contract (the repo's durable-ledger discipline): the stream's
+checkpoint sequences micro-batches; the fingerprint LEDGER owns which
+media have ever been admitted, as (media_id, fingerprint,
+run_id="batch-<id>") rows. Batch B:
+
+1. decodes + fingerprints the batch's media (ONE Arrow stage — the
+   batch operators, shared code),
+2. admits via ``incremental_fingerprint_neardup``: no prior admitted
+   fingerprint within ``max_hamming`` (Manku combination-key probe —
+   equi-join on near-singleton buckets at ANY ledger size), no
+   smaller-id within-batch match, ledger upsert keyed on media_id,
+3. writes the admitted (media_id, fingerprint) rows to ``batch=<id>``
+   (partition overwrite — the idempotent sink shape).
+
+Replay identity holds by the incremental operator's own contract: a
+replayed batch re-runs with the SAME run_id, every one of its items is
+blocked by its own ledger rows, the upsert replaces nothing, and the
+admitted set is re-derived FROM the ledger's run_id rows — byte-
+identical output, the exactly-once shape every ledger sink here shares.
+
+Scale: ledger rows are 24 bytes/admitted item; the per-batch probe is
+micro-batch x combo-keys vs ledger equi-join (never all-pairs, never
+corpus-rescans); fingerprints are computed once per batch. The params
+sidecar pins (bits, blocks, max_hamming, modality) across restarts —
+a silently changed budget would admit a different replayed set, so the
+guard refuses instead (the round-12 advisory discipline), as does a
+lost-ledger state past batch 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+def _fingerprinter(modality: str):
+    """modality -> (media frame, strict) -> (media_id, fingerprint)."""
+    if modality == "image":
+        from ..llm.phash import image_fingerprints
+
+        return lambda media, strict: image_fingerprints(media, strict=strict)
+    if modality == "audio":
+        from ..llm.audiofp import audio_fingerprints
+
+        return lambda media, strict: audio_fingerprints(media, strict=strict)
+    raise ValueError(f"unknown modality {modality!r} (have ['audio', 'image'])")
+
+
+def media_neardup_stream_sink(
+    media,
+    fp_registry,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    modality: str = "image",
+    bits: int = 64,
+    blocks: int = 8,
+    max_hamming: int = 3,
+    strict: bool = True,
+):
+    """foreachBatch sink: fingerprint each micro-batch's media
+    (``media_id``, ``content`` columns), admit only never-seen-near
+    items against the durable fingerprint ledger, write admitted
+    (media_id, fingerprint) to ``batch=<id>``.
+
+    ``fp_registry`` must be ``make_registry(spark, path, ["media_id"])``.
+    Returns the configured ``DataStreamWriter`` — caller picks the
+    trigger and calls ``.start()``."""
+    fingerprint = _fingerprinter(modality)
+    from ..llm.phash import incremental_fingerprint_neardup
+    from .params_guard import refuse_lost_ledger, sidecar_batch_guard
+
+    guard = sidecar_batch_guard(
+        fp_registry,
+        {
+            "modality": modality,
+            "bits": bits,
+            "blocks": blocks,
+            "max_hamming": max_hamming,
+        },
+        "media_neardup_stream_sink",
+    )
+    guard()  # fail fast at build; re-checked per batch (race window)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        guard()
+        refuse_lost_ledger(fp_registry, batch_id, "media_neardup_stream_sink")
+        fps = fingerprint(batch_df, strict)
+        admitted = incremental_fingerprint_neardup(
+            fps,
+            fp_registry,
+            bits=bits,
+            blocks=blocks,
+            max_hamming=max_hamming,
+            run_id=f"batch-{batch_id}",
+        )
+        admitted.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        media.writeStream.foreachBatch(_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )

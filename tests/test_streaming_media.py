@@ -1,0 +1,148 @@
+"""Streaming multimodal near-dup ingest (streaming/media.py): cross-
+batch ledger blocking, within-batch keep-first, exactly-once replay
+through the shared incremental operator, the params sidecar guard, and
+the lost-ledger refusal — the quota/mixing sink discipline applied to
+perceptual fingerprints."""
+
+import numpy as np
+import pytest
+
+from openmsistream_spark.llm.phash import dhash_int, gray_pixels
+from openmsistream_spark.operators.registry import make_registry
+from openmsistream_spark.streaming.media import media_neardup_stream_sink
+
+SCHEMA = "media_id long, content binary"
+
+
+def _pgm(gray2d: np.ndarray) -> bytearray:
+    h, w = gray2d.shape
+    return bytearray(
+        f"P5 {w} {h} 255\n".encode() + gray2d.astype(np.uint8).tobytes()
+    )
+
+
+def _images():
+    rng = np.random.RandomState(7)
+    A = rng.randint(0, 256, size=(16, 18)).astype(np.uint8)
+    A2 = A.copy()
+    A2[0, 0] ^= 3  # near-dup twin of A (couple of bits at most)
+    B = rng.randint(0, 256, size=(16, 18)).astype(np.uint8)
+    A3 = A.copy()
+    A3[3, 3] ^= 5  # second twin, arrives a batch later
+    C = rng.randint(0, 256, size=(16, 18)).astype(np.uint8)
+    return A, A2, B, A3, C
+
+
+def _run(spark, in_dir, out_dir, ckpt, reg, **kw):
+    src = spark.readStream.schema(SCHEMA).parquet(f"{in_dir}/b=*")
+    q = (
+        media_neardup_stream_sink(src, reg, out_dir, ckpt, **kw)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+
+def _stream_batches(spark, tmp_path, batches, reg, **kw):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/b={b}")
+        _run(spark, in_dir, out_dir, ckpt, reg, **kw)
+    return out_dir
+
+
+def test_cross_batch_media_dedup_and_replay(spark, tmp_path):
+    A, A2, B, A3, C = _images()
+    batches = [
+        [(1, _pgm(A)), (2, _pgm(A2)), (3, _pgm(B))],  # A2 in-batch dup
+        [(4, _pgm(A3)), (5, _pgm(C))],  # A3 blocked by batch-0's ledger
+    ]
+    reg = make_registry(spark, str(tmp_path / "led"), ["media_id"])
+    out_dir = _stream_batches(spark, tmp_path, batches, reg)
+    got = {r.media_id: r.fingerprint for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == {1, 3, 5}
+    assert got[1] == dhash_int(gray_pixels(A[:, :, None]))
+    # ledger holds exactly the admitted fingerprints, tagged per batch
+    led = {(r.media_id, r.run_id) for r in reg.read().collect()}
+    assert led == {(1, "batch-0"), (3, "batch-0"), (5, "batch-1")}
+    # replay batch 1 through the shared incremental operator against the
+    # post-upsert ledger: same run_id -> identical admitted set
+    from openmsistream_spark.llm.phash import (
+        image_fingerprints,
+        incremental_fingerprint_neardup,
+    )
+
+    b1 = spark.createDataFrame(batches[1], SCHEMA)
+    replay = {
+        r.media_id
+        for r in incremental_fingerprint_neardup(
+            image_fingerprints(b1), reg, run_id="batch-1"
+        ).collect()
+    }
+    assert replay == {5}
+    assert {(r.media_id, r.run_id) for r in reg.read().collect()} == led
+
+
+def test_sidecar_guard_refuses_changed_params(spark, tmp_path):
+    A, A2, B, A3, C = _images()
+    reg = make_registry(spark, str(tmp_path / "led"), ["media_id"])
+    _stream_batches(
+        spark, tmp_path, [[(1, _pgm(A))]], reg, max_hamming=3
+    )
+    with pytest.raises(Exception, match="media_neardup_stream_sink"):
+        media_neardup_stream_sink(
+            spark.readStream.schema(SCHEMA).parquet(str(tmp_path / "in/b=*")),
+            reg,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            max_hamming=2,  # silently different budget -> refusal
+        )
+
+
+def test_unknown_modality_rejected(spark, tmp_path):
+    reg = make_registry(spark, str(tmp_path / "led"), ["media_id"])
+    with pytest.raises(ValueError, match="unknown modality"):
+        media_neardup_stream_sink(
+            None, reg, str(tmp_path / "o"), str(tmp_path / "c"), modality="video"
+        )
+
+
+def test_audio_modality_path(spark, tmp_path):
+    import struct
+
+    def wav8(u8: np.ndarray) -> bytearray:
+        data = u8.astype(np.uint8).tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        return bytearray(
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+
+    rng = np.random.RandomState(11)
+    clip = rng.randint(0, 256, size=650).astype(np.uint8)
+    twin = clip.copy()
+    twin[5] = 255 - twin[5]
+    other = rng.randint(0, 256, size=650).astype(np.uint8)
+    reg = make_registry(spark, str(tmp_path / "led"), ["media_id"])
+    out_dir = _stream_batches(
+        spark,
+        tmp_path,
+        [[(1, wav8(clip)), (2, wav8(other))], [(3, wav8(twin))]],
+        reg,
+        modality="audio",
+    )
+    got = {r.media_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 2}  # the later twin is ledger-blocked
