@@ -218,7 +218,13 @@ def wav_pcm(content: bytes):
         cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            try:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            except struct.error as exc:
+                # normalize to the decoder family's error type: callers
+                # (audio_fingerprints/audio_quality_stats skip mode)
+                # catch ValueError only
+                raise ValueError(f"truncated WAV fmt chunk: {exc}") from exc
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned

@@ -265,13 +265,10 @@ def hamming_band_pairs(
     )
 
 
-def _combo_keyed(
-    fp: DataFrame, bits: int, blocks: int, max_hamming: int
-) -> DataFrame:
-    """(_id, _fp) → exploded (_id, _fp, combo, combo_key): one row per
-    C(blocks, blocks-max_hamming) block combination, the selected block
-    values packed into one BIGINT key. Shared by the self-join pair
-    sweep and the cross-run ledger probe."""
+def _combo_params(bits: int, blocks: int, max_hamming: int):
+    """Validate the combination-blocking parameterization and return
+    (width, mask, combos) — called BEFORE any frame is touched so bad
+    params fail fast regardless of input."""
     untouched = blocks - max_hamming
     if untouched < 1:
         raise ValueError(
@@ -285,10 +282,19 @@ def _combo_keyed(
         raise ValueError(
             f"combination key of {untouched}x{width} bits exceeds BIGINT"
         )
-    mask = (1 << width) - 1
     from itertools import combinations
 
-    combos = list(combinations(range(blocks), untouched))
+    return width, (1 << width) - 1, list(combinations(range(blocks), untouched))
+
+
+def _combo_keyed(
+    fp: DataFrame, bits: int, blocks: int, max_hamming: int
+) -> DataFrame:
+    """(_id, _fp) → exploded (_id, _fp, combo, combo_key): one row per
+    C(blocks, blocks-max_hamming) block combination, the selected block
+    values packed into one BIGINT key. Shared by the self-join pair
+    sweep and the cross-run ledger probe."""
+    width, mask, combos = _combo_params(bits, blocks, max_hamming)
 
     def _key(combo) -> "F.Column":
         key = F.lit(0).cast("bigint")
@@ -344,6 +350,7 @@ def hamming_combo_pairs(
     candidate keys pack the selected block values into one BIGINT
     (selected widths always sum to < 63 bits here), all JVM codegen.
     """
+    _combo_params(bits, blocks, max_hamming)  # fail fast on bad params
     fp = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
     if persist_fingerprints:
         from pyspark import StorageLevel
@@ -381,8 +388,12 @@ def incremental_fingerprint_neardup(
     whose fingerprint is not within ``max_hamming`` of ANY prior run's
     admitted fingerprint (nor of a smaller-id admit in the same batch),
     then records the new fingerprints. Works for any modality's 64-bit
-    (or ``bits``-bit) fingerprint column: image dHash, audio envelope,
-    video keyframes.
+    (or ``bits``-bit) fingerprint column carrying ONE ROW PER media_id:
+    image dHash, audio envelope, or a per-video representative frame.
+    Raw ``video_frame_fingerprints`` output (multiple frames per
+    media_id) must be reduced to one row first — the media_id-keyed
+    ledger upsert would otherwise keep an arbitrary frame, and the
+    within-batch sweep would pair unaligned frames.
 
     The ledger holds (media_id, fingerprint, run_id) — 24 bytes/item,
     never content. Both the ledger probe and the within-batch sweep use
@@ -395,22 +406,46 @@ def incremental_fingerprint_neardup(
     clustering — a~b and b~c drops both b and c even if a!~c, the
     conservative choice for an admission gate).
 
-    Recovery/replay: the ledger upsert is the only materialization and
-    the returned frame re-derives this run's admissions FROM the
-    committed ledger (rows tagged ``run_id``), so re-running the same
-    ``run_id`` returns the identical admitted set (exactly-once
-    replay); a fresh uuid per call admits nothing on replay — the
-    conservative batch semantics (the incremental_exact_dedup
-    contract).
+    Recovery/replay: the ledger upsert is the only materialization.
+    Re-running with the SAME ``run_id`` short-circuits — if the ledger
+    already holds rows tagged ``run_id``, they ARE the committed
+    decision and are returned verbatim (exactly-once replay, even for
+    non-transitive Hamming chains where recomputing against the
+    post-upsert ledger would diverge: with a~b, b~c, a!~c the first
+    run's greedy sweep drops both b and c, but a post-upsert recompute
+    would re-admit c since only a is in the ledger). A crash BEFORE the
+    upsert leaves no run_id rows, so the replay recomputes from the
+    identical pre-batch ledger state — deterministic, hence the same
+    set; a crash after the (atomic) upsert returns the committed rows.
+    A FRESH uuid per call re-admits nothing that is within budget of an
+    ADMITTED item; an item the original run dropped only via a chain
+    through another dropped item (the b~c case) is not near any
+    admitted item and IS re-admitted — the honest near-dup analogue of
+    incremental_exact_dedup's "admits nothing on replay" (which holds
+    exactly there because exact equality is transitive).
     """
     import uuid
 
     run_id = run_id if run_id is not None else uuid.uuid4().hex
     batch = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+
+    seen = registry.read()
+    if seen is not None:
+        # same-run_id short-circuit: committed decisions are the result
+        mine = seen.filter(F.col("run_id") == run_id)
+        if mine.limit(1).count() > 0:
+            return mine.select("media_id", "fingerprint")
+
+    # the batch fingerprints feed the probe, the self-join (both sides)
+    # and the admitted anti-join — without a persist the upstream Arrow
+    # decode+hash stage would re-execute in each branch
+    from pyspark import StorageLevel
+
+    pinned = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    batch = pinned
     keyed = _combo_keyed(batch, bits, blocks, max_hamming)
 
     # vs-ledger probe: any prior fingerprint within budget blocks the id
-    seen = registry.read()
     if seen is not None:
         seen_keyed = _combo_keyed(
             seen.select(
@@ -449,13 +484,16 @@ def incremental_fingerprint_neardup(
     )
     admitted = batch.join(dup_ids, "_id", "left_anti")
 
-    registry.upsert(
-        admitted.select(
-            F.col("_id").alias("media_id"),
-            F.col("_fp").alias("fingerprint"),
-            F.lit(run_id).alias("run_id"),
+    try:
+        registry.upsert(
+            admitted.select(
+                F.col("_id").alias("media_id"),
+                F.col("_fp").alias("fingerprint"),
+                F.lit(run_id).alias("run_id"),
+            )
         )
-    )
+    finally:
+        pinned.unpersist()
     # re-derive from the committed ledger (durable; replay-identical)
     return (
         registry.read()

@@ -69,23 +69,31 @@ def video_frame_fingerprints(
             ids, frames, fps = [], [], []
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content) if row.content is not None else b""
+                # decode AND hash inside the guard: a stream can parse
+                # fine yet contain a frame smaller than the hash grid —
+                # that row must raise-with-context / skip like any other
+                # undecodable one, not abort the whole Arrow stage
                 try:
                     px_frames = pnm_stream_frames(content)
-                except ValueError:
+                    row_frames = [
+                        (i, hash_fn(gray_pixels(px)))
+                        for i, px in enumerate(px_frames)
+                        if i % every_nth == 0
+                    ]
+                except ValueError as exc:
                     if strict:
                         raise ValueError(
-                            "video_frame_fingerprints: undecodable media "
-                            f"bytes for media_id={row.media_id} (built-in "
-                            "covers multi-image binary PNM streams; pass "
-                            "strict=False to skip non-video rows)"
+                            "video_frame_fingerprints: unusable media "
+                            f"bytes for media_id={row.media_id} ({exc}; "
+                            "built-in covers multi-image binary PNM "
+                            "streams with frames at least the hash grid; "
+                            "pass strict=False to skip such rows)"
                         )
                     continue
-                for i, px in enumerate(px_frames):
-                    if i % every_nth:
-                        continue
+                for i, fp in row_frames:
                     ids.append(row.media_id)
                     frames.append(i)
-                    fps.append(hash_fn(gray_pixels(px)))
+                    fps.append(fp)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_i": frames, "fingerprint": fps}
             )

@@ -247,7 +247,7 @@ def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="image near-dup pairs through COMBINATION blocking (Manku et "
     "al. 2007, the crawl-scale simhash-dedup construction): a pair "
-    "within hamming 3 leaves >= 3 of 6 bit-blocks untouched, so the "
+    "within hamming 3 leaves >= 5 of 8 bit-blocks untouched, so the "
     "56-combination equi-join on 40-BIT packed keys (8 equal blocks, "
     ">= 5 untouched) finds every such pair — near-singleton buckets into the billions, where the simple "
     "8-bit-band sweep's 256 buckets melt around 10^5 items (measured: "
@@ -542,7 +542,6 @@ def audio_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer-exactly, and the oracle reuses _DHASH_CTE verbatim by
 # encoding (video, frame) into one id: media_id = vid * 4 + frame_i.
 
-_VID_FRAME_OFF = (0, 192)  # sampled frames' char offsets (frames 0, 2)
 _VID_BYTES = 480
 
 

@@ -161,11 +161,25 @@ def test_audio_quality_stats_distributed(spark):
     assert row.n_zero_cross > 0  # real signed audio does cross zero
 
 
+def test_truncated_fmt_chunk_is_valueerror():
+    """A RIFF/WAVE container whose fmt chunk is shorter than its header
+    promises must raise ValueError (the decoder family's type), not
+    struct.error — the skip-mode handlers catch ValueError only."""
+    bad = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        wav_pcm(bad)
+
+
 def test_strict_raises_skip_mode_skips(spark):
+    trunc = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    )
     media = spark.createDataFrame(
         [
             (0, bytearray(_wav8(bytes(range(65, 65 + 130)) * 2))),
             (1, bytearray(b"not audio at all")),
+            (2, bytearray(trunc)),  # parses as RIFF, fmt chunk truncated
         ],
         "media_id long, content binary",
     )

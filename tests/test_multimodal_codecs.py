@@ -255,11 +255,12 @@ def test_strict_mode_raises_on_malformed_known_format(spark):
 
 
 def test_default_decoder_survives_struct_error():
-    """A WAV truncated inside its fmt chunk raises struct.error (not
-    ValueError) from the parser; the non-strict path must fall back to
-    the fake decoder, not crash the Spark task."""
+    """A WAV truncated inside its fmt chunk raises ValueError (the
+    decoder family's one error type — normalized from struct.error so
+    every skip-mode handler catches it); the non-strict path must fall
+    back to the fake decoder, not crash the Spark task."""
     bad = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 2) + b"ab"
-    with pytest.raises(struct.error):
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
         decode_wav(bad)  # the parser itself raises
     assert default_decoder("audio", bad) == fake_decoder("audio", bad)
 

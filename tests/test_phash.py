@@ -257,6 +257,42 @@ def test_incremental_fingerprint_neardup_across_runs(spark, tmp_path):
     assert ledger == {1, 3, 5}
 
 
+def test_incremental_chain_replay_is_exactly_once(spark, tmp_path):
+    """The non-transitive Hamming chain a~b, b~c, a!~c: the greedy
+    first run admits {a} only; a replay with the SAME run_id must
+    return {a} verbatim (the committed decision short-circuit), NOT
+    re-admit c against the post-upsert ledger."""
+    from openmsistream_spark.llm.phash import incremental_fingerprint_neardup
+    from openmsistream_spark.operators.registry import make_registry
+
+    a = 0
+    b = (1 << 3) | (1 << 17) | (1 << 40)  # hamming(a,b)=3
+    c = b | (1 << 5) | (1 << 23) | (1 << 50)  # hamming(b,c)=3, hamming(a,c)=6
+    assert bin(a ^ c).count("1") > 3
+    reg = make_registry(spark, str(tmp_path / "led"), ["media_id"])
+    batch = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "media_id long, fingerprint long"
+    )
+    first = {
+        r.media_id
+        for r in incremental_fingerprint_neardup(batch, reg, run_id="B0").collect()
+    }
+    assert first == {1}  # b dropped by a, c dropped by b (greedy)
+    replay = {
+        r.media_id
+        for r in incremental_fingerprint_neardup(batch, reg, run_id="B0").collect()
+    }
+    assert replay == {1}  # NOT {1, 3}: committed decision wins
+    assert {r.media_id for r in reg.read().collect()} == {1}
+    # a FRESH run honestly re-admits c (near no ADMITTED item) — the
+    # documented near-dup asymmetry vs exact dedup
+    fresh = {
+        r.media_id
+        for r in incremental_fingerprint_neardup(batch, reg, run_id="B1").collect()
+    }
+    assert fresh == {3}
+
+
 def test_planted_neardup_recall_end_to_end(spark):
     """The ANN_RECALL-style control: 30 distinct base images, each with
     a noised twin (4 perturbed pixels). Every planted (base, twin) pair

@@ -65,10 +65,27 @@ def test_strict_raises_skip_mode_skips(spark):
         [(0, bytearray(ok)), (1, bytearray(b"not a video"))],
         "media_id long, content binary",
     )
-    with pytest.raises(Exception, match="undecodable"):
+    with pytest.raises(Exception, match="unusable"):
         video_frame_fingerprints(media, strict=True).collect()
     got = video_frame_fingerprints(media, strict=False).collect()
     assert [r.media_id for r in got] == [0]
+
+
+def test_tiny_frame_skips_not_aborts(spark):
+    """A PARSEABLE stream whose frame is smaller than the hash grid
+    must behave like any undecodable row: skip under strict=False,
+    raise with media_id context under strict=True — never abort the
+    whole Arrow stage."""
+    ok = _stream([np.zeros((16, 18), dtype=np.uint8)])
+    tiny = _stream([np.zeros((4, 4), dtype=np.uint8)])  # parses, unhashable
+    media = spark.createDataFrame(
+        [(0, bytearray(ok)), (1, bytearray(tiny))],
+        "media_id long, content binary",
+    )
+    got = video_frame_fingerprints(media, strict=False).collect()
+    assert [r.media_id for r in got] == [0]
+    with pytest.raises(Exception, match="media_id=1"):
+        video_frame_fingerprints(media, strict=True).collect()
 
 
 def test_aligned_banding_vs_bruteforce(spark):
