@@ -31,6 +31,7 @@ import openmsistream_spark.queries_extras6  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras7  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras8  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras9  # noqa: E402,F401  registers extras
+import openmsistream_spark.queries_extras10  # noqa: E402,F401  registers extras
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -146,6 +147,11 @@ HEADLINE = [
     "simhash_combo_neardup",
     "curation_tag_attrition",
     "corpus_shuffle_assignment",
+    # round-14 additions (video representative fingerprint — the media
+    # ledger's one-row-per-video reduction — and the combo-default pair
+    # sweep over it)
+    "video_representative_fingerprint",
+    "video_representative_neardup",
 ]
 
 

@@ -18,7 +18,16 @@ Topic URIs: ``kafka://hosts/topic`` for a live broker, anything else is
 a parquet-directory topic (the brokerless staging transport — see
 pipelines.py module docstring). Installed console scripts (pyproject):
 ``oms-upload-file``, ``oms-upload-directory``, ``oms-download-directory``,
-``oms-reproduce-dlq``.
+``oms-reproduce-dlq``, ``oms-curate-corpus``, ``oms-fingerprint-media``.
+
+The LLM-pipeline verbs (no reference counterpart — the driver brief's
+training-data surface):
+
+    ... curate-corpus    IN.parquet OUT_DIR [--neardup --tag
+                         --attrition-report COL ...]
+    ... extract-crawl    IN.parquet OUT_DIR [--html-col html ...]
+    ... fingerprint-media IN.parquet OUT_DIR [--modality image|audio|video
+                         --pairs-dir PAIRS_DIR ...]
 """
 
 from __future__ import annotations
@@ -191,6 +200,67 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip per-stage row counts (one count job per stage)",
     )
     cc.add_argument(
+        "--tag", action="store_true",
+        help="TAG-don't-drop mode (Dolma-style): write EVERY input row "
+        "with per-stage boolean verdict columns instead of filtering — "
+        "one pass serves many downstream filter policies; incompatible "
+        "with the ledger/shard options (drop-mode-only features)",
+    )
+    cc.add_argument(
+        "--attrition-report", default=None, metavar="GROUP_COL",
+        help="with --tag: also write a per-GROUP_COL attrition report "
+        "(first-fail stage drops + per-rule fail counts) to "
+        "OUT_DIR_attrition",
+    )
+    cc.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="spark.sql.shuffle.partitions override",
+    )
+
+    fm = sub.add_parser(
+        "fingerprint-media",
+        help="perceptual-fingerprint a media parquet (image/audio/video "
+        "binary column) to one 64-bit fingerprint per item; optionally "
+        "also emit near-dup pairs (Manku combination blocking)",
+    )
+    fm.add_argument("in_parquet", help="input parquet (id + binary content)")
+    fm.add_argument("out_dir", help="directory for the fingerprint parquet")
+    fm.add_argument(
+        "--modality", choices=["image", "audio", "video"], default="image",
+        help="image: dHash/pHash; audio: temporal-envelope hash; video: "
+        "per-keyframe dHash/pHash reduced to the majority-fold "
+        "representative (one row per video)",
+    )
+    fm.add_argument(
+        "--algo", choices=["dhash", "phash"], default="dhash",
+        help="perceptual hash for image/video frames (audio always uses "
+        "the envelope hash)",
+    )
+    fm.add_argument("--id-col", default="media_id")
+    fm.add_argument("--content-col", default="content")
+    fm.add_argument(
+        "--every-nth", type=int, default=1,
+        help="video keyframe sampling rate (hash every n-th frame)",
+    )
+    fm.add_argument(
+        "--skip-undecodable", action="store_true",
+        help="skip rows the dependency-free decoders can't parse "
+        "instead of failing (mixed-modality corpora)",
+    )
+    fm.add_argument(
+        "--pairs-dir", default=None,
+        help="also write near-dup pairs (id_a, id_b, hamming) here",
+    )
+    fm.add_argument(
+        "--max-hamming", type=int, default=3,
+        help="near-dup Hamming budget for --pairs-dir (crawl-scale "
+        "default 3; must stay below --blocks)",
+    )
+    fm.add_argument(
+        "--blocks", type=int, default=8,
+        help="combination-blocking block count for --pairs-dir",
+    )
+    fm.add_argument(
         "--shuffle-partitions", type=int, default=None,
         help="spark.sql.shuffle.partitions override",
     )
@@ -240,6 +310,34 @@ def main(argv: Sequence[str] | None = None) -> int:
         parser.error(
             "--min-text-len only applies during HTML extraction — "
             "pass --html-col, or drop --min-text-len for text-only input"
+        )
+    if args.command == "curate-corpus":
+        if args.attrition_report and not args.tag:
+            parser.error(
+                "--attrition-report needs the per-stage verdict columns "
+                "— pass --tag as well"
+            )
+        if args.tag and (
+            args.exact_ledger or args.lsh_ledger or args.run_id or args.shard_dir
+        ):
+            # documented drop-mode-only features: ledgers rewrite corpus
+            # membership across runs and shards need a filtered corpus —
+            # silently ignoring them would misreport what ran
+            parser.error(
+                "--tag is incompatible with --exact-ledger/--lsh-ledger/"
+                "--run-id/--shard-dir (drop-mode-only features: ledgers "
+                "rewrite membership across runs, shards pack a FILTERED "
+                "corpus) — run those in drop mode"
+            )
+    if (
+        args.command == "fingerprint-media"
+        and args.pairs_dir
+        and args.max_hamming >= args.blocks
+    ):
+        parser.error(
+            f"--max-hamming {args.max_hamming} needs more than "
+            f"{args.blocks} blocks (at least one block must be untouched "
+            "for the combination-blocking sweep to be complete)"
         )
 
     # --config: reference-format INI resolves the bare topic name to a
@@ -321,6 +419,41 @@ def main(argv: Sequence[str] | None = None) -> int:
         print(f"re-produced {n} messages from {args.dlq_dir} to {args.topic}")
         return 0
 
+    if args.command == "curate-corpus" and args.tag:
+        import json
+
+        from .llm.curate import attrition_report, tag_corpus
+
+        docs = spark.read.parquet(args.in_parquet)
+        conf = {"threshold": args.threshold} if args.threshold is not None else {}
+        tagged = tag_corpus(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            neardup=args.neardup,
+            neardup_conf=conf,
+            eval_docs=(
+                spark.read.parquet(args.eval_parquet)
+                if args.eval_parquet
+                else None
+            ),
+            decontaminate_conf={
+                "min_hits": args.decontaminate_min_hits,
+                "eval_id_col": args.eval_id_col,
+                "eval_text_col": args.eval_text_col,
+            },
+        )
+        tagged.write.mode("overwrite").parquet(args.out_dir)
+        result = {"out": args.out_dir, "mode": "tag"}
+        if args.attrition_report:
+            report_dir = args.out_dir.rstrip("/") + "_attrition"
+            attrition_report(
+                spark.read.parquet(args.out_dir), args.attrition_report
+            ).write.mode("overwrite").parquet(report_dir)
+            result["attrition"] = report_dir
+        print(json.dumps(result))
+        return 0
+
     if args.command == "curate-corpus":
         import json
 
@@ -381,6 +514,62 @@ def main(argv: Sequence[str] | None = None) -> int:
         print(json.dumps(result))
         return 0
 
+    if args.command == "fingerprint-media":
+        import json
+
+        from .llm.phash import hamming_combo_pairs
+
+        media = spark.read.parquet(args.in_parquet)
+        strict = not args.skip_undecodable
+        if args.modality == "image":
+            from .llm.phash import image_fingerprints
+
+            fps = image_fingerprints(
+                media, algo=args.algo, strict=strict,
+                id_col=args.id_col, content_col=args.content_col,
+            )
+        elif args.modality == "audio":
+            from .llm.audiofp import audio_fingerprints
+
+            fps = audio_fingerprints(
+                media, strict=strict,
+                id_col=args.id_col, content_col=args.content_col,
+            )
+        else:  # video: frame hashes -> majority-fold representative
+            from .llm.videofp import (
+                video_frame_fingerprints,
+                video_representative_fingerprint,
+            )
+
+            fps = video_representative_fingerprint(
+                video_frame_fingerprints(
+                    media, every_nth=args.every_nth, algo=args.algo,
+                    strict=strict, id_col=args.id_col,
+                    content_col=args.content_col,
+                )
+            )
+        fps.write.mode("overwrite").parquet(args.out_dir)
+        result = {
+            "out": args.out_dir,
+            "modality": args.modality,
+            "media": spark.read.parquet(args.out_dir).count(),
+        }
+        if args.pairs_dir:
+            # pairs read the WRITTEN fingerprints: the Arrow decode+hash
+            # stage runs once, and the pair job's two self-join branches
+            # scan 16-byte rows instead of re-decoding media
+            pairs = hamming_combo_pairs(
+                spark.read.parquet(args.out_dir),
+                blocks=args.blocks,
+                max_hamming=args.max_hamming,
+                persist_fingerprints=False,
+            )
+            pairs.write.mode("overwrite").parquet(args.pairs_dir)
+            result["pairs_dir"] = args.pairs_dir
+            result["pairs"] = spark.read.parquet(args.pairs_dir).count()
+        print(json.dumps(result))
+        return 0
+
     if args.command == "extract-crawl":
         import json
 
@@ -424,6 +613,10 @@ def reproduce_dlq_main() -> int:
 
 def curate_corpus_main() -> int:
     return main(["curate-corpus", *sys.argv[1:]])
+
+
+def fingerprint_media_main() -> int:
+    return main(["fingerprint-media", *sys.argv[1:]])
 
 
 if __name__ == "__main__":

@@ -320,7 +320,7 @@ def _combo_keyed(
 def hamming_combo_pairs(
     fps: DataFrame,
     bits: int = 64,
-    blocks: int = 6,
+    blocks: int = 8,
     max_hamming: int = 3,
     id_col: str = "media_id",
     fp_col: str = "fingerprint",
@@ -339,12 +339,15 @@ def hamming_combo_pairs(
     bits/bands < bits/max_hamming — at max_hamming=7 that is 8 bits =
     256 buckets, so candidates grow ~n^2/256 and the join melts around
     10^5 items (measured: STRESS_MEDIAFP). Combination keys are
-    (blocks-max_hamming) x width bits wide — 32 bits at the Manku
-    parameterization (6 blocks, h=3) — so buckets stay near-singleton
-    into the billions; the price is C(blocks, untouched) explode rows
-    per item (20 at 6/3) and a LOWER hamming budget. The published
-    trade: crawl-scale near-dup runs at h<=3; wide budgets (h=7) are a
-    small-corpus / verification device.
+    (blocks-max_hamming) x width bits wide — 40 bits at the default
+    (8 equal 8-bit blocks, h=3) — so buckets stay near-singleton into
+    the billions; the price is C(blocks, untouched) explode rows per
+    item (56 at 8/3) and a LOWER hamming budget. Manku's paper splits
+    64 bits into UNEQUAL blocks (their worked example uses 6); this
+    implementation requires bits % blocks == 0, so the 64-bit default
+    is blocks=8 — same pigeonhole, same near-singleton buckets. The
+    published trade: crawl-scale near-dup runs at h<=3; wide budgets
+    (h=7) are a small-corpus / verification device.
 
     Returns (id_a, id_b, hamming) like hamming_band_pairs; the
     candidate keys pack the selected block values into one BIGINT
@@ -400,6 +403,14 @@ def incremental_fingerprint_neardup(
     Manku combination keys (``_combo_keyed``), so the probe is an
     equi-join on near-singleton buckets at any ledger size — the
     crawl-scale shape, with the h <= blocks-1 budget bound.
+
+    A media_id must not be re-ingested with DIFFERENT content across
+    runs: the ledger upsert is keyed on media_id, and re-tagging an
+    existing row's run_id would shrink the earlier run's replayed set.
+    The upsert therefore REFUSES (ValueError) when an admitted id
+    already exists in the ledger under another run — unchanged content
+    is naturally blocked by the hamming-0 probe, so the refusal only
+    fires on genuine content churn, which needs a new media_id.
 
     Within-batch rule: an item matching a SMALLER id in the batch is
     dropped (greedy keep-first, deterministic; not a transitive-closure
@@ -485,6 +496,28 @@ def incremental_fingerprint_neardup(
     admitted = batch.join(dup_ids, "_id", "left_anti")
 
     try:
+        if seen is not None:
+            # media_id collision guard: the upsert is keyed on media_id,
+            # so re-ingesting an already-ledgered media_id with DIFFERENT
+            # content would silently re-tag that row's run_id — an
+            # earlier run's "returned verbatim" replay would then yield
+            # fewer rows than it committed, breaking exactly-once.
+            # (Unchanged content never reaches here: its fingerprint is
+            # hamming-0 from its own ledger row, so the probe blocks it;
+            # and same-run_id rows short-circuited above.) Refuse.
+            clash = admitted.join(
+                seen.select(F.col("media_id").alias("_id")), "_id", "left_semi"
+            ).limit(1)
+            hit = clash.collect()
+            if hit:
+                raise ValueError(
+                    "incremental_fingerprint_neardup: media_id "
+                    f"{hit[0]._id} is already in the ledger from a prior "
+                    "run with a different fingerprint; upserting would "
+                    "re-tag that row's run_id and break the prior run's "
+                    "exactly-once replay — ingest changed content under "
+                    "a NEW media_id (or rebuild the ledger)"
+                )
         registry.upsert(
             admitted.select(
                 F.col("_id").alias("media_id"),

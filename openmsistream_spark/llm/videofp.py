@@ -251,3 +251,57 @@ def video_neardup_pairs(
         )
         .filter(F.col("n_frames_matched") >= min_frames)
     )
+
+
+def video_representative_fingerprint(
+    frame_fps: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Reduce per-frame fingerprints to ONE representative 64-bit
+    fingerprint per video: per-bit MAJORITY vote across the sampled
+    frames (bit k of the result is set iff set in strictly more than
+    half of the frames; exact ties clear the bit — deterministic,
+    order-independent). Returns (media_id, fingerprint, n_frames) —
+    one row per media_id, exactly the shape
+    ``phash.incremental_fingerprint_neardup`` and the streaming media
+    sink's ledger require (their upsert is media_id-keyed and refuses
+    raw multi-frame input).
+
+    Why majority and not the first keyframe: intros/logos are SHARED
+    across unrelated videos, so a first-frame representative
+    manufactures false bridges; the majority fold instead needs a bit
+    to agree across half the video. And it degrades gracefully — a
+    re-encoded copy whose per-frame hashes each drift a few bits still
+    folds to a nearby representative unless some bit flips in half the
+    frames (the same centroid-of-bits device simhash itself applies to
+    feature hashes). The trade, documented honestly: two videos
+    sharing only a SUBSEQUENCE (one clip inside another) fold to
+    distant representatives — subsequence matching is what the aligned
+    per-frame report (``frame_aligned_band_pairs``) is for; the
+    representative serves the one-row-per-item ledger contract.
+
+    Scale shape: one map-side-combinable groupBy over media_id with 65
+    codegen aggregates (count + one per bit) — 24 bytes in per sampled
+    frame, 16 bytes out per video, no Python, no window, no second
+    shuffle.
+    """
+    one = F.lit(1).cast("bigint")
+    aggs = [F.count("*").cast("bigint").alias("n_frames")] + [
+        F.sum(F.shiftrightunsigned(F.col(fp_col), k).bitwiseAND(one)).alias(
+            f"_c{k}"
+        )
+        for k in range(64)
+    ]
+    counted = frame_fps.groupBy(F.col(id_col).alias("media_id")).agg(*aggs)
+    fp = F.lit(0).cast("bigint")
+    for k in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"_c{k}") * 2 > F.col("n_frames"),
+                # Java shiftleft wraps k=63 to Long.MIN_VALUE — the
+                # two's-complement fold, same as phash._to_signed64
+                F.shiftleft(one, k),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return counted.select("media_id", fp.alias("fingerprint"), "n_frames")

@@ -722,10 +722,13 @@ def _pert_sql(src: str, pos: str) -> str:
     "by > 10 Hamming bits mark a scene cut. Each doc frames as a 4-frame "
     "stream: base frame, two one-char-perturbed drift frames (each "
     "transition moves <= 4 bits — GUARANTEED under threshold, a real "
-    "within-shot model), then for EVEN doc_ids the REVERSED frame (a "
-    "planted hard cut -> count 1) and for odd ones a third drift frame "
-    "(-> count 0), so the entry verifies both outcomes and genuinely "
-    "distinguishes drift from cut. Scale shape: "
+    "within-shot model), then for EVEN doc_ids the REVERSED frame (an "
+    "EMPIRICAL hard cut on this corpus — reversal is not a formal >10-"
+    "bit guarantee for pathological symmetric/low-variance prefixes, "
+    "only the drift side's <=4-bit bound is formal; both engines hash "
+    "the same frames, so the oracle pairing holds either way) and for "
+    "odd ones a third drift frame (-> count 0), so the entry exercises "
+    "both outcomes on real text. Scale shape: "
     "one Arrow decode+hash stage, then a per-video lag window "
     "(partitioned by media_id — state scales with frames per video, "
     "never corpus-wide) and one grouped count. Curation use: sample one "

@@ -37,8 +37,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-def _fingerprinter(modality: str):
-    """modality -> (media frame, strict) -> (media_id, fingerprint)."""
+def _fingerprinter(modality: str, video_every_nth: int = 1):
+    """modality -> (media frame, strict) -> ONE (media_id, fingerprint)
+    row per media_id. Video reduces its per-frame hashes to the
+    majority-fold representative (``video_representative_fingerprint``)
+    because the ledger contract is one-row-per-media_id — raw frame
+    output would make the media_id-keyed upsert keep an arbitrary
+    frame."""
     if modality == "image":
         from ..llm.phash import image_fingerprints
 
@@ -47,7 +52,20 @@ def _fingerprinter(modality: str):
         from ..llm.audiofp import audio_fingerprints
 
         return lambda media, strict: audio_fingerprints(media, strict=strict)
-    raise ValueError(f"unknown modality {modality!r} (have ['audio', 'image'])")
+    if modality == "video":
+        from ..llm.videofp import (
+            video_frame_fingerprints,
+            video_representative_fingerprint,
+        )
+
+        return lambda media, strict: video_representative_fingerprint(
+            video_frame_fingerprints(
+                media, every_nth=video_every_nth, strict=strict
+            )
+        ).select("media_id", "fingerprint")
+    raise ValueError(
+        f"unknown modality {modality!r} (have ['audio', 'image', 'video'])"
+    )
 
 
 def media_neardup_stream_sink(
@@ -61,6 +79,7 @@ def media_neardup_stream_sink(
     blocks: int = 8,
     max_hamming: int = 3,
     strict: bool = True,
+    video_every_nth: int = 1,
 ):
     """foreachBatch sink: fingerprint each micro-batch's media
     (``media_id``, ``content`` columns), admit only never-seen-near
@@ -68,20 +87,30 @@ def media_neardup_stream_sink(
     (media_id, fingerprint) to ``batch=<id>``.
 
     ``fp_registry`` must be ``make_registry(spark, path, ["media_id"])``.
-    Returns the configured ``DataStreamWriter`` — caller picks the
-    trigger and calls ``.start()``."""
-    fingerprint = _fingerprinter(modality)
+    ``modality="video"`` fingerprints each video as the MAJORITY-fold
+    representative of its sampled keyframes (every ``video_every_nth``
+    frames — part of the pinned params: a changed sampling rate would
+    hash replayed videos differently) so the ledger keeps its
+    one-row-per-media_id contract. Returns the configured
+    ``DataStreamWriter`` — caller picks the trigger and calls
+    ``.start()``."""
+    fingerprint = _fingerprinter(modality, video_every_nth)
     from ..llm.phash import incremental_fingerprint_neardup
     from .params_guard import refuse_lost_ledger, sidecar_batch_guard
 
+    params = {
+        "modality": modality,
+        "bits": bits,
+        "blocks": blocks,
+        "max_hamming": max_hamming,
+    }
+    if modality == "video":
+        # only video consumes the sampling rate; keeping the key out of
+        # image/audio sidecars leaves their existing checkpoints valid
+        params["video_every_nth"] = video_every_nth
     guard = sidecar_batch_guard(
         fp_registry,
-        {
-            "modality": modality,
-            "bits": bits,
-            "blocks": blocks,
-            "max_hamming": max_hamming,
-        },
+        params,
         "media_neardup_stream_sink",
     )
     guard()  # fail fast at build; re-checked per batch (race window)

@@ -14,6 +14,7 @@ import openmsistream_spark.queries_extras6  # noqa: E402,F401
 import openmsistream_spark.queries_extras7  # noqa: E402,F401
 import openmsistream_spark.queries_extras8  # noqa: E402,F401
 import openmsistream_spark.queries_extras9  # noqa: E402,F401
+import openmsistream_spark.queries_extras10  # noqa: E402,F401
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 

@@ -302,3 +302,146 @@ def test_cli_extract_crawl_rejects_min_text_len_without_html_col():
     with pytest.raises(SystemExit) as exc:
         cli.main(["extract-crawl", "in.parquet", "out", "--min-text-len", "40"])
     assert exc.value.code == 2  # argparse usage error, before any Spark work
+
+
+def test_cli_curate_tag_mode_and_attrition(spark, tmp_path, capsys):
+    """curate-corpus --tag: writes every input row with per-stage
+    verdict columns; --attrition-report writes the per-group audit; the
+    tag survivors equal drop mode's survivor set (the pinned
+    equivalence, here exercised through the CLI)."""
+    import json
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while seven wizards "
+        "brew potent elixirs under ancient oak trees near quiet rivers "
+        "and careful scribes archive interesting field reports nightly"
+    )
+    rows = [
+        (1, "web", good),
+        (2, "web", "  " + good.upper() + "  "),  # exact dup of 1
+        (3, "books", "spam spam spam spam spam spam spam spam spam spam"),
+        (4, "books", "independent observers recorded unusual aurora "
+            "displays across northern territories last winter prompting "
+            "renewed interest in solar weather forecasting among many "
+            "operators"),
+    ]
+    src = str(tmp_path / "corpus")
+    out = str(tmp_path / "tagged")
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(src)
+
+    rc = cli.main(
+        ["curate-corpus", src, out, "--tag", "--attrition-report", "source"]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["mode"] == "tag"
+
+    tagged = spark.read.parquet(out)
+    assert tagged.count() == 4  # every input row survives in tag mode
+    verdicts = {r.doc_id: (r.keep_exact, r.keep_quality) for r in tagged.collect()}
+    assert verdicts[1] == (True, True)
+    assert verdicts[2][0] is False  # exact dup tagged, not dropped
+    assert verdicts[3] == (True, False)  # spam fails quality, still present
+    assert verdicts[4] == (True, True)
+
+    att = {r.source: r for r in spark.read.parquet(report["attrition"]).collect()}
+    assert att["web"].n_input == 2 and att["web"].drop_exact == 1
+    assert att["web"].n_kept == 1
+    assert att["books"].n_input == 2 and att["books"].drop_quality == 1
+    assert att["books"].n_kept == 1
+
+
+def test_cli_tag_rejects_drop_only_options(tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["curate-corpus", "in", "out", "--tag", "--run-id", "r1"]
+        )
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["curate-corpus", "in", "out", "--attrition-report", "source"]
+        )
+
+
+def _pgm_bytes(arr):
+    h, w = arr.shape
+    return bytearray(f"P5 {w} {h} 255\n".encode() + arr.astype("uint8").tobytes())
+
+
+def test_cli_fingerprint_media_image_with_pairs(spark, tmp_path, capsys):
+    """fingerprint-media: image dHash to parquet + combination-blocked
+    near-dup pairs, end-to-end from the CLI."""
+    import json
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    A = rng.randint(0, 256, size=(16, 18)).astype(np.uint8)
+    A2 = A.copy()
+    A2[0, 0] ^= 3  # near-dup twin
+    B = rng.randint(0, 256, size=(16, 18)).astype(np.uint8)
+    src = str(tmp_path / "media")
+    out = str(tmp_path / "fps")
+    pairs = str(tmp_path / "pairs")
+    spark.createDataFrame(
+        [(1, _pgm_bytes(A)), (2, _pgm_bytes(A2)), (3, _pgm_bytes(B))],
+        "media_id long, content binary",
+    ).write.parquet(src)
+
+    rc = cli.main(
+        ["fingerprint-media", src, out, "--pairs-dir", pairs]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["media"] == 3 and report["modality"] == "image"
+
+    from openmsistream_spark.llm.phash import dhash_int, gray_pixels
+
+    got = {r.media_id: r.fingerprint for r in spark.read.parquet(out).collect()}
+    assert got[1] == dhash_int(gray_pixels(A[:, :, None]))
+    pair_rows = spark.read.parquet(pairs).collect()
+    assert {(r.id_a, r.id_b) for r in pair_rows} == {(1, 2)}
+    assert report["pairs"] == 1
+
+
+def test_cli_fingerprint_media_video_representative(spark, tmp_path, capsys):
+    """fingerprint-media --modality video: one majority-fold
+    representative row per video, n_frames carried."""
+    import json
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, size=(16, 18)).astype(np.uint8) for _ in range(3)]
+    stream = bytearray(b"".join(bytes(_pgm_bytes(f)) for f in frames))
+    src = str(tmp_path / "vids")
+    out = str(tmp_path / "vfps")
+    spark.createDataFrame(
+        [(7, stream)], "media_id long, content binary"
+    ).write.parquet(src)
+
+    rc = cli.main(["fingerprint-media", src, out, "--modality", "video"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["media"] == 1 and report["modality"] == "video"
+    row = spark.read.parquet(out).collect()[0]
+    assert row.media_id == 7 and row.n_frames == 3
+
+    from openmsistream_spark.llm.videofp import (
+        video_frame_fingerprints,
+        video_representative_fingerprint,
+    )
+
+    want = video_representative_fingerprint(
+        video_frame_fingerprints(
+            spark.createDataFrame([(7, stream)], "media_id long, content binary")
+        )
+    ).collect()[0]
+    assert row.fingerprint == want.fingerprint
+
+
+def test_cli_fingerprint_media_rejects_bad_budget():
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["fingerprint-media", "in", "out", "--pairs-dir", "p",
+             "--max-hamming", "8", "--blocks", "8"]
+        )

@@ -174,8 +174,8 @@ def test_banding_complete_vs_bruteforce(spark, fps):
 @given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=2, max_size=20, unique=True))
 @settings(max_examples=15, deadline=None)
 def test_combo_blocking_complete_vs_bruteforce(spark, fps):
-    """Manku combination blocking: with 6 blocks and max_hamming=3, at
-    least 3 blocks are untouched, so the 20-combination join finds
+    """Manku combination blocking: with 8 blocks and max_hamming=3, at
+    least 5 blocks are untouched, so the 56-combination join finds
     EXACTLY the brute-force pair set at hamming <= 3 — for arbitrary
     signed fingerprints (sign bit in the top block, packed keys)."""
     from openmsistream_spark.llm.phash import hamming_combo_pairs
@@ -196,6 +196,26 @@ def test_combo_blocking_complete_vs_bruteforce(spark, fps):
         if _hamming(fps[i], fps[j]) <= 3
     }
     assert got == want
+
+
+def test_combo_blocking_default_params(spark):
+    """The DOCUMENTED default signature (bits=64, blocks=8, h=3) must
+    itself run and match brute force — round-13 shipped blocks=6 as the
+    default, which 64 % 6 != 0 rejected, so every caller had to
+    override (advisor finding, round 14)."""
+    from openmsistream_spark.llm.phash import hamming_combo_pairs
+
+    fps = [
+        _to_signed64(0xDEADBEEF12345678),
+        _to_signed64(0xDEADBEEF12345678 ^ 0b111),  # hamming 3 -> pair
+        _to_signed64(0xDEADBEEF12345678 ^ 0b11110000),  # hamming 4 -> no
+        _to_signed64(0x0123456789ABCDEF),
+    ]
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "media_id long, fingerprint long"
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in hamming_combo_pairs(df).collect()}
+    assert got == {(0, 1, 3)}
 
 
 def test_combo_blocking_param_guards():
@@ -291,6 +311,39 @@ def test_incremental_chain_replay_is_exactly_once(spark, tmp_path):
         for r in incremental_fingerprint_neardup(batch, reg, run_id="B1").collect()
     }
     assert fresh == {3}
+
+
+def test_incremental_refuses_media_id_content_churn(spark, tmp_path):
+    """Re-ingesting an already-admitted media_id with DIFFERENT content
+    (a far fingerprint, so the hamming probe does not block it) must
+    REFUSE rather than silently re-tag the ledger row's run_id — that
+    re-tag would shrink the earlier run's exactly-once replay set
+    (advisor finding, round 14). Unchanged content under the same id
+    stays a silent no-admit (blocked at hamming 0), not an error."""
+    from openmsistream_spark.llm.phash import incremental_fingerprint_neardup
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, str(tmp_path / "led"), ["media_id"])
+    fp1 = _to_signed64(0x0123456789ABCDEF)
+    run1 = spark.createDataFrame([(1, fp1)], "media_id long, fingerprint long")
+    assert {
+        r.media_id
+        for r in incremental_fingerprint_neardup(run1, reg, run_id="B0").collect()
+    } == {1}
+    # same id, unchanged fingerprint, new run: blocked, no error
+    out = incremental_fingerprint_neardup(run1, reg, run_id="B1").collect()
+    assert out == []
+    # same id, changed content (far fingerprint): refuse
+    churn = spark.createDataFrame(
+        [(1, _to_signed64(0x7EDCBA9876543210))], "media_id long, fingerprint long"
+    )
+    with pytest.raises(ValueError, match="already in the ledger"):
+        incremental_fingerprint_neardup(churn, reg, run_id="B2")
+    # the refusal left the ledger intact: B0's replay is unharmed
+    assert {
+        r.media_id
+        for r in incremental_fingerprint_neardup(run1, reg, run_id="B0").collect()
+    } == {1}
 
 
 def test_planted_neardup_recall_end_to_end(spark):

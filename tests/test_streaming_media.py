@@ -109,7 +109,7 @@ def test_unknown_modality_rejected(spark, tmp_path):
     reg = make_registry(spark, str(tmp_path / "led"), ["media_id"])
     with pytest.raises(ValueError, match="unknown modality"):
         media_neardup_stream_sink(
-            None, reg, str(tmp_path / "o"), str(tmp_path / "c"), modality="video"
+            None, reg, str(tmp_path / "o"), str(tmp_path / "c"), modality="text"
         )
 
 
@@ -146,3 +146,96 @@ def test_audio_modality_path(spark, tmp_path):
     )
     got = {r.media_id for r in spark.read.parquet(out_dir).collect()}
     assert got == {1, 2}  # the later twin is ledger-blocked
+
+
+def _pnm_stream(*frames: np.ndarray) -> bytearray:
+    """Concatenate frames into the multi-image PGM stream videofp
+    decodes (the image2pipe convention)."""
+    out = bytearray()
+    for f in frames:
+        out += _pgm(f)
+    return out
+
+
+def test_video_modality_path(spark, tmp_path):
+    """Video leg of the streaming sink (round-14): each video is
+    reduced to its majority-fold representative fingerprint, then flows
+    through the same ledger contract as image/audio — within-batch
+    keep-first, cross-batch blocking, one ledger row per media_id."""
+    rng = np.random.RandomState(23)
+    F0, F1, F2 = (
+        rng.randint(0, 256, size=(16, 18)).astype(np.uint8) for _ in range(3)
+    )
+    # twin: ONE pixel nudged in ONE frame -> that frame's dHash moves
+    # <= 2 bits, so the majority fold moves <= 2 bits -> within h=3
+    F0t = F0.copy()
+    F0t[0, 0] ^= 3
+    W0, W1, W2 = (
+        rng.randint(0, 256, size=(16, 18)).astype(np.uint8) for _ in range(3)
+    )
+    batches = [
+        [
+            (1, _pnm_stream(F0, F1, F2)),
+            (2, _pnm_stream(F0t, F1, F2)),  # in-batch near-dup of 1
+            (3, _pnm_stream(W0, W1, W2)),
+        ],
+        [(4, _pnm_stream(F0t, F1, F2))],  # blocked by batch-0's ledger
+    ]
+    reg = make_registry(spark, str(tmp_path / "led"), ["media_id"])
+    out_dir = _stream_batches(spark, tmp_path, batches, reg, modality="video")
+    got = {r.media_id: r.fingerprint for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == {1, 3}
+    # the admitted fingerprint is the majority fold of the three frames
+    from openmsistream_spark.llm.videofp import (
+        video_frame_fingerprints,
+        video_representative_fingerprint,
+    )
+
+    rep = video_representative_fingerprint(
+        video_frame_fingerprints(
+            spark.createDataFrame([(1, _pnm_stream(F0, F1, F2))], SCHEMA)
+        )
+    ).collect()[0]
+    assert rep.n_frames == 3
+    assert got[1] == rep.fingerprint
+    led = {(r.media_id, r.run_id) for r in reg.read().collect()}
+    assert led == {(1, "batch-0"), (3, "batch-0")}
+    # replay batch 1 with the same run_id: committed (empty) decision
+    from openmsistream_spark.llm.phash import incremental_fingerprint_neardup
+
+    b1 = spark.createDataFrame(batches[1], SCHEMA)
+    replay = incremental_fingerprint_neardup(
+        video_representative_fingerprint(video_frame_fingerprints(b1)).select(
+            "media_id", "fingerprint"
+        ),
+        reg,
+        run_id="batch-1",
+    ).collect()
+    assert replay == []
+    assert {(r.media_id, r.run_id) for r in reg.read().collect()} == led
+
+
+def test_video_sidecar_pins_sampling_rate(spark, tmp_path):
+    """video_every_nth is part of the pinned params: restarting the
+    video sink with a different sampling rate would fingerprint
+    replayed videos differently, so the sidecar guard refuses."""
+    rng = np.random.RandomState(31)
+    fr = [rng.randint(0, 256, size=(16, 18)).astype(np.uint8) for _ in range(3)]
+    reg = make_registry(spark, str(tmp_path / "led"), ["media_id"])
+    _stream_batches(
+        spark,
+        tmp_path,
+        [[(1, _pnm_stream(*fr))]],
+        reg,
+        modality="video",
+        video_every_nth=1,
+    )
+    with pytest.raises(Exception, match="media_neardup_stream_sink"):
+        media_neardup_stream_sink(
+            spark.readStream.schema(SCHEMA).parquet(str(tmp_path / "in/b=*")),
+            reg,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            modality="video",
+            video_every_nth=2,
+        )

@@ -184,3 +184,66 @@ def test_planted_video_neardup_end_to_end(spark):
     assert planted <= pairs, f"missed planted pairs: {planted - pairs}"
     assert not {(a, b) for a, b in pairs if a // 2 != b // 2}
     assert all(r.n_frames_matched == 2 for r in out if (r.id_a, r.id_b) in planted)
+
+
+def _majority_ref(fps: list[int]) -> int:
+    """Pure-python reference for the majority-bit fold (signed in/out)."""
+    n = len(fps)
+    u = 0
+    for k in range(64):
+        cnt = sum((f >> k) & 1 if f >= 0 else ((f + (1 << 64)) >> k) & 1 for f in fps)
+        if 2 * cnt > n:
+            u |= 1 << k
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_representative_fingerprint_majority_fold(spark):
+    """Bit-exact vs the pure-python reference, including sign-bit
+    handling and the tie->0 rule (even frame counts)."""
+    from openmsistream_spark.llm.videofp import video_representative_fingerprint
+
+    cases = {
+        # odd count, sign bits present
+        10: [-1, -1, 0x0123456789ABCDEF],
+        # even count with exact ties on every differing bit -> tie bits clear
+        11: [0, -1],
+        # single frame: identity
+        12: [0x7EDCBA9876543210],
+        # mixed
+        13: [5, 7, 13, -9223372036854775808],
+    }
+    rows = [(vid, fp, i) for vid, fps in cases.items() for i, fp in enumerate(fps)]
+    df = spark.createDataFrame(rows, "media_id long, fingerprint long, frame_i long")
+    got = {
+        r.media_id: (r.fingerprint, r.n_frames)
+        for r in video_representative_fingerprint(df).collect()
+    }
+    assert got == {
+        vid: (_majority_ref(fps), len(fps)) for vid, fps in cases.items()
+    }
+
+
+def test_representative_robust_to_single_frame_noise(spark):
+    """The ledger-contract property the majority fold is chosen for: a
+    copy whose hashes drift in ONE of three frames folds to a
+    representative at most that drift away (per-bit counts move by <= 1
+    so only previously-threshold bits flip)."""
+    from openmsistream_spark.llm.videofp import video_representative_fingerprint
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, size=(16, 18)).astype(np.uint8) for _ in range(3)]
+    noisy0 = frames[0].copy()
+    noisy0[2, 2] ^= 7
+    fps_a = [dhash_int(gray_pixels(f[:, :, None])) for f in frames]
+    fps_b = [dhash_int(gray_pixels(noisy0[:, :, None]))] + fps_a[1:]
+    df = spark.createDataFrame(
+        [(1, fp, i) for i, fp in enumerate(fps_a)]
+        + [(2, fp, i) for i, fp in enumerate(fps_b)],
+        "media_id long, fingerprint long, frame_i long",
+    )
+    got = {
+        r.media_id: r.fingerprint
+        for r in video_representative_fingerprint(df).collect()
+    }
+    frame_drift = _hamming(fps_a[0], fps_b[0])
+    assert _hamming(got[1], got[2]) <= frame_drift

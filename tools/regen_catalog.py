@@ -26,6 +26,7 @@ for mod in (
     "queries_extras7",
     "queries_extras8",
     "queries_extras9",
+    "queries_extras10",
 ):
     importlib.import_module(f"openmsistream_spark.{mod}")
 
@@ -37,6 +38,14 @@ the name the driver/`bench.py`/`tests/oracle_check.py` use, the module
 holding the Spark implementation, the SURVEY §2 / extension tag it
 covers, and what it computes. Every entry is paired with an ANSI-SQL
 DuckDB oracle; the driver compares rows + schema + values at sf0.01.
+
+Determinism tiers: every catalog entry is oracle-paired (hash-exact).
+One operator in the wider library is NOT: `llm/phash.phash_int` (DCT
+pHash) uses a float DCT, so no second engine reproduces its bits — it
+is the repo's single property-tested-tier fingerprint (noise
+robustness, brightness invariance, separation: tests/test_phash.py)
+with measured recall in PHASH_RECALL.json; its integer-exact sibling
+`dhash_int` carries the oracle-paired catalog entries.
 """
 
 

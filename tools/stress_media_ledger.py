@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Streaming media-ledger stress (round-14, VERDICT r13 task #4): the
+batch combo path is measured to 250k items (STRESS_MEDIAFP), but the
+STREAMING sink's per-batch shape — a fixed-size micro-batch probed
+against an ACCUMULATING durable ledger — was argued, not measured.
+
+This runs N micro-batches of B items each through
+``incremental_fingerprint_neardup`` against one growing parquet-backed
+ledger (exactly what ``media_neardup_stream_sink``'s foreachBatch does,
+minus the stream plumbing that tests/test_streaming_media.py pins) and
+records per-batch wall + shuffle. Fingerprints are synthesized JVM-side
+(xxhash64 — effectively random 64-bit, so almost nothing collides and
+the ledger grows by ~B rows per batch): the Arrow decode stage is
+EXCLUDED on purpose — it is per-batch constant and its linearity is
+already measured in STRESS_MEDIAFP; the claim under test here is that
+the ledger probe (combo-key equi-join) and the upsert stay flat-ish as
+the ledger grows.
+
+What "flat" honestly means for the parquet registry backend: the probe
+is an equi-join on near-singleton 40-bit combo buckets — candidate
+volume stays ~B at ANY ledger size (never batch x ledger) — but the
+probe's scan side and the parquet backend's atomic-rewrite upsert are
+both O(ledger), so per-batch wall grows LINEARLY in ledger size with a
+tiny constant (16-byte rows), never quadratically. A cliff or
+super-linear curve would falsify the bucket construction; a shallow
+linear ramp is the designed parquet-backend behavior (a log-structured
+backend like Delta would amortize the upsert to O(batch)).
+
+Writes STRESS_MEDIA_LEDGER.json. Usage:
+    python tools/stress_media_ledger.py [n_batches batch_size]
+(default 20 batches x 10000 items)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from openmsistream_spark.session import get_spark
+
+
+def rest_totals(spark) -> dict[str, int]:
+    time.sleep(1.0)
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    stages = json.loads(urllib.request.urlopen(url, timeout=10).read())
+    keys = ("shuffleWriteBytes", "shuffleReadBytes")
+    return {k: sum(s.get(k, 0) for s in stages) for k in keys}
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    spark = get_spark(
+        app_name="media-ledger-stress",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4099"},
+    )
+    from openmsistream_spark.llm.phash import incremental_fingerprint_neardup
+    from openmsistream_spark.operators.registry import make_registry
+
+    tmp = tempfile.mkdtemp(prefix="media_ledger_stress_")
+    reg = make_registry(spark, os.path.join(tmp, "fp"), ["media_id"])
+    rows = []
+    try:
+        for b in range(n_batches):
+            batch = (
+                spark.range(b * batch_size, (b + 1) * batch_size)
+                .select(
+                    F.col("id").alias("media_id"),
+                    F.xxhash64(F.col("id"), F.lit("mediafp")).alias(
+                        "fingerprint"
+                    ),
+                )
+                # materialized first: batch synthesis out of the timing
+                .cache()
+            )
+            batch.count()
+            before = rest_totals(spark)
+            t0 = time.time()
+            n_admitted = incremental_fingerprint_neardup(
+                batch, reg, run_id=f"batch-{b}"
+            ).count()
+            wall = time.time() - t0
+            after = rest_totals(spark)
+            batch.unpersist()
+            row = {
+                "batch": b,
+                "ledger_rows_before": b * batch_size,
+                "admitted": n_admitted,
+                "wall_sec": round(wall, 3),
+                "shuffle_write_mb": round(
+                    (after["shuffleWriteBytes"] - before["shuffleWriteBytes"])
+                    / 1e6,
+                    3,
+                ),
+            }
+            rows.append(row)
+            print(json.dumps(row))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    firsts = [r["wall_sec"] for r in rows[1:4]]
+    lasts = [r["wall_sec"] for r in rows[-3:]]
+    out = {
+        "n_batches": n_batches,
+        "batch_size": batch_size,
+        "per_batch": rows,
+        "early_batches_mean_sec": round(sum(firsts) / len(firsts), 3),
+        "late_batches_mean_sec": round(sum(lasts) / len(lasts), 3),
+        "late_over_early": round(
+            (sum(lasts) / len(lasts)) / (sum(firsts) / len(firsts)), 3
+        ),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STRESS_MEDIA_LEDGER.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
