@@ -389,15 +389,25 @@ def main() -> None:
         return time.perf_counter() - t0
 
     def best_of(fn) -> float:
-        best = min(_timed(fn) for _ in range(repeat))
+        runs = [_timed(fn) for _ in range(repeat)]
         # sub-5 s entries are dominated by stage-scheduling latency,
         # where one GC/JIT hiccup reads as a 10% "regression"
         # round-over-round (round-7 finding) — buy one extra trial for
         # them; the reported metric is the min, so extra trials never
         # inflate it
-        if best < 5.0 and repeat > 1:
-            best = min(best, _timed(fn))
-        return round(best, 3)
+        if min(runs) < 5.0 and repeat > 1:
+            runs.append(_timed(fn))
+        # steep-JIT entries (iterative CC, wide codegen) are still
+        # CONVERGING at trial 2: dedup_keep_both_shared measured
+        # 20.4 -> 10.5 -> 8.5 s on a fresh idle session
+        # (PROFILE_KEEP_BOTH.json, round 14) — a min-of-2 there samples
+        # warm-up position, not plan cost, which is exactly the r12
+        # tfidf / r13 keep_both "creep on untouched code" artifact.
+        # Keep buying trials while the newest run still improves the
+        # min by >20% (converged entries never enter the loop), cap 4.
+        while repeat > 1 and len(runs) < 4 and runs[-1] < min(runs[:-1]) * 0.8:
+            runs.append(_timed(fn))
+        return round(min(runs), 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -5,9 +5,11 @@ The Spark-side plumbing is real and tested — schema, partition-parallel
 step is layered:
 
 - **Real decode, no dependencies**: uncompressed BMP (8/24/32-bpp),
-  binary PPM/PGM, and PCM WAV are parsed in pure Python/numpy
-  (``decode_bmp``/``decode_ppm``/``decode_wav``) — headers, row
-  padding, and sample widths per the published format specs. The
+  binary PPM/PGM, PNG (8-bit gray/RGB/palette/gray-alpha/RGBA,
+  non-interlaced — stdlib zlib inflate + all five spec filters), and
+  PCM WAV are parsed in pure Python/numpy (``decode_bmp``/
+  ``decode_ppm``/``decode_png``/``decode_wav``) — headers, row padding,
+  filters, and sample widths per the published format specs. The
   default decoder sniffs magic bytes and uses these.
 - **Heavyweight codecs** (JPEG/MP3/H.264 …) need external libraries
   this container does not ship: register one via ``set_decoder``.
@@ -132,6 +134,139 @@ def bmp_pixels(content: bytes) -> "np.ndarray":
 def decode_bmp(content: bytes) -> dict:
     """Feature form of ``bmp_pixels`` (the decode_features contract)."""
     px = bmp_pixels(content)
+    h, w, c = px.shape
+    return _pixel_features(px, w, h, c)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> "np.ndarray":
+    """Reverse the PNG per-row filters (spec §6: None/Sub/Up/Average/
+    Paeth) over the decompressed scanline stream → (h, w*bpp) uint8.
+    Sub is vectorized as a per-channel mod-256 cumsum; Up is one wrapped
+    row add; Average/Paeth carry a left-pixel dependency, so those rows
+    run a per-pixel loop (vectorized across channels) — fine for the
+    test-grade corpora this dependency-free decoder family serves."""
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG scanline stream is {len(raw)} bytes, expected {h * (1 + stride)}"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(arr[y, 0])
+        cur = arr[y, 1:].copy()
+        if f == 0:
+            row = cur
+        elif f == 1:  # Sub: recon[x] = cur[x] + recon[x-bpp]
+            row = (
+                (np.cumsum(cur.reshape(w, bpp).astype(np.int64), axis=0) % 256)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up: recon[x] = cur[x] + prev[x]  (uint8 wraps)
+            row = cur + prev
+        elif f in (3, 4):  # Average / Paeth: left dependency -> loop
+            c2 = cur.reshape(w, bpp).astype(np.int64)
+            up = prev.reshape(w, bpp).astype(np.int64)
+            rec = np.zeros((w, bpp), dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                if f == 3:
+                    pred = (left + up[x]) // 2
+                else:
+                    p = left + up[x] - upleft
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up[x])
+                    pc = np.abs(p - upleft)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up[x], upleft),
+                    )
+                rec[x] = (c2[x] + pred) % 256
+                left = rec[x]
+                upleft = up[x]
+            row = rec.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type {f} on row {y}")
+        out[y] = row
+        prev = out[y]
+    return out
+
+
+def png_pixels(content: bytes) -> "np.ndarray":
+    """PNG (ISO/IEC 15948) → (h, w, c) uint8 pixel array, pure stdlib
+    ``zlib`` + numpy — no codec library. Supported: 8-bit depth, color
+    types 0 (gray), 2 (RGB), 3 (palette → RGB), 4 (gray+alpha — alpha
+    DROPPED, returns (h, w, 1); this is a pixel decoder for the
+    perceptual/feature family, which ignores alpha) and 6 (RGBA),
+    non-interlaced. 1/2/4/16-bit depths and Adam7 interlacing raise
+    ValueError — register a full codec via ``set_decoder`` for those."""
+    import zlib
+
+    if content[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"{depth}-bit PNG unsupported (8-bit only)")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    if ctype_n not in (0, 2, 3, 4, 6):
+        raise ValueError(f"PNG color type {ctype_n} unsupported")
+    if w < 1 or h < 1:
+        raise ValueError("empty PNG")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_n]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # normalize to the family's error type
+        raise ValueError(f"bad PNG IDAT stream: {exc}") from exc
+    flat = _png_unfilter(raw, w, h, bpp)
+    if ctype_n == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = flat.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]  # (h, w, 3)
+    px = flat.reshape(h, w, bpp)
+    if ctype_n == 4:  # gray+alpha -> drop alpha (documented)
+        return px[:, :, :1]
+    return px
+
+
+def decode_png(content: bytes) -> dict:
+    """Feature form of ``png_pixels`` (the decode_features contract)."""
+    px = png_pixels(content)
     h, w, c = px.shape
     return _pixel_features(px, w, h, c)
 
@@ -278,6 +413,8 @@ def sniff_pixels(content: bytes):
         return bmp_pixels
     if content[:2] in (b"P5", b"P6"):
         return ppm_pixels
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        return png_pixels
     return None
 
 
@@ -289,6 +426,8 @@ def _sniff(content: bytes):
         return decode_bmp
     if content[:2] in (b"P5", b"P6"):
         return decode_ppm
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav
     return None

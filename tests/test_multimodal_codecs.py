@@ -328,3 +328,141 @@ def test_pgm_catalog_entry_skips_non_ascii_prefix(spark, tmp_path):
         assert (
             g.n_bytes, g.content_sha256, g.pixel_sum, g.px_min, g.px_max
         ) == (want[mid][1], want[mid][2], want[mid][6], want[mid][7], want[mid][8])
+
+
+# ------------------------------------------------ PNG (round 14)
+
+import zlib
+
+import numpy as np
+
+from openmsistream_spark.llm.multimodal import png_pixels
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _png(px: "np.ndarray", color_type: int, filters=None, plte=None,
+         depth=8, interlace=0) -> bytes:
+    """Build a PNG byte string with a CHOSEN filter type per row,
+    applying the spec's FORWARD filter (so the decoder's unfilter is
+    verified against an independent construction, not itself)."""
+    h, w = px.shape[:2]
+    bpp = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * bpp).astype(np.int64)
+    filters = filters if filters is not None else [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        f = filters[y]
+        cur = flat[y]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            enc = (cur - left) % 256
+        elif f == 2:  # Up
+            enc = (cur - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            enc = (cur - (left + prev) // 2) % 256
+        elif f == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) % 256
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _chunk(b"IEND", b"")
+
+
+def test_png_gray_all_filter_types():
+    rng = np.random.RandomState(0)
+    px = rng.randint(0, 256, size=(5, 7)).astype(np.uint8)
+    for filters in ([0] * 5, [1] * 5, [0, 2, 2, 2, 2], [3] * 5, [4] * 5,
+                    [0, 1, 2, 3, 4]):
+        got = png_pixels(_png(px, 0, filters=filters))
+        assert got.shape == (5, 7, 1)
+        assert (got[:, :, 0] == px).all(), f"filters={filters}"
+
+
+def test_png_rgb_and_rgba_roundtrip():
+    rng = np.random.RandomState(1)
+    rgb = rng.randint(0, 256, size=(4, 6, 3)).astype(np.uint8)
+    assert (png_pixels(_png(rgb, 2, filters=[4, 1, 3, 2])) == rgb).all()
+    rgba = rng.randint(0, 256, size=(3, 5, 4)).astype(np.uint8)
+    assert (png_pixels(_png(rgba, 6, filters=[0, 4, 4])) == rgba).all()
+
+
+def test_png_palette_and_gray_alpha():
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    got = png_pixels(_png(idx, 3, plte=plte))
+    assert (got == plte[idx]).all()
+    # gray+alpha: alpha dropped, (h, w, 1) out (documented)
+    ga = np.dstack(
+        [np.arange(6, dtype=np.uint8).reshape(2, 3), np.full((2, 3), 9, np.uint8)]
+    )
+    got = png_pixels(_png(ga, 4))
+    assert got.shape == (2, 3, 1)
+    assert (got[:, :, 0] == ga[:, :, 0]).all()
+
+
+def test_png_rejects_unsupported_and_malformed():
+    px = np.zeros((2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError, match="interlaced"):
+        png_pixels(_png(px, 0, interlace=1))
+    with pytest.raises(ValueError, match="16-bit"):
+        png_pixels(_png(px, 0, depth=16))
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_pixels(b"GIF89a")
+    good = _png(px, 0)
+    with pytest.raises(ValueError):  # corrupt IDAT -> zlib error -> ValueError
+        png_pixels(good[:40] + b"\x00\x00\x00\x00" + good[44:])
+    with pytest.raises(ValueError, match="missing PLTE"):
+        png_pixels(_png(px, 3))
+    with pytest.raises(ValueError, match="out of range"):
+        png_pixels(_png(np.full((2, 2), 5, np.uint8), 3,
+                        plte=np.zeros((2, 3), np.uint8)))
+
+
+def test_png_fingerprint_format_independence(spark):
+    """The dHash of a PNG equals the dHash of the same pixels as PGM —
+    the decoder registry makes the perceptual-hash family
+    format-independent (PNG now a first-class input)."""
+    from openmsistream_spark.llm.phash import image_fingerprints
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(16, 18)).astype(np.uint8)
+    pgm = f"P5 18 16 255\n".encode() + px.tobytes()
+    png = _png(px, 0, filters=[4] * 16)
+    df = spark.createDataFrame(
+        [(1, bytearray(pgm)), (2, bytearray(png))], "media_id long, content binary"
+    )
+    got = {r.media_id: r.fingerprint for r in image_fingerprints(df).collect()}
+    assert got[1] == got[2]
+
+
+def test_default_decoder_real_parses_png():
+    rng = np.random.RandomState(2)
+    px = rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    out = default_decoder("image", _png(px, 2, filters=[1, 2, 3, 4]))
+    assert out["width"] == 4 and out["height"] == 4
+    flat = px.astype(float) / 255.0
+    assert math.isclose(out["features"][3], float(flat.mean()), rel_tol=1e-9)
