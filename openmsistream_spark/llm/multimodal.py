@@ -6,11 +6,13 @@ step is layered:
 
 - **Real decode, no dependencies**: uncompressed BMP (8/24/32-bpp),
   binary PPM/PGM, PNG (8-bit gray/RGB/palette/gray-alpha/RGBA,
-  non-interlaced — stdlib zlib inflate + all five spec filters), and
-  PCM WAV are parsed in pure Python/numpy (``decode_bmp``/
-  ``decode_ppm``/``decode_png``/``decode_wav``) — headers, row padding,
-  filters, and sample widths per the published format specs. The
-  default decoder sniffs magic bytes and uses these.
+  non-interlaced — stdlib zlib inflate + all five spec filters), GIF
+  (87a/89a, pure-Python LZW, interlacing, animation compositing —
+  ``llm/gif.py``), and PCM WAV are parsed in pure Python/numpy
+  (``decode_bmp``/``decode_ppm``/``decode_png``/``decode_gif``/
+  ``decode_wav``) — headers, row padding, filters, and sample widths
+  per the published format specs. The default decoder sniffs magic
+  bytes and uses these.
 - **Heavyweight codecs** (JPEG/MP3/H.264 …) need external libraries
   this container does not ship: register one via ``set_decoder``.
 - **Unknown formats** fall back to the deterministic fake decoder
@@ -271,6 +273,19 @@ def decode_png(content: bytes) -> dict:
     return _pixel_features(px, w, h, c)
 
 
+def decode_gif(content: bytes) -> dict:
+    """Feature form of the GIF decoder (the decode_features contract):
+    features from the first composited frame, ``n_frames`` from the
+    full animation."""
+    from .gif import gif_frames
+
+    frames = gif_frames(content)
+    h, w, c = frames[0].shape
+    out = _pixel_features(frames[0], w, h, c)
+    out["n_frames"] = len(frames)
+    return out
+
+
 def _pnm_one(content: bytes, pos: int):
     """Parse ONE binary PPM (P6, RGB) / PGM (P5, gray) image starting at
     byte ``pos``: ASCII header of magic, width, height, maxval
@@ -415,7 +430,29 @@ def sniff_pixels(content: bytes):
         return ppm_pixels
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         return png_pixels
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_pixels
+
+        return gif_pixels
     return None
+
+
+def video_frames(content: bytes) -> "list[np.ndarray]":
+    """Multi-frame pixel decode for the video family (llm/videofp.py):
+    a multi-image PNM stream (the image2pipe convention) or an animated
+    GIF (frames composited onto the logical screen). Raises ValueError
+    for anything else — the video fingerprint path's strictness policy
+    handles it."""
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_frames
+
+        return gif_frames(content)
+    if content[:2] in (b"P5", b"P6"):
+        return pnm_stream_frames(content)
+    raise ValueError(
+        "unknown video container (built-ins: multi-image binary PNM "
+        "stream, animated GIF)"
+    )
 
 
 def _sniff(content: bytes):
@@ -428,6 +465,8 @@ def _sniff(content: bytes):
         return decode_ppm
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav
     return None

@@ -494,6 +494,11 @@ def incremental_fingerprint_neardup(
         .distinct()
     )
     admitted = batch.join(dup_ids, "_id", "left_anti")
+    # the collision guard below and the upsert both consume `admitted`
+    # (two actions): persist so the probe + within-batch sweep joins
+    # execute once — the pinned decode output alone doesn't cover the
+    # join work
+    admitted = admitted.persist(StorageLevel.MEMORY_AND_DISK)
 
     try:
         if seen is not None:
@@ -527,6 +532,7 @@ def incremental_fingerprint_neardup(
         )
     finally:
         pinned.unpersist()
+        admitted.unpersist()
     # re-derive from the committed ledger (durable; replay-identical)
     return (
         registry.read()

@@ -1,10 +1,11 @@
 """Video keyframe near-dup — the third leg of the multimodal dedup
 treatment (images: llm/phash.py, audio: llm/audiofp.py).
 
-A "video" here is the dependency-free container the sandbox can
+A "video" here is a dependency-free container the sandbox can
 actually decode: a multi-image PNM stream (the PNM spec permits
 concatenating images in one file — ffmpeg's image2pipe emits exactly
-this), each image one frame. The operator family is the published
+this), each image one frame, or an animated GIF (round 14 — frames
+composited onto the logical screen by ``llm/gif.py``). The operator family is the published
 video-dedup recipe: sample keyframes, perceptual-hash each sampled
 frame (dHash, llm/phash.py — integer-exact), then call two videos
 near-duplicates when enough TEMPORALLY ALIGNED keyframes match within
@@ -31,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .multimodal import pnm_stream_frames
+from .multimodal import video_frames
 from .phash import dhash_int, gray_pixels, phash_int
 
 FRAME_FINGERPRINT_SCHEMA = T.StructType(
@@ -74,7 +75,7 @@ def video_frame_fingerprints(
                 # that row must raise-with-context / skip like any other
                 # undecodable one, not abort the whole Arrow stage
                 try:
-                    px_frames = pnm_stream_frames(content)
+                    px_frames = video_frames(content)
                     row_frames = [
                         (i, hash_fn(gray_pixels(px)))
                         for i, px in enumerate(px_frames)
@@ -85,9 +86,10 @@ def video_frame_fingerprints(
                         raise ValueError(
                             "video_frame_fingerprints: unusable media "
                             f"bytes for media_id={row.media_id} ({exc}; "
-                            "built-in covers multi-image binary PNM "
-                            "streams with frames at least the hash grid; "
-                            "pass strict=False to skip such rows)"
+                            "built-ins cover multi-image binary PNM "
+                            "streams and animated GIF, frames at least "
+                            "the hash grid; pass strict=False to skip "
+                            "such rows)"
                         )
                     continue
                 for i, fp in row_frames:

@@ -87,6 +87,13 @@ PYTHON_ALLOWED = {
     "video_scene_changes",
     # same single Arrow decode+hash stage; combo-key join JVM-side
     "image_dhash_neardup_combo",
+    # video representative fingerprint (round-14): the one Arrow
+    # decode+sample+hash stage, then the majority fold is pure JVM —
+    # one map-side-combinable groupBy with 65 codegen aggregates
+    "video_representative_fingerprint",
+    # representative fold + combo-key pair join, all JVM after the
+    # same single Arrow frame-hash stage
+    "video_representative_neardup",
 }
 
 
