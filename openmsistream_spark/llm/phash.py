@@ -509,20 +509,27 @@ def incremental_fingerprint_neardup(
             # fewer rows than it committed, breaking exactly-once.
             # (Unchanged content never reaches here: its fingerprint is
             # hamming-0 from its own ledger row, so the probe blocks it;
-            # and same-run_id rows short-circuited above.) Refuse.
-            clash = admitted.join(
-                seen.select(F.col("media_id").alias("_id")), "_id", "left_semi"
-            ).limit(1)
-            hit = clash.collect()
-            if hit:
-                raise ValueError(
-                    "incremental_fingerprint_neardup: media_id "
-                    f"{hit[0]._id} is already in the ledger from a prior "
-                    "run with a different fingerprint; upserting would "
-                    "re-tag that row's run_id and break the prior run's "
-                    "exactly-once replay — ingest changed content under "
-                    "a NEW media_id (or rebuild the ledger)"
-                )
+            # and same-run_id rows short-circuited above.) Two tiers so
+            # the common case stays cheap: a key-only equi-join first
+            # (pinned batch vs 16-byte ledger rows — no combo explode,
+            # no sweep); only a batch that actually shares media_ids
+            # with the ledger pays the precise admitted-side check.
+            # gate on the PINNED pre-probe batch: evaluating the
+            # post-anti-join `batch` would run the combo probe chain,
+            # which is exactly the cost the gate exists to avoid
+            seen_ids = seen.select(F.col("media_id").alias("_id"))
+            if pinned.join(seen_ids, "_id", "left_semi").limit(1).count() > 0:
+                hit = admitted.join(seen_ids, "_id", "left_semi").limit(1).collect()
+                if hit:
+                    raise ValueError(
+                        "incremental_fingerprint_neardup: media_id "
+                        f"{hit[0]._id} is already in the ledger from a "
+                        "prior run with a different fingerprint; "
+                        "upserting would re-tag that row's run_id and "
+                        "break the prior run's exactly-once replay — "
+                        "ingest changed content under a NEW media_id "
+                        "(or rebuild the ledger)"
+                    )
         registry.upsert(
             admitted.select(
                 F.col("_id").alias("media_id"),
