@@ -8,13 +8,16 @@ step is layered:
   binary PPM/PGM, PNG (8-bit gray/RGB/palette/gray-alpha/RGBA,
   non-interlaced — stdlib zlib inflate + all five spec filters), GIF
   (87a/89a, pure-Python LZW, interlacing, animation compositing —
-  ``llm/gif.py``), and PCM WAV are parsed in pure Python/numpy
+  ``llm/gif.py``), baseline JPEG (SOF0 sequential DCT, 4:4:4/4:2:2/
+  4:2:0, restart markers — ``llm/jpeg.py``; float-tier pixels, see its
+  determinism note), and PCM WAV are parsed in pure Python/numpy
   (``decode_bmp``/``decode_ppm``/``decode_png``/``decode_gif``/
-  ``decode_wav``) — headers, row padding, filters, and sample widths
-  per the published format specs. The default decoder sniffs magic
-  bytes and uses these.
-- **Heavyweight codecs** (JPEG/MP3/H.264 …) need external libraries
-  this container does not ship: register one via ``set_decoder``.
+  ``decode_jpeg``/``decode_wav``) — headers, row padding, filters, and
+  sample widths per the published format specs. The default decoder
+  sniffs magic bytes and uses these.
+- **Heavyweight codecs** (progressive JPEG, MP3/AAC, H.264 …) need
+  external libraries this container does not ship: register one via
+  ``set_decoder``.
 - **Unknown formats** fall back to the deterministic fake decoder
   (plumbing stays exercisable); ``strict=True`` raises instead, so a
   production pipeline cannot silently ship hash-derived features.
@@ -286,6 +289,17 @@ def decode_gif(content: bytes) -> dict:
     return out
 
 
+def decode_jpeg(content: bytes) -> dict:
+    """Feature form of the baseline JPEG decoder (the decode_features
+    contract). Float-tier pixels (IDCT + color convert) — see
+    llm/jpeg.py's determinism note."""
+    from .jpeg import jpeg_pixels
+
+    px = jpeg_pixels(content)
+    h, w, c = px.shape
+    return _pixel_features(px, w, h, c)
+
+
 def _pnm_one(content: bytes, pos: int):
     """Parse ONE binary PPM (P6, RGB) / PGM (P5, gray) image starting at
     byte ``pos``: ASCII header of magic, width, height, maxval
@@ -434,6 +448,10 @@ def sniff_pixels(content: bytes):
         from .gif import gif_pixels
 
         return gif_pixels
+    if content[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_pixels
+
+        return jpeg_pixels
     return None
 
 
@@ -467,6 +485,8 @@ def _sniff(content: bytes):
         return decode_png
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav
     return None
