@@ -40,12 +40,16 @@ covers, and what it computes. Every entry is paired with an ANSI-SQL
 DuckDB oracle; the driver compares rows + schema + values at sf0.01.
 
 Determinism tiers: every catalog entry is oracle-paired (hash-exact).
-One operator in the wider library is NOT: `llm/phash.phash_int` (DCT
+Two operators in the wider library are NOT: `llm/phash.phash_int` (DCT
 pHash) uses a float DCT, so no second engine reproduces its bits — it
 is the repo's single property-tested-tier fingerprint (noise
 robustness, brightness invariance, separation: tests/test_phash.py)
 with measured recall in PHASH_RECALL.json; its integer-exact sibling
-`dhash_int` carries the oracle-paired catalog entries.
+`dhash_int` carries the oracle-paired catalog entries. And
+`llm/jpeg.jpeg_pixels` (baseline JPEG decode) is float-tier pixels
+(IDCT + color convert, like every real JPEG library) — verified
+against an independent forward encoder in tests/test_jpeg.py, with
+flat-field exactness pinned.
 """
 
 
