@@ -91,8 +91,18 @@ def _decode_entities(col: Column) -> Column:
 
 def clean_block_text(col: Column) -> Column:
     """Visible text of one block: strip inline tags, decode entities,
-    collapse whitespace runs to single spaces, trim."""
+    collapse whitespace runs to single spaces, trim.
+
+    A DANGLING tag opener (``<div`` with no ``>`` before the block
+    ends — tag soup like ``<div<p>`` cut at the block boundary) is
+    dropped to end-of-block, mirroring the html5 tokenizer's
+    EOF-in-tag behavior; without this, the newline join across blocks
+    can compose a leaked ``<div`` with a later block's orphan ``>``
+    into something tag-shaped (hypothesis-found, round 14). A bare
+    ``<`` not opening a tag name (``5 < 6``) stays text, as in
+    browsers."""
     col = F.regexp_replace(col, r"<[^>]*>", "")
+    col = F.regexp_replace(col, r"<[A-Za-z!/?][^>]*\z", "")
     col = _decode_entities(col)
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 

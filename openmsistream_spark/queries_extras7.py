@@ -85,8 +85,11 @@ def _sql_str(s: str) -> str:
 
 def _sql_clean(expr: str) -> str:
     """DuckDB mirror of ``extract.clean_block_text``: strip inline
-    tags, decode entities in table order, collapse whitespace, trim."""
+    tags, drop a dangling end-of-block tag opener (the round-14
+    tag-soup fix — html5 EOF-in-tag behavior), decode entities in
+    table order, collapse whitespace, trim."""
     s = f"regexp_replace({expr}, '<[^>]*>', '', 'g')"
+    s = rf"regexp_replace({s}, '<[A-Za-z!/?][^>]*$', '', 's')"
     for ent, ch in _ENTITIES:
         s = f"replace({s}, '{ent}', {_sql_str(ch)})"
     return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"

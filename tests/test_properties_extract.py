@@ -12,7 +12,7 @@ pins that order, so the property matches the contract, not more."""
 import re
 import unicodedata
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from openmsistream_spark.llm.extract import MOJIBAKE, normalize_text, paragraphs
@@ -118,6 +118,10 @@ _soup_piece = st.one_of(
 
 
 @given(st.lists(st.lists(_soup_piece, max_size=25).map("".join), min_size=1, max_size=16))
+# round-14 regression: a dangling `<div` opener cut at the block
+# boundary (`<div<p>`) must not compose with a later block's orphan
+# `>` into a tag across the newline join
+@example(pages=[";;;;;;;;;;;;;;;;;;;;;<div<p>;;;;;;;;;;;;;>;;;;;;;;;;;"])
 @settings(max_examples=12, deadline=None)
 def test_extract_survives_malformed_tag_soup(spark, pages):
     """Real crawl HTML is malformed: unclosed tags, stray brackets,
