@@ -5,7 +5,8 @@ in ``llm/multimodal.py``.
 
 Supported: global/local color tables, interlaced images (the 4-pass
 row order), multi-frame animations with disposal methods 0/1 (leave in
-place) and 2 (restore to background), frame sub-rectangles composited
+place), 2 (restore to background), and 3 (restore to the pre-frame
+canvas), frame sub-rectangles composited
 onto the logical screen, transparency treated as "previous pixel shows
 through" (the animation meaning; the returned pixels are RGB — the
 perceptual/feature family ignores alpha). Out of scope (ValueError):
@@ -75,11 +76,12 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[int]:
             if prev is not None and next_code < 4096:
                 table[next_code] = prev + (entry[0],)
                 next_code += 1
-            # the decoder's table lags the encoder's by exactly one
-            # entry (it adds nothing after the first code), so its
-            # width bump fires at 2^size - 1 where the encoder's fires
-            # at 2^size — the classic GIF-LZW synchronization rule
-            if next_code == (1 << code_size) - 1 and code_size < 12:
+            # GIF-LZW width rule (GIF89a appendix F / GIFCOMPR.C): the
+            # encoder emits the NEXT code wider once the slot count
+            # reaches 2^size, so the decoder widens when its next free
+            # slot reaches 2^size — not one early (that is the TIFF
+            # "EarlyChange" schedule, which desyncs on real GIFs)
+            if next_code == (1 << code_size) and code_size < 12:
                 code_size += 1
             prev = entry
             if len(out) >= max_pixels:
@@ -185,6 +187,7 @@ def gif_frames(content: bytes) -> "list[np.ndarray]":
         if int(rows.max(initial=0)) >= len(ct):
             raise ValueError("GIF palette index out of range")
         rect = canvas[top : top + h, left : left + w]
+        saved = rect.copy() if disposal == 3 else None
         painted = ct[rows]
         if transparent is not None:
             mask = rows == transparent
@@ -195,6 +198,8 @@ def gif_frames(content: bytes) -> "list[np.ndarray]":
             canvas[top : top + h, left : left + w] = background[
                 top : top + h, left : left + w
             ]
+        elif disposal == 3:  # restore touched rect to pre-frame canvas
+            canvas[top : top + h, left : left + w] = saved
         transparent = None
         disposal = 0
     if not frames:

@@ -98,8 +98,12 @@ class _BitReader:
                 raise ValueError("JPEG entropy stream hit a marker mid-symbol")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+        # _fill only runs when n == 0, so the old accumulator bits are
+        # dead — REPLACE rather than shift-or, or acc grows 8 bits per
+        # consumed byte and every bit() shift copies an ever-larger
+        # bigint (quadratic decode time in entropy-stream size)
+        self.acc = b
+        self.n = 8
 
     def bit(self) -> int:
         if self.n == 0:

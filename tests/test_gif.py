@@ -12,7 +12,10 @@ from openmsistream_spark.llm.gif import gif_frames, gif_pixels
 
 
 def _lzw_encode(mcs: int, indices) -> bytes:
-    """Forward GIF-LZW, mirroring the spec's width-growth schedule."""
+    """Forward GIF-LZW on the standard GIFCOMPR schedule: the width
+    bump is checked after each emitted code against the PRE-add free
+    slot count (free_ent >= 2^code_size), exactly one add later than a
+    post-add check — the synchronization real encoders use."""
     clear, end = 1 << mcs, (1 << mcs) + 1
     table = {(i,): i for i in range(clear)}
     next_code = end + 1
@@ -22,13 +25,16 @@ def _lzw_encode(mcs: int, indices) -> bytes:
     out = bytearray()
 
     def emit(code):
-        nonlocal acc, nbits
+        nonlocal acc, nbits, code_size
         acc |= code << nbits
         nbits += code_size
         while nbits >= 8:
             out.append(acc & 0xFF)
             acc >>= 8
             nbits -= 8
+        # GIFCOMPR's output(): widen AFTER writing, before the add
+        if next_code >= (1 << code_size) and code_size < 12:
+            code_size += 1
 
     emit(clear)
     w = ()
@@ -41,8 +47,6 @@ def _lzw_encode(mcs: int, indices) -> bytes:
         if next_code < 4096:
             table[wk] = next_code
             next_code += 1
-            if next_code == (1 << code_size) and code_size < 12:
-                code_size += 1
         w = (int(k),)
     if w:
         emit(table[w])
@@ -177,6 +181,54 @@ def test_gif_animation_composite_disposal_transparency():
     assert (frames[1][0, 0] == pal[0]).all()
     # frame 3: frame 2's rect restored to BACKGROUND (bg=3), new pixel at 0,0
     assert (frames[2][2, 3] == pal[3]).all()
+    assert (frames[2][0, 0] == pal[2]).all()
+
+
+def test_gif_real_encoder_fixtures():
+    """GIFs produced by REAL encoders (CPython-distribution icons:
+    Lib/test/imghdrdata/python.gif and idlelib/Icons/idle_48.gif, PSF
+    license) — the encoder/decoder can no longer share a width-bump
+    off-by-one. Pins decode success, header-consistent shape, and a
+    regression checksum of the decoded pixels."""
+    import hashlib
+    import pathlib
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    want = {
+        "python_logo.gif": ((16, 16, 3), "455a278521605c0c"),
+        "idle_48.gif": ((48, 48, 3), "a03b8830ae43149a"),
+    }
+    for name, (shape, digest) in want.items():
+        frames = gif_frames((fixtures / name).read_bytes())
+        assert len(frames) == 1
+        assert frames[0].shape == shape
+        assert hashlib.sha256(frames[0].tobytes()).hexdigest()[:16] == digest
+
+
+def test_gif_disposal_restore_previous():
+    """Disposal 3 (restore to previous): the frame after a disposal-3
+    frame composites onto the PRE-disposal-3 canvas, not onto the
+    disposal-3 frame's paint."""
+    f1 = np.zeros((4, 4), dtype=np.int64)  # full screen color 0
+    f2 = np.full((2, 2), 1, dtype=np.int64)  # rect color 1, disposal 3
+    f3 = np.full((1, 1), 2, dtype=np.int64)  # paints one corner pixel
+    gif = _gif(
+        4,
+        4,
+        [
+            (0, 0, 4, 4, f1, None),
+            (1, 1, 2, 2, f2, {"disposal": 3}),
+            (0, 0, 1, 1, f3, None),
+        ],
+        PAL4,
+    )
+    frames = gif_frames(gif)
+    assert len(frames) == 3
+    pal = np.array(PAL4, np.uint8)
+    assert (frames[1][1, 1] == pal[1]).all()
+    # frame 3: disposal-3 rect restored to frame-1 paint (color 0)
+    assert (frames[2][1, 1] == pal[0]).all()
+    assert (frames[2][2, 2] == pal[0]).all()
     assert (frames[2][0, 0] == pal[2]).all()
 
 
