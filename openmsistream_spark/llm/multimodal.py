@@ -8,16 +8,17 @@ step is layered:
   binary PPM/PGM, PNG (8-bit gray/RGB/palette/gray-alpha/RGBA,
   non-interlaced — stdlib zlib inflate + all five spec filters), GIF
   (87a/89a, pure-Python LZW, interlacing, animation compositing —
-  ``llm/gif.py``), baseline JPEG (SOF0 sequential DCT, 4:4:4/4:2:2/
+  ``llm/gif.py``), baseline AND progressive JPEG (SOF0 sequential +
+  SOF2 spectral-selection/successive-approximation DCT, 4:4:4/4:2:2/
   4:2:0, restart markers — ``llm/jpeg.py``; float-tier pixels, see its
   determinism note), and PCM WAV are parsed in pure Python/numpy
   (``decode_bmp``/``decode_ppm``/``decode_png``/``decode_gif``/
   ``decode_jpeg``/``decode_wav``) — headers, row padding, filters, and
   sample widths per the published format specs. The default decoder
   sniffs magic bytes and uses these.
-- **Heavyweight codecs** (progressive JPEG, MP3/AAC, H.264 …) need
-  external libraries this container does not ship: register one via
-  ``set_decoder``.
+- **Heavyweight codecs** (MP3/AAC, H.264, arithmetic-coded or 12-bit
+  JPEG …) need external libraries this container does not ship:
+  register one via ``set_decoder``.
 - **Unknown formats** fall back to the deterministic fake decoder
   (plumbing stays exercisable); ``strict=True`` raises instead, so a
   production pipeline cannot silently ship hash-derived features.

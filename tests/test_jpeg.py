@@ -336,10 +336,11 @@ def test_jpeg_rejects_unsupported():
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg_pixels(b"\x89PNG")
     good = _jpeg(np.full((8, 8), 100, dtype=np.uint8))
-    # flip SOF0 -> SOF2 (progressive)
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="non-baseline"):
-        jpeg_pixels(prog)
+    # SOF1 (extended sequential) stays out of scope; SOF2 (progressive)
+    # is supported since round 15 — see tests/test_jpeg_progressive.py
+    ext = good.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    with pytest.raises(ValueError, match="unsupported JPEG coding process"):
+        jpeg_pixels(ext)
     with pytest.raises(ValueError):
         jpeg_pixels(good[: len(good) // 2])
 
