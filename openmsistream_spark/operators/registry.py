@@ -53,6 +53,26 @@ class HadoopFS:
     def delete(self, path: str) -> None:
         self._fs.delete(self._jpath(path), True)  # recursive, idempotent
 
+    def list_dirs(self, path: str) -> list[str]:
+        """Names of the immediate child DIRECTORIES of ``path`` (empty
+        if the path is missing)."""
+        if not self.exists(path):
+            return []
+        return [
+            s.getPath().getName()
+            for s in self._fs.listStatus(self._jpath(path))
+            if s.isDirectory()
+        ]
+
+    def size_bytes(self, path: str) -> int:
+        """Total bytes under ``path`` (0 if missing)."""
+        if not self.exists(path):
+            return 0
+        return int(self._fs.getContentSummary(self._jpath(path)).getLength())
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._jpath(path))
+
 
 class ParquetRegistry:
     """A small keyed table persisted as parquet (R2/R3).
@@ -255,10 +275,170 @@ class DeltaRegistry(ParquetRegistry):
         )
 
 
+class LogStructuredRegistry(ParquetRegistry):
+    """Log-structured registry: upsert/delete APPEND a delta segment
+    (O(batch) write) instead of rewriting the whole table; reads fold
+    the segments forward (latest sequence number wins per key); a
+    size-triggered compaction folds everything into a fresh base
+    segment when the accumulated deltas outweigh it.
+
+    Why: the plain parquet backend's ``upsert`` is a full scan+rewrite
+    per call — measured at +0.35 s per +10k ledger rows per streaming
+    micro-batch (STRESS_MEDIA_LEDGER.json, round 14), the ingest
+    path's only super-constant cost. Delta Lake MERGE is the managed
+    fix; this backend is the dependency-free one, built on the repo's
+    own fold-forward discipline (streaming/ledger_fold.py). Amortized
+    write cost per row is O(1): compaction fires when delta bytes
+    reach base bytes, so the ledger doubles between folds and the
+    geometric series telescopes (the dynamic-array argument).
+
+    On-disk layout: ``path/seg-<10-digit-seq>-<base|delta|tomb>-<uuid>``
+    parquet directories. Fold rule: for each key keep the row from the
+    highest-sequence segment; a ``tomb`` segment marks deletion. A
+    reader that lists segments while a compaction commits sees the new
+    base (higher seq) shadow every folded segment, so any listing —
+    before, during, after — folds to the same table; segment DIRS are
+    only removed after the new base exists (a reader mid-scan of a
+    just-removed segment can hit FileNotFound, the same single-writer
+    caveat the parquet backend's rename swap carries).
+
+    Same single-writer discipline as the other backends: serialize
+    writes (including auto-compaction) with any live writer — e.g.
+    run upserts inside the stream's own ``foreachBatch``.
+    """
+
+    #: fold forward when the delta segments' bytes reach this multiple
+    #: of the base segment's bytes (1.0 = the doubling rule)…
+    compact_bytes_ratio = 1.0
+    #: …or when this many delta segments accumulate, whichever first
+    #: (tiny batches must not pile up thousands of parquet dirs)
+    compact_max_segments = 64
+
+    _SEQ_COL = "_oms_seq"
+    _TOMB_COL = "_oms_tombstone"
+
+    def exists(self) -> bool:
+        return bool(self._segments())
+
+    def _segments(self) -> list[tuple[int, str, str]]:
+        """Sorted (seq, kind, full_path) of live segments."""
+        out = []
+        for name in self.fs.list_dirs(self.path):
+            parts = name.split("-", 3)
+            if len(parts) == 4 and parts[0] == "seg" and parts[1].isdigit():
+                out.append((int(parts[1]), parts[2], f"{self.path}/{name}"))
+        return sorted(out)
+
+    def _write_segment(self, df: DataFrame, kind: str, seq: int) -> None:
+        name = f"seg-{seq:010d}-{kind}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(f"{self.path}/{name}")
+
+    def read(self) -> DataFrame | None:
+        segs = self._segments()
+        if not segs:
+            return None
+        if len(segs) == 1 and segs[0][1] == "base":
+            # steady state after compaction: a plain keyed parquet scan,
+            # exactly what the parquet backend's read costs
+            return self.spark.read.parquet(segs[0][2])
+        return self._fold(segs)
+
+    def _fold(self, segs: list[tuple[int, str, str]]) -> DataFrame:
+        """Latest-sequence-wins fold of the given segments; tombstoned
+        keys drop. One map-side-combinable ``max_by`` aggregate over
+        the union — no window, no sort."""
+        dfs = []
+        for seq, kind, p in segs:
+            df = self.spark.read.parquet(p).withColumn(
+                self._SEQ_COL, F.lit(seq).cast("long")
+            )
+            if self._TOMB_COL not in df.columns:
+                df = df.withColumn(self._TOMB_COL, F.lit(False))
+            dfs.append(df)
+        all_rows = dfs[0]
+        for df in dfs[1:]:
+            all_rows = all_rows.unionByName(df, allowMissingColumns=True)
+        val_cols = [c for c in all_rows.columns if c not in self.key_cols]
+        folded = all_rows.groupBy(*self.key_cols).agg(
+            F.max_by(F.struct(*val_cols), F.col(self._SEQ_COL)).alias("_oms_v")
+        )
+        keep = [c for c in val_cols if c not in (self._SEQ_COL, self._TOMB_COL)]
+        return folded.filter(~F.col(f"_oms_v.{self._TOMB_COL}")).select(
+            *self.key_cols, *[F.col(f"_oms_v.{c}").alias(c) for c in keep]
+        )
+
+    def _next_seq(self, segs: list[tuple[int, str, str]]) -> int:
+        return (segs[-1][0] + 1) if segs else 1
+
+    def _overwrite(self, df: DataFrame) -> None:
+        """Whole-table replace = write a new base above everything,
+        then drop the shadowed segments."""
+        segs = self._segments()
+        self._write_segment(df, "base", self._next_seq(segs))
+        for _, _, p in segs:
+            self.fs.delete(p)
+
+    def upsert(self, updates: DataFrame) -> None:
+        """R2 — MERGE semantics, O(batch) write: append a delta
+        segment; matched keys shadow older rows at read time."""
+        updates = updates.dropDuplicates(self.key_cols)
+        segs = self._segments()
+        if not segs:
+            self._write_segment(updates, "base", 1)
+            return
+        self._write_segment(updates, "delta", self._next_seq(segs))
+        self._maybe_compact()
+
+    def delete(self, keys: DataFrame) -> None:
+        """R2 — keyed delete via a tombstone segment."""
+        segs = self._segments()
+        if not segs:
+            return
+        tomb = (
+            keys.select(*self.key_cols)
+            .distinct()
+            .withColumn(self._TOMB_COL, F.lit(True))
+        )
+        self._write_segment(tomb, "tomb", self._next_seq(segs))
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        segs = self._segments()
+        deltas = [s for s in segs if s[1] != "base"]
+        if not deltas:
+            return
+        base_bytes = sum(self.fs.size_bytes(p) for _, k, p in segs if k == "base")
+        delta_bytes = sum(self.fs.size_bytes(p) for _, _, p in deltas)
+        if (
+            len(deltas) < self.compact_max_segments
+            and delta_bytes < max(base_bytes, 1) * self.compact_bytes_ratio
+        ):
+            return
+        self.compact_now()
+
+    def compact_now(self) -> None:
+        """Fold every live segment into one fresh base and remove the
+        folded segments. Safe against concurrent READERS (the new base
+        shadows what it folded); must be serialized with other writers
+        like every registry write."""
+        segs = self._segments()
+        if not segs or (len(segs) == 1 and segs[0][1] == "base"):
+            return
+        folded = self._fold(segs)
+        self._write_segment(folded, "base", self._next_seq(segs))
+        for _, _, p in segs:
+            self.fs.delete(p)
+
+
 def make_registry(
     spark: SparkSession, path: str, key_cols: list[str], backend: str = "auto"
 ) -> ParquetRegistry:
-    """Registry factory: ``backend`` = "parquet", "delta", or "auto".
+    """Registry factory: ``backend`` = "parquet", "log", "delta", or
+    "auto".
+
+    "log" is the log-structured backend — O(batch) appends +
+    fold-forward compaction — the right choice for streaming ingest
+    ledgers that grow without bound (see ``LogStructuredRegistry``).
 
     "auto" picks Delta only when it would actually work: delta-spark
     importable AND the session built with the Delta SQL extension AND
@@ -269,6 +449,18 @@ def make_registry(
     """
     if backend == "parquet":
         return ParquetRegistry(spark, path, key_cols)
+    if backend == "log":
+        reg = LogStructuredRegistry(spark, path, key_cols)
+        if reg.fs.exists(path) and not reg.exists():
+            # non-empty dir with no seg-* children = some other format;
+            # reading it as an empty ledger would silently re-admit
+            # everything the old ledger had blocked
+            if reg.fs.list_dirs(path) or reg.fs.size_bytes(path) > 0:
+                raise ValueError(
+                    f"registry at {path} exists but is not log-structured; "
+                    "use its original backend or migrate it first"
+                )
+        return reg
     if backend == "delta":
         reg = DeltaRegistry(spark, path, key_cols)  # ImportError surfaces
         fs = reg.fs

@@ -20,10 +20,12 @@ def _has_delta() -> bool:
         return False
 
 
-# same contract on both backends; the Delta path runs wherever
-# delta-spark is installed (MERGE INTO instead of full-table rewrite)
+# same contract on all backends; the Delta path runs wherever
+# delta-spark is installed (MERGE INTO instead of full-table rewrite);
+# "log" is the log-structured append+fold backend
 BACKENDS = [
     "parquet",
+    "log",
     pytest.param(
         "delta",
         marks=pytest.mark.skipif(not _has_delta(), reason="delta-spark not installed"),
@@ -123,6 +125,115 @@ def test_parquet_registry_on_fs_uri(spark, tmp):
 
     leftovers = [d for d in _os.listdir(tmp) if ".staging-" in d or ".old-" in d]
     assert leftovers == []
+
+
+def test_log_registry_appends_not_rewrites(spark, tmp):
+    """The log backend's upsert APPENDS a delta segment — the base
+    segment's files are untouched (the O(batch)-not-O(ledger) claim is
+    structural, not just a timing)."""
+    import os
+
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp}/log_reg"
+    reg = make_registry(spark, path, ["k"], backend="log")
+    # a base big enough that one small delta stays under the size
+    # trigger (equal-size batches WOULD fold — the doubling rule)
+    big = spark.range(2000).selectExpr("concat('base', id) as k", "id as v")
+    reg.upsert(big.coalesce(1))
+    segs0 = sorted(os.listdir(path))
+    assert len(segs0) == 1 and "-base-" in segs0[0]
+    base_mtime = os.path.getmtime(f"{path}/{segs0[0]}")
+
+    reg.upsert(spark.createDataFrame([("base5", 20), ("c", 3)], "k string, v long"))
+    segs1 = sorted(os.listdir(path))
+    assert len(segs1) == 2 and any("-delta-" in s for s in segs1)
+    assert os.path.getmtime(f"{path}/{segs0[0]}") == base_mtime  # untouched
+    rows = {r.k: r.v for r in reg.read().collect()}
+    assert len(rows) == 2001 and rows["base5"] == 20 and rows["c"] == 3
+
+
+def test_log_registry_tombstone_then_reinsert(spark, tmp):
+    """Delete writes a tombstone segment; a later upsert of the same key
+    resurrects it (higher sequence wins)."""
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, f"{tmp}/log_ts", ["k"], backend="log")
+    reg.upsert(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"))
+    reg.delete(spark.createDataFrame([("a",)], "k string"))
+    assert {r.k for r in reg.read().collect()} == {"b"}
+    reg.upsert(spark.createDataFrame([("a", 9)], "k string, v long"))
+    assert {r.k: r.v for r in reg.read().collect()} == {"a": 9, "b": 2}
+
+
+def test_log_registry_compaction_folds_to_single_base(spark, tmp):
+    """compact_now folds every segment into one base; the folded table
+    equals the pre-compaction read, tombstones drop for good, and the
+    steady-state read is a plain parquet scan of that base."""
+    import os
+
+    from openmsistream_spark.operators.registry import LogStructuredRegistry
+
+    reg = LogStructuredRegistry(spark, f"{tmp}/log_c", ["k"])
+    reg.upsert(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"))
+    reg.upsert(spark.createDataFrame([("b", 20), ("c", 3)], "k string, v long"))
+    reg.delete(spark.createDataFrame([("c",)], "k string"))
+    before = {r.k: r.v for r in reg.read().collect()}
+    reg.compact_now()
+    segs = sorted(os.listdir(f"{tmp}/log_c"))
+    assert len(segs) == 1 and "-base-" in segs[0]
+    after = {r.k: r.v for r in reg.read().collect()}
+    assert after == before == {"a": 1, "b": 20}
+    # compaction is idempotent on a lone base
+    reg.compact_now()
+    assert {r.k: r.v for r in reg.read().collect()} == before
+
+
+def test_log_registry_auto_compaction_bounds_segments(spark, tmp):
+    """The size trigger (delta bytes >= base bytes) keeps segment count
+    bounded under a long upsert loop — the LSM doubling discipline."""
+    import os
+
+    from openmsistream_spark.operators.registry import LogStructuredRegistry
+
+    reg = LogStructuredRegistry(spark, f"{tmp}/log_auto", ["k"])
+    for i in range(12):
+        reg.upsert(
+            spark.createDataFrame([(f"k{i}", i)], "k string, v long").coalesce(1)
+        )
+    n_segs = len(os.listdir(f"{tmp}/log_auto"))
+    # equal-size batches: deltas outweigh the base every ~2 upserts, so
+    # far fewer than 12 segments survive
+    assert n_segs <= 4
+    assert reg.read().count() == 12
+
+
+def test_log_registry_schema_growth(spark, tmp):
+    """A ledger schema may grow a column over time; old segments
+    null-fill (parquet-backend parity)."""
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, f"{tmp}/log_sg", ["k"], backend="log")
+    reg.upsert(spark.createDataFrame([("a", 1)], "k string, v long"))
+    reg.upsert(
+        spark.createDataFrame([("b", 2, "r1")], "k string, v long, run_id string")
+    )
+    rows = {r.k: (r.v, r.run_id) for r in reg.read().collect()}
+    assert rows == {"a": (1, None), "b": (2, "r1")}
+
+
+def test_log_registry_refuses_foreign_format(spark, tmp):
+    """backend='log' on an existing parquet-format registry must refuse,
+    not silently read an empty ledger (which would re-admit everything
+    the old ledger had blocked)."""
+    from openmsistream_spark.operators.registry import ParquetRegistry, make_registry
+
+    path = f"{tmp}/was_parquet"
+    ParquetRegistry(spark, path, ["k"]).upsert(
+        spark.createDataFrame([("a", 1)], "k string, v long")
+    )
+    with pytest.raises(ValueError, match="not log-structured"):
+        make_registry(spark, path, ["k"], backend="log")
 
 
 def test_registry_compaction(spark, tmp):
