@@ -364,19 +364,49 @@ def compact_stdout_line(
     return out
 
 
+#: one untimed representative from EACH heavy codegen family, so no
+#: timed entry pays first-compile JIT that entries later in the order
+#: never see. Round-14 finding (judge-measured): the shared warm-up
+#: cost is Spark-machinery JIT (janino, broadcast exchange, window/CC
+#: drivers), not per-plan generated classes — the same entry measured
+#: 8.2 s benched first vs 1.39 s benched after other families compiled.
+FAMILY_WARMERS = (
+    "q1_pricing_summary",  # wide agg scan
+    "dedup_exact_docs",  # hash dedup
+    "text_stats_docs",  # text explode
+    "dsir_importance_rank",  # broadcast-join chain (r14's 2.4x artifact)
+    "dedup_keep_canonical_lsh",  # iterative connected components
+    "semdedup_pairs_seeded",  # broadcast Arrow argmax
+    "video_representative_fingerprint",  # wide (65-agg) groupBy
+    "running_balance_per_customer",  # window functions
+)
+
+
+def warm_session(spark, sf_dir: str) -> str:
+    """Warm the JVM + parquet footers so per-query numbers measure the
+    queries, not session bring-up. JIT of Spark's machinery is
+    data-size independent, so the family warmers run at the smallest
+    sibling sf dir when one exists (sf0.001 is ~100x cheaper wall-time
+    than sf0.1 for the same plans). Returns the dir the warmers used."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    parent = os.path.dirname(sf_dir.rstrip("/"))
+    warm_dir = sf_dir
+    for cand in ("sf0.001", "sf0.01"):
+        p = os.path.join(parent, cand)
+        if os.path.isdir(p):
+            warm_dir = p
+            break
+    for warm in FAMILY_WARMERS:
+        QUERIES[warm].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    return warm_dir
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # queries, not session bring-up; one untimed representative from each
-    # codegen family (agg scan, hash dedup, text explode) additionally
-    # keeps the first timed entries from paying first-compile JIT that
-    # later entries never see
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    for warm in ("q1_pricing_summary", "dedup_exact_docs", "text_stats_docs"):
-        QUERIES[warm].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    warm_session(spark, sf_dir)
 
     # best-of-N per query (default 2): a loaded machine inflates every
     # wall-time uniformly, faking a regression round-over-round; the min
@@ -404,8 +434,12 @@ def main() -> None:
         # warm-up position, not plan cost, which is exactly the r12
         # tfidf / r13 keep_both "creep on untouched code" artifact.
         # Keep buying trials while the newest run still improves the
-        # min by >20% (converged entries never enter the loop), cap 4.
-        while repeat > 1 and len(runs) < 4 and runs[-1] < min(runs[:-1]) * 0.8:
+        # min by >5% (round 14 showed the 20% threshold stops too early
+        # on shallow convergence tails: run2/run1 of 0.85 read as
+        # converged while still 2x off), cap 6. With the family warmers
+        # above, converged entries never enter this loop, so the extra
+        # trials are only bought where they change the answer.
+        while repeat > 1 and len(runs) < 6 and runs[-1] < min(runs[:-1]) * 0.95:
             runs.append(_timed(fn))
         return round(min(runs), 3)
 

@@ -16,19 +16,21 @@ already measured in STRESS_MEDIAFP; the claim under test here is that
 the ledger probe (combo-key equi-join) and the upsert stay flat-ish as
 the ledger grows.
 
-What "flat" honestly means for the parquet registry backend: the probe
-is an equi-join on near-singleton 40-bit combo buckets — candidate
-volume stays ~B at ANY ledger size (never batch x ledger) — but the
-probe's scan side and the parquet backend's atomic-rewrite upsert are
-both O(ledger), so per-batch wall grows LINEARLY in ledger size with a
-tiny constant (16-byte rows), never quadratically. A cliff or
-super-linear curve would falsify the bucket construction; a shallow
-linear ramp is the designed parquet-backend behavior (a log-structured
-backend like Delta would amortize the upsert to O(batch)).
+Round 15: runs the sweep on BOTH registry backends. The "parquet"
+backend's upsert is an atomic full rewrite — O(ledger) per batch, the
+shallow-linear ramp round 14 measured (+0.35 s per +10k rows). The
+"log" backend (LogStructuredRegistry) appends an O(batch) delta
+segment and amortizes compaction by the doubling rule, so its
+per-batch wall should stay FLAT in ledger size — that flatness is the
+claim this sweep now gates (VERDICT r14 next-round #2). In both cases
+the probe is an equi-join on near-singleton 40-bit combo buckets:
+candidate volume stays ~B at ANY ledger size (never batch x ledger);
+a cliff or super-linear curve on either backend would falsify the
+bucket construction itself.
 
 Writes STRESS_MEDIA_LEDGER.json. Usage:
-    python tools/stress_media_ledger.py [n_batches batch_size]
-(default 20 batches x 10000 items)
+    python tools/stress_media_ledger.py [n_batches batch_size [backends]]
+(default 20 batches x 10000 items, backends "parquet,log")
 """
 
 from __future__ import annotations
@@ -58,18 +60,12 @@ def rest_totals(spark) -> dict[str, int]:
     return {k: sum(s.get(k, 0) for s in stages) for k in keys}
 
 
-def main() -> None:
-    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
-    spark = get_spark(
-        app_name="media-ledger-stress",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4099"},
-    )
+def run_backend(spark, backend: str, n_batches: int, batch_size: int) -> dict:
     from openmsistream_spark.llm.phash import incremental_fingerprint_neardup
     from openmsistream_spark.operators.registry import make_registry
 
     tmp = tempfile.mkdtemp(prefix="media_ledger_stress_")
-    reg = make_registry(spark, os.path.join(tmp, "fp"), ["media_id"])
+    reg = make_registry(spark, os.path.join(tmp, "fp"), ["media_id"], backend=backend)
     rows = []
     try:
         for b in range(n_batches):
@@ -104,21 +100,36 @@ def main() -> None:
                     3,
                 ),
             }
+            row["backend"] = backend
             rows.append(row)
             print(json.dumps(row))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     firsts = [r["wall_sec"] for r in rows[1:4]]
     lasts = [r["wall_sec"] for r in rows[-3:]]
-    out = {
-        "n_batches": n_batches,
-        "batch_size": batch_size,
+    return {
+        "backend": backend,
         "per_batch": rows,
         "early_batches_mean_sec": round(sum(firsts) / len(firsts), 3),
         "late_batches_mean_sec": round(sum(lasts) / len(lasts), 3),
         "late_over_early": round(
             (sum(lasts) / len(lasts)) / (sum(firsts) / len(firsts)), 3
         ),
+    }
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    backends = sys.argv[3].split(",") if len(sys.argv) > 3 else ["parquet", "log"]
+    spark = get_spark(
+        app_name="media-ledger-stress",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4099"},
+    )
+    out = {
+        "n_batches": n_batches,
+        "batch_size": batch_size,
+        "backends": {b: run_backend(spark, b, n_batches, batch_size) for b in backends},
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
