@@ -32,6 +32,7 @@ import openmsistream_spark.queries_extras7  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras8  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras9  # noqa: E402,F401  registers extras
 import openmsistream_spark.queries_extras10  # noqa: E402,F401  registers extras
+import openmsistream_spark.queries_extras11  # noqa: E402,F401  registers extras
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -152,6 +153,10 @@ HEADLINE = [
     # sweep over it)
     "video_representative_fingerprint",
     "video_representative_neardup",
+    # round-15 additions (log-registry fold reduction as a batch oracle,
+    # crawl-frontier URL canonicalization dedup)
+    "ledger_fold_latest",
+    "url_canonicalize_dedup",
 ]
 
 
