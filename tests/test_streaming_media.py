@@ -57,13 +57,17 @@ def _stream_batches(spark, tmp_path, batches, reg, **kw):
     return out_dir
 
 
-def test_cross_batch_media_dedup_and_replay(spark, tmp_path):
+# the full cross-batch + replay contract runs on BOTH durable ledger
+# backends: "parquet" (atomic rewrite) and "log" (append + fold-forward
+# compaction, the 100 TB streaming-ingest backend)
+@pytest.mark.parametrize("backend", ["parquet", "log"])
+def test_cross_batch_media_dedup_and_replay(spark, tmp_path, backend):
     A, A2, B, A3, C = _images()
     batches = [
         [(1, _pgm(A)), (2, _pgm(A2)), (3, _pgm(B))],  # A2 in-batch dup
         [(4, _pgm(A3)), (5, _pgm(C))],  # A3 blocked by batch-0's ledger
     ]
-    reg = make_registry(spark, str(tmp_path / "led"), ["media_id"])
+    reg = make_registry(spark, str(tmp_path / "led"), ["media_id"], backend=backend)
     out_dir = _stream_batches(spark, tmp_path, batches, reg)
     got = {r.media_id: r.fingerprint for r in spark.read.parquet(out_dir).collect()}
     assert set(got) == {1, 3, 5}
