@@ -171,6 +171,14 @@ def build_parser() -> argparse.ArgumentParser:
         "identical admissions (exactly-once)",
     )
     cc.add_argument(
+        "--ledger-backend", default="auto",
+        choices=["auto", "parquet", "log", "delta"],
+        help="durable-ledger storage backend: 'log' appends O(batch) "
+        "delta segments with fold-forward compaction (the unbounded-"
+        "ledger choice); 'parquet' rewrites atomically; 'delta' needs "
+        "delta-spark; 'auto' picks delta when usable, else parquet",
+    )
+    cc.add_argument(
         "--eval-parquet", default=None,
         help="benchmark/eval parquet: drop training docs sharing any "
         "8-gram with it (decontamination)",
@@ -463,13 +471,17 @@ def main(argv: Sequence[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.in_parquet)
         exact = (
-            make_registry(spark, args.exact_ledger, ["content_hash"])
+            make_registry(
+                spark, args.exact_ledger, ["content_hash"],
+                backend=args.ledger_backend,
+            )
             if args.exact_ledger
             else None
         )
         lsh = (
             make_registry(
-                spark, args.lsh_ledger, ["band", "band_sig", args.id_col]
+                spark, args.lsh_ledger, ["band", "band_sig", args.id_col],
+                backend=args.ledger_backend,
             )
             if args.lsh_ledger
             else None

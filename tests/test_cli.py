@@ -209,6 +209,57 @@ def test_config_file_parsing_and_kafka_mapping(tmp_path, monkeypatch):
         parse_config(str(cfg_file))
 
 
+def test_cli_curate_corpus_log_ledger_backend(spark, tmp_path, capsys):
+    """--ledger-backend log: the exact-dedup ledger lands as
+    log-structured segments, cross-run blocking and same-run replay
+    both hold on the new backend from the CLI surface."""
+    import json
+    import os
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "completely different second document with its own words "
+            "about maritime navigation and coastal lighthouse upkeep"),
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    ledger = str(tmp_path / "exact")
+
+    rc = cli.main(
+        [
+            "curate-corpus", src, str(tmp_path / "out1"),
+            "--exact-ledger", ledger, "--run-id", "r1",
+            "--ledger-backend", "log",
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    segs = os.listdir(ledger)
+    assert segs and all(s.startswith("seg-") for s in segs)
+
+    # a later run with NEW ids but identical content is blocked by the
+    # log-backed ledger
+    spark.createDataFrame(
+        [(11, rows[0][1]), (12, "fresh third document about volcanic "
+                                "soil chemistry and terraced farming")],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "corpus2"))
+    rc = cli.main(
+        [
+            "curate-corpus", str(tmp_path / "corpus2"), str(tmp_path / "out2"),
+            "--exact-ledger", ledger, "--run-id", "r2",
+            "--ledger-backend", "log",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["stages"]["after_exact_dedup"] == 1  # 11 blocked
+    ids = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+    )
+    assert ids == [12]
+
+
 def test_cli_curate_corpus_decontaminates(spark, tmp_path, capsys):
     """--eval-parquet drops training docs overlapping the eval set by an
     8-gram before the quality gate."""

@@ -222,6 +222,29 @@ def test_log_registry_schema_growth(spark, tmp):
     assert rows == {"a": (1, None), "b": (2, "r1")}
 
 
+def test_log_registry_insert_only_skips_fold(spark, tmp):
+    """insert_only (the incremental-ledger at-most-once-per-key
+    contract): reads are the plain segment union — NO aggregate in the
+    plan — until a tombstone appears, which flips back to the exact
+    fold."""
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(
+        spark, f"{tmp}/log_io", ["k"], backend="log", insert_only=True
+    )
+    big = spark.range(2000).selectExpr("concat('k', id) as k", "id as v")
+    reg.upsert(big.coalesce(1))
+    reg.upsert(spark.createDataFrame([("x", 1)], "k string, v long"))
+    plan = reg.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan
+    assert reg.read().count() == 2001
+
+    reg.delete(spark.createDataFrame([("x",)], "k string"))
+    plan = reg.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" in plan  # tombstone present -> exact fold
+    assert reg.read().count() == 2000
+
+
 def test_log_registry_refuses_foreign_format(spark, tmp):
     """backend='log' on an existing parquet-format registry must refuse,
     not silently read an empty ledger (which would re-admit everything

@@ -27,6 +27,7 @@ for mod in (
     "queries_extras8",
     "queries_extras9",
     "queries_extras10",
+    "queries_extras11",
 ):
     importlib.import_module(f"openmsistream_spark.{mod}")
 

@@ -61,11 +61,47 @@ def rest_totals(spark) -> dict[str, int]:
 
 
 def run_backend(spark, backend: str, n_batches: int, batch_size: int) -> dict:
+    """``backend`` may carry an ``@reset`` suffix: the ledger is wiped
+    between batches, so its size stays ONE batch while the session ages
+    normally — the control that separates ledger-size-driven growth
+    from session-age-driven growth (JIT/listener/GC accumulation)."""
     from openmsistream_spark.llm.phash import incremental_fingerprint_neardup
     from openmsistream_spark.operators.registry import make_registry
 
+    backend, _, mode = backend.partition("@")
+    reset_each = mode == "reset"
     tmp = tempfile.mkdtemp(prefix="media_ledger_stress_")
-    reg = make_registry(spark, os.path.join(tmp, "fp"), ["media_id"], backend=backend)
+    # insert_only mirrors the real sink contract (the collision guard +
+    # same-run short-circuit make the fp ledger at-most-once-per-key),
+    # letting the log backend read at scan speed instead of re-folding
+    reg = make_registry(
+        spark,
+        os.path.join(tmp, "fp"),
+        ["media_id"],
+        backend=backend,
+        insert_only=(backend == "log"),
+    )
+    # time the registry WRITE path separately from the probe: the
+    # backend claim under test is "upsert O(batch), not O(ledger)";
+    # the probe's ledger-side scan/explode is compute the PROBE owns
+    # (same on every backend) and must not be billed to the upsert
+    upsert_box = {"sec": 0.0}
+    orig_upsert = reg.upsert
+
+    def timed_upsert(df):
+        from pyspark import StorageLevel
+
+        # materialize the operator's admitted-set plan FIRST (the probe
+        # compute belongs to the probe column, not the backend), then
+        # time the pure write path from cache
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        t0 = time.time()
+        orig_upsert(df)
+        upsert_box["sec"] += time.time() - t0
+        df.unpersist()
+
+    reg.upsert = timed_upsert
     rows = []
     try:
         for b in range(n_batches):
@@ -82,6 +118,7 @@ def run_backend(spark, backend: str, n_batches: int, batch_size: int) -> dict:
             )
             batch.count()
             before = rest_totals(spark)
+            upsert_box["sec"] = 0.0
             t0 = time.time()
             n_admitted = incremental_fingerprint_neardup(
                 batch, reg, run_id=f"batch-{b}"
@@ -94,13 +131,17 @@ def run_backend(spark, backend: str, n_batches: int, batch_size: int) -> dict:
                 "ledger_rows_before": b * batch_size,
                 "admitted": n_admitted,
                 "wall_sec": round(wall, 3),
+                "upsert_sec": round(upsert_box["sec"], 3),
                 "shuffle_write_mb": round(
                     (after["shuffleWriteBytes"] - before["shuffleWriteBytes"])
                     / 1e6,
                     3,
                 ),
             }
-            row["backend"] = backend
+            row["backend"] = backend + ("@reset" if reset_each else "")
+            if reset_each:
+                row["ledger_rows_before"] = 0
+                shutil.rmtree(os.path.join(tmp, "fp"), ignore_errors=True)
             rows.append(row)
             print(json.dumps(row))
     finally:
