@@ -217,9 +217,11 @@ def test_cli_curate_corpus_log_ledger_backend(spark, tmp_path, capsys):
     import os
 
     rows = [
-        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"),
         (2, "completely different second document with its own words "
-            "about maritime navigation and coastal lighthouse upkeep"),
+            "about maritime navigation and coastal lighthouse upkeep "
+            "recorded by careful keepers across many foggy seasons"),
     ]
     src = str(tmp_path / "corpus")
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
@@ -241,7 +243,10 @@ def test_cli_curate_corpus_log_ledger_backend(spark, tmp_path, capsys):
     # log-backed ledger
     spark.createDataFrame(
         [(11, rows[0][1]), (12, "fresh third document about volcanic "
-                                "soil chemistry and terraced farming")],
+                                "soil chemistry and terraced farming "
+                                "practices observed on island slopes "
+                                "through several growing seasons by "
+                                "patient agronomists taking notes")],
         "doc_id long, text string",
     ).write.parquet(str(tmp_path / "corpus2"))
     rc = cli.main(
