@@ -292,15 +292,37 @@ class LogStructuredRegistry(ParquetRegistry):
     reach base bytes, so the ledger doubles between folds and the
     geometric series telescopes (the dynamic-array argument).
 
-    On-disk layout: ``path/seg-<10-digit-seq>-<base|delta|tomb>-<uuid>``
-    parquet directories. Fold rule: for each key keep the row from the
-    highest-sequence segment; a ``tomb`` segment marks deletion. A
-    reader that lists segments while a compaction commits sees the new
-    base (higher seq) shadow every folded segment, so any listing —
-    before, during, after — folds to the same table; segment DIRS are
-    only removed after the new base exists (a reader mid-scan of a
-    just-removed segment can hit FileNotFound, the same single-writer
-    caveat the parquet backend's rename swap carries).
+    On-disk layout:
+    ``path/seg-<10-digit-seq>-<base|delta|tomb|run|trun>-<uuid>``
+    parquet directories (``run`` = a minor-compacted fold of deltas;
+    ``trun`` = a run that carries embedded tombstone rows). Fold rule:
+    for each key keep the row from the highest-sequence segment; a
+    ``tomb`` segment (or a tombstone row inside a ``trun``) marks
+    deletion. Every segment is written to a ``.staging-<uuid>`` name
+    first and atomically renamed into its ``seg-*`` name only after
+    the write job commits, so a listing NEVER includes a partial or
+    in-flight segment (a crash leaves only an ignored staging dir).
+    ``_segments()`` additionally drops any segment whose seq is below
+    the newest base's seq — such segments are by construction already
+    folded into that base (compaction assigns the base a higher seq
+    before deleting what it folded), so a listing taken before,
+    during, or after a compaction commit reads to the same table on
+    BOTH the fold path and the insert-only union path; segment DIRS
+    are only removed after the new base exists (a reader mid-scan of
+    a just-removed segment can hit FileNotFound, the same
+    single-writer caveat the parquet backend's rename swap carries).
+
+    Compaction is tiered so the common pause is small: a MINOR fold
+    collapses accumulated delta/tomb segments into one ``run``
+    (O(accumulated) — independent of base size; tombstone winners are
+    preserved as rows so the base below still sees them); runs
+    re-fold when they accumulate; a MAJOR fold (``compact_now``)
+    rewrites everything into a fresh base — O(base), fired
+    automatically on the doubling rule (amortized O(1)/row) or, with
+    ``major_compaction="manual"``, only when the operator calls
+    ``compact_now()`` off the ingest path (the unbounded-ledger
+    recipe: minor folds keep segment counts bounded; the O(base)
+    pause runs on the operator's schedule, not inside foreachBatch).
 
     Same single-writer discipline as the other backends: serialize
     writes (including auto-compaction) with any live writer — e.g.
@@ -310,7 +332,8 @@ class LogStructuredRegistry(ParquetRegistry):
     #: fold forward when the delta segments' bytes reach this multiple
     #: of the base segment's bytes (1.0 = the doubling rule)…
     compact_bytes_ratio = 1.0
-    #: …or when this many delta segments accumulate, whichever first.
+    #: …or when this many delta/tomb (or run) segments accumulate —
+    #: then a MINOR fold collapses them into one run, whichever first.
     #: Plan size (scan branches + codegen compile) grows with live
     #: segment count, so the cap also bounds per-read planning cost —
     #: measured at ~+0.3 s/read per extra segment on tiny ledgers.
@@ -325,6 +348,8 @@ class LogStructuredRegistry(ParquetRegistry):
         path: str,
         key_cols: list[str],
         insert_only: bool = False,
+        major_compaction: str = "auto",
+        segment_sort_cols: list[str] | None = None,
     ):
         """``insert_only=True`` declares the caller's write discipline:
         every key is upserted AT MOST ONCE (the incremental-dedup
@@ -333,21 +358,58 @@ class LogStructuredRegistry(ParquetRegistry):
         skips the latest-wins fold entirely while no tombstones exist:
         segments are key-disjoint, so their plain union IS the table —
         zero shuffle, scan-speed reads at any ledger size. A
-        ``delete`` (tombstone) flips reads back to the exact fold."""
+        ``delete`` (tombstone) flips reads back to the exact fold.
+
+        ``major_compaction``: "auto" (default) fires the O(base) full
+        fold on the doubling rule inside the writing call; "manual"
+        never does — minor folds still bound segment counts with
+        O(accumulated) pauses, and the operator schedules
+        ``compact_now()`` off the ingest path (the unbounded-ledger
+        recipe — see class docstring).
+
+        ``segment_sort_cols``: sort rows by these columns inside each
+        written segment file, so parquet row-group min/max statistics
+        make pushed-down point/IN filters on those columns prune most
+        of the scan (the write-time-index shape the phash bloom
+        sidecar's combo index uses)."""
         super().__init__(spark, path, key_cols)
         self.insert_only = insert_only
+        if major_compaction not in ("auto", "manual"):
+            raise ValueError(
+                f"major_compaction={major_compaction!r} (have 'auto'|'manual')"
+            )
+        self.major_compaction = major_compaction
+        self.segment_sort_cols = segment_sort_cols
 
     def exists(self) -> bool:
         return bool(self._segments())
 
-    def _segments(self) -> list[tuple[int, str, str]]:
-        """Sorted (seq, kind, full_path) of live segments."""
+    def _list_segments(self) -> list[tuple[int, str, str]]:
+        """Sorted (seq, kind, full_path) of every committed segment on
+        disk, INCLUDING segments already shadowed by a newer base
+        (compaction leftovers after a crash) — cleanup paths need
+        these; readers must use :meth:`_segments`."""
         out = []
         for name in self.fs.list_dirs(self.path):
             parts = name.split("-", 3)
             if len(parts) == 4 and parts[0] == "seg" and parts[1].isdigit():
                 out.append((int(parts[1]), parts[2], f"{self.path}/{name}"))
         return sorted(out)
+
+    def _segments(self) -> list[tuple[int, str, str]]:
+        """Sorted (seq, kind, full_path) of LIVE segments: anything at
+        or above the newest base's seq. Segments below it are by
+        construction folded into that base (compaction writes the base
+        at a higher seq before deleting them), so dropping them here
+        makes reads compaction-safe on the union path too — a listing
+        taken between the base write and the folded-segment deletes
+        would otherwise double-count every key."""
+        segs = self._list_segments()
+        base_seqs = [s for s, k, _ in segs if k == "base"]
+        if not base_seqs:
+            return segs
+        newest_base = max(base_seqs)
+        return [s for s in segs if s[0] >= newest_base]
 
     def _write_segment(self, df: DataFrame, kind: str, seq: int) -> None:
         if kind != "base":
@@ -359,8 +421,18 @@ class LogStructuredRegistry(ParquetRegistry):
             # the union's task count ~= segment count; the base keeps
             # its natural partitioning (it can be arbitrarily large).
             df = df.coalesce(1)
+        if self.segment_sort_cols:
+            df = df.sortWithinPartitions(*self.segment_sort_cols)
+        # stage + atomic rename: _segments() only matches the seg-*
+        # name, so a reader never lists an in-flight or partially
+        # committed write — a crash mid-job leaves a .staging-* dir
+        # that compact_now() garbage-collects
         name = f"seg-{seq:010d}-{kind}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(f"{self.path}/{name}")
+        staging = f"{self.path}/.staging-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staging)
+        if not self.fs.rename(staging, f"{self.path}/{name}"):
+            self.fs.delete(staging)
+            raise IOError(f"could not commit segment {name} under {self.path}")
 
     def read(self) -> DataFrame | None:
         segs = self._segments()
@@ -370,8 +442,10 @@ class LogStructuredRegistry(ParquetRegistry):
             # steady state after compaction: a plain keyed parquet scan,
             # exactly what the parquet backend's read costs
             return self.spark.read.parquet(segs[0][2])
-        if self.insert_only and all(k != "tomb" for _, k, _ in segs):
-            # declared key-disjoint: the union IS the table (no fold)
+        if self.insert_only and all(k not in ("tomb", "trun") for _, k, _ in segs):
+            # declared key-disjoint: the union IS the table (no fold);
+            # a trun carries embedded tombstone rows, so its presence
+            # (like a tomb's) flips reads back to the exact fold
             dfs = [self.spark.read.parquet(p) for _, _, p in segs]
             out = dfs[0]
             for df in dfs[1:]:
@@ -408,8 +482,9 @@ class LogStructuredRegistry(ParquetRegistry):
 
     def _overwrite(self, df: DataFrame) -> None:
         """Whole-table replace = write a new base above everything,
-        then drop the shadowed segments."""
-        segs = self._segments()
+        then drop the shadowed segments (including any compaction
+        leftovers a crash stranded below an older base)."""
+        segs = self._list_segments()
         self._write_segment(df, "base", self._next_seq(segs))
         for _, _, p in segs:
             self.fs.delete(p)
@@ -438,32 +513,97 @@ class LogStructuredRegistry(ParquetRegistry):
         self._write_segment(tomb, "tomb", self._next_seq(segs))
         self._maybe_compact()
 
-    def _maybe_compact(self) -> None:
-        segs = self._segments()
-        deltas = [s for s in segs if s[1] != "base"]
-        if not deltas:
-            return
-        base_bytes = sum(self.fs.size_bytes(p) for _, k, p in segs if k == "base")
-        delta_bytes = sum(self.fs.size_bytes(p) for _, _, p in deltas)
-        if (
-            len(deltas) < self.compact_max_segments
-            and delta_bytes < max(base_bytes, 1) * self.compact_bytes_ratio
-        ):
-            return
-        self.compact_now()
-
-    def compact_now(self) -> None:
-        """Fold every live segment into one fresh base and remove the
-        folded segments. Safe against concurrent READERS (the new base
-        shadows what it folded); must be serialized with other writers
-        like every registry write."""
-        segs = self._segments()
-        if not segs or (len(segs) == 1 and segs[0][1] == "base"):
-            return
-        folded = self._fold(segs)
-        self._write_segment(folded, "base", self._next_seq(segs))
+    def _fold_to_run(self, segs: list[tuple[int, str, str]]) -> None:
+        """MINOR fold: collapse ``segs`` (never the base) into ONE run
+        segment, preserving tombstone winners as embedded rows so the
+        base below still sees deletions at read time. Pause is
+        O(bytes folded) — independent of base size."""
+        dfs = []
+        has_tombs = any(k in ("tomb", "trun") for _, k, _ in segs)
+        for seq, kind, p in segs:
+            df = self.spark.read.parquet(p).withColumn(
+                self._SEQ_COL, F.lit(seq).cast("long")
+            )
+            if has_tombs and self._TOMB_COL not in df.columns:
+                df = df.withColumn(self._TOMB_COL, F.lit(False))
+            dfs.append(df)
+        all_rows = dfs[0]
+        for df in dfs[1:]:
+            all_rows = all_rows.unionByName(df, allowMissingColumns=True)
+        val_cols = [c for c in all_rows.columns if c not in self.key_cols]
+        folded = all_rows.groupBy(*self.key_cols).agg(
+            F.max_by(F.struct(*val_cols), F.col(self._SEQ_COL)).alias("_oms_v")
+        )
+        keep = [c for c in val_cols if c != self._SEQ_COL]
+        folded = folded.select(
+            *self.key_cols, *[F.col(f"_oms_v.{c}").alias(c) for c in keep]
+        )
+        kind = "trun" if has_tombs else "run"
+        self._write_segment(folded, kind, self._next_seq(self._list_segments()))
         for _, _, p in segs:
             self.fs.delete(p)
+
+    def _maybe_compact(self) -> None:
+        segs = self._segments()
+        non_base = [s for s in segs if s[1] != "base"]
+        if not non_base:
+            return
+        base_bytes = sum(self.fs.size_bytes(p) for _, k, p in segs if k == "base")
+        nb_bytes = sum(self.fs.size_bytes(p) for _, _, p in non_base)
+        if (
+            self.major_compaction == "auto"
+            and nb_bytes >= max(base_bytes, 1) * self.compact_bytes_ratio
+        ):
+            # the doubling rule: accumulated folds outweigh the base —
+            # full fold, O(base), amortized O(1)/row across the run of
+            # appends that reached here
+            self.compact_now()
+            return
+        # MINOR tier: bound live segment count without touching the
+        # base. Fresh delta/tomb appends fold into a run; accumulated
+        # runs re-fold together. Each pause is O(bytes folded).
+        small = [s for s in non_base if s[1] in ("delta", "tomb")]
+        if len(small) >= self.compact_max_segments:
+            self._fold_to_run(small)
+        runs = [s for s in self._segments() if s[1] in ("run", "trun")]
+        if len(runs) >= self.compact_max_segments:
+            self._fold_to_run(runs)
+
+    def compact_now(self) -> None:
+        """MAJOR fold: every live segment into one fresh base; remove
+        the folded segments, any crash-stranded shadowed segments, and
+        any dead ``.staging-*`` dirs. Safe against concurrent READERS
+        (the new base shadows what it folded); must be serialized with
+        other writers like every registry write — under
+        ``major_compaction="manual"`` this is the call the operator
+        schedules off the ingest path."""
+        all_segs = self._list_segments()
+        segs = self._segments()
+        if segs and not (len(segs) == 1 and segs[0][1] == "base"):
+            folded = self._fold(segs)
+            self._write_segment(folded, "base", self._next_seq(all_segs))
+            for _, _, p in all_segs:
+                self.fs.delete(p)
+        else:
+            live = {p for _, _, p in segs}
+            for _, _, p in all_segs:  # crash-stranded shadowed leftovers
+                if p not in live:
+                    self.fs.delete(p)
+        # a crashed _write_segment leaves a .staging-* dir no reader
+        # ever lists; single-writer discipline means none can be live
+        for name in self.fs.list_dirs(self.path):
+            if name.startswith(".staging-"):
+                self.fs.delete(f"{self.path}/{name}")
+
+
+def _is_log_layout(fs: HadoopFS, path: str) -> bool:
+    """True iff ``path`` holds a LogStructuredRegistry's seg-* child
+    directories (its on-disk signature)."""
+    for name in fs.list_dirs(path):
+        parts = name.split("-", 3)
+        if len(parts) == 4 and parts[0] == "seg" and parts[1].isdigit():
+            return True
+    return False
 
 
 def make_registry(
@@ -472,6 +612,7 @@ def make_registry(
     key_cols: list[str],
     backend: str = "auto",
     insert_only: bool = False,
+    major_compaction: str = "auto",
 ) -> ParquetRegistry:
     """Registry factory: ``backend`` = "parquet", "log", "delta", or
     "auto".
@@ -481,19 +622,45 @@ def make_registry(
     ledgers that grow without bound (see ``LogStructuredRegistry``);
     ``insert_only=True`` additionally declares the at-most-once-per-key
     write discipline that lets its reads skip the fold (scan-speed at
-    any ledger size; only meaningful for the log backend).
+    any ledger size; only meaningful for the log backend), and
+    ``major_compaction="manual"`` keeps the O(base) full fold off the
+    writer's path (the operator schedules ``compact_now()``).
 
-    "auto" picks Delta only when it would actually work: delta-spark
-    importable AND the session built with the Delta SQL extension AND
-    ``path`` is empty or already a Delta table (``_delta_log`` present).
-    An existing parquet-format registry therefore keeps its backend —
-    importability alone must not flip the on-disk format out from under
-    earlier writes.
+    "auto" first honours what is already on disk: a path holding
+    seg-* segment directories reopens as the log backend it was
+    written by (so a later run that drops an explicit
+    ``backend="log"`` cannot misread the ledger as empty parquet).
+    Otherwise it picks Delta only when it would actually work:
+    delta-spark importable AND the session built with the Delta SQL
+    extension AND ``path`` is empty or already a Delta table
+    (``_delta_log`` present). An existing parquet-format registry
+    therefore keeps its backend — importability alone must not flip
+    the on-disk format out from under earlier writes.
+
+    Migration parquet → log: read the parquet registry, write its
+    table as the log ledger's first base —
+    ``make_registry(spark, new_path, keys, backend="log").replace(
+    make_registry(spark, old_path, keys, backend="parquet").read())``
+    — then point the caller at ``new_path`` (in-place reuse of the
+    same path is refused by the format guards in both directions).
     """
     if backend == "parquet":
-        return ParquetRegistry(spark, path, key_cols)
+        reg = ParquetRegistry(spark, path, key_cols)
+        if _is_log_layout(reg.fs, path):
+            raise ValueError(
+                f"registry at {path} is log-structured (seg-* segments); "
+                "reading it as parquet would fail or miss rows — use "
+                "backend='log' (or 'auto', which detects it)"
+            )
+        return reg
     if backend == "log":
-        reg = LogStructuredRegistry(spark, path, key_cols, insert_only=insert_only)
+        reg = LogStructuredRegistry(
+            spark,
+            path,
+            key_cols,
+            insert_only=insert_only,
+            major_compaction=major_compaction,
+        )
         if reg.fs.exists(path) and not reg.exists():
             # non-empty dir with no seg-* children = some other format;
             # reading it as an empty ledger would silently re-admit
@@ -513,6 +680,18 @@ def make_registry(
                 "use backend='parquet' or migrate it first"
             )
         return reg
+    fs0 = HadoopFS(spark, path)
+    if _is_log_layout(fs0, path):
+        # honour the on-disk format: a ledger written with
+        # backend="log" must reopen as log even when the caller drops
+        # the explicit backend (the reopen-with-default footgun)
+        return LogStructuredRegistry(
+            spark,
+            path,
+            key_cols,
+            insert_only=insert_only,
+            major_compaction=major_compaction,
+        )
     try:
         import delta.tables  # noqa: F401
     except ImportError:

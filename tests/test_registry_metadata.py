@@ -259,6 +259,115 @@ def test_log_registry_refuses_foreign_format(spark, tmp):
         make_registry(spark, path, ["k"], backend="log")
 
 
+def test_log_registry_reopen_with_default_backend(spark, tmp):
+    """A ledger written with backend='log' must reopen as log under
+    'auto' (a later run that drops --ledger-backend log), and refuse
+    with an explicit message under backend='parquet' — not fail with
+    an opaque schema-inference error (round-15 advisory)."""
+    from openmsistream_spark.operators.registry import (
+        LogStructuredRegistry,
+        make_registry,
+    )
+
+    path = f"{tmp}/was_log"
+    make_registry(spark, path, ["k"], backend="log").upsert(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    )
+    reopened = make_registry(spark, path, ["k"])  # backend defaults to auto
+    assert isinstance(reopened, LogStructuredRegistry)
+    assert reopened.read().count() == 2
+    with pytest.raises(ValueError, match="log-structured"):
+        make_registry(spark, path, ["k"], backend="parquet")
+
+
+def test_log_registry_staging_ignored_and_collected(spark, tmp):
+    """A crash mid-segment-write leaves only a .staging-* dir (the
+    atomic-rename discipline): readers never list it, and compact_now
+    garbage-collects it (round-15 advisory: segments must not be
+    visible before job commit)."""
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp}/log_stage"
+    reg = make_registry(spark, path, ["k"], backend="log")
+    reg.upsert(spark.createDataFrame([("a", 1)], "k string, v long"))
+    # simulate the crash remnant: a partially-written staging dir
+    dead = f"{path}/.staging-deadbeef"
+    spark.createDataFrame([("zz", 9)], "k string, v long").write.parquet(dead)
+    assert reg.read().count() == 1  # never listed as a segment
+    reg.upsert(spark.createDataFrame([("b", 2)], "k string, v long"))
+    assert {r.k for r in reg.read().collect()} == {"a", "b"}
+    reg.compact_now()
+    assert not reg.fs.exists(dead)
+    assert {r.k for r in reg.read().collect()} == {"a", "b"}
+
+
+def test_log_registry_union_read_shadow_safe(spark, tmp):
+    """insert_only union reads must not double-count while a compaction
+    is mid-commit (new base written, folded segments not yet deleted) —
+    the listing drops segments below the newest base's seq (round-15
+    advisory)."""
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(
+        spark, f"{tmp}/log_shadow", ["k"], backend="log", insert_only=True
+    )
+    reg.upsert(spark.createDataFrame([("a", 1)], "k string, v long"))
+    reg.upsert(spark.createDataFrame([("b", 2)], "k string, v long"))
+    segs_before = reg._list_segments()
+    # simulate compact_now crashing between the base write and the
+    # folded-segment deletes: write the folded base, delete nothing
+    reg._write_segment(reg._fold(segs_before), "base", reg._next_seq(segs_before))
+    assert reg.read().count() == 2  # not 4: old segments are shadowed
+    assert sorted(r.k for r in reg.read().collect()) == ["a", "b"]
+    # the fold path agrees (non-insert_only view of the same dir)
+    reg.insert_only = False
+    assert reg.read().count() == 2
+    # and the next compaction collects the stranded shadowed segments
+    reg.upsert(spark.createDataFrame([("c", 3)], "k string, v long"))
+    reg.compact_now()
+    assert {r.k for r in reg.read().collect()} == {"a", "b", "c"}
+    assert len(reg._list_segments()) == 1
+
+
+def test_log_registry_minor_compaction_and_manual_major(spark, tmp):
+    """major_compaction='manual' keeps the O(base) fold off the write
+    path: deltas fold into run segments (bounded count, base files
+    untouched) and tombstones survive minor folds (trun) until the
+    operator calls compact_now()."""
+    from openmsistream_spark.operators.registry import LogStructuredRegistry
+
+    reg = LogStructuredRegistry(
+        spark, f"{tmp}/log_manual", ["k"], major_compaction="manual"
+    )
+    reg.compact_max_segments = 4
+    base = spark.range(100).selectExpr("concat('k', id) as k", "id as v")
+    reg.upsert(base)
+    base_paths = {p for _, k, p in reg._segments() if k == "base"}
+    for i in range(12):
+        reg.upsert(
+            spark.createDataFrame([(f"d{i}", i), ("k5", 1000 + i)], "k string, v long")
+        )
+    segs = reg._segments()
+    # minor folds bounded the live segment count and produced runs...
+    assert len(segs) < 13
+    assert any(k in ("run", "trun") for _, k, _ in segs)
+    # ...without ever rewriting the base (the manual-major contract)
+    assert {p for _, k, p in segs if k == "base"} == base_paths
+    # latest-wins still holds through the run folds
+    got = {r.k: r.v for r in reg.read().collect()}
+    assert got["k5"] == 1011 and got["d0"] == 0 and len(got) == 112
+    # a tombstone folded into a trun still deletes over the base
+    reg.delete(spark.createDataFrame([("k7",)], "k string"))
+    for i in range(4):
+        reg.upsert(spark.createDataFrame([(f"e{i}", i)], "k string, v long"))
+    assert "k7" not in {r.k for r in reg.read().collect()}
+    reg.compact_now()
+    segs = reg._segments()
+    assert len(segs) == 1 and segs[0][1] == "base"
+    got = {r.k: r.v for r in reg.read().collect()}
+    assert "k7" not in got and got["k5"] == 1011 and len(got) == 115
+
+
 def test_registry_compaction(spark, tmp):
     from openmsistream_spark.operators.registry import ParquetRegistry
 
