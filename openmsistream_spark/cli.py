@@ -176,7 +176,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="durable-ledger storage backend: 'log' appends O(batch) "
         "delta segments with fold-forward compaction (the unbounded-"
         "ledger choice); 'parquet' rewrites atomically; 'delta' needs "
-        "delta-spark; 'auto' picks delta when usable, else parquet",
+        "delta-spark; 'auto' honours an existing ledger's on-disk "
+        "format, else picks delta when usable, else log for fresh "
+        "ledger paths (these grow without bound)",
     )
     cc.add_argument(
         "--eval-parquet", default=None,
@@ -473,7 +475,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         exact = (
             make_registry(
                 spark, args.exact_ledger, ["content_hash"],
-                backend=args.ledger_backend,
+                backend=args.ledger_backend, prefer="log",
             )
             if args.exact_ledger
             else None
@@ -481,7 +483,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         lsh = (
             make_registry(
                 spark, args.lsh_ledger, ["band", "band_sig", args.id_col],
-                backend=args.ledger_backend,
+                backend=args.ledger_backend, prefer="log",
             )
             if args.lsh_ledger
             else None

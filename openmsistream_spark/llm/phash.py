@@ -384,6 +384,8 @@ def incremental_fingerprint_neardup(
     id_col: str = "media_id",
     fp_col: str = "fingerprint",
     run_id: str | None = None,
+    sidecar: bool = True,
+    sidecar_opts: dict | None = None,
 ) -> DataFrame:
     """Cross-run perceptual near-dup against a durable fingerprint
     ledger — the media twin of ``dedup.incremental_exact_dedup`` /
@@ -434,11 +436,30 @@ def incremental_fingerprint_neardup(
     admitted item and IS re-admitted — the honest near-dup analogue of
     incremental_exact_dedup's "admits nothing on replay" (which holds
     exactly there because exact equality is transitive).
+
+    ``sidecar=True`` (default) maintains a bloom sidecar plus a
+    write-time combo index next to the ledger
+    (``<path>.probeidx`` — see ``phash_index``), making the common
+    per-batch probe O(batch) instead of O(ledger): the ledger is never
+    re-exploded at probe time; bloom-negative keys skip the index
+    entirely and bloom-positive keys are verified EXACTLY against the
+    write-time index (membership is never decided by the bloom alone).
+    A lost/stale/pre-existing-ledger sidecar triggers one exact
+    O(ledger) repair, then probes are gated again. Semantics —
+    admitted sets, replay identity, the churn refusal — are identical
+    to ``sidecar=False`` (the original exact probe, kept as the
+    fallback path). ``sidecar_opts`` forwards sizing knobs to
+    ``FingerprintProbeSidecar`` (``combo_m_bits``, ``k``,
+    ``max_pushdown_keys``, …).
     """
     import uuid
 
     run_id = run_id if run_id is not None else uuid.uuid4().hex
     batch = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    if sidecar:
+        return _incremental_neardup_gated(
+            batch, registry, bits, blocks, max_hamming, run_id, sidecar_opts or {}
+        )
 
     from pyspark import StorageLevel
 
@@ -568,6 +589,132 @@ def incremental_fingerprint_neardup(
         .filter(F.col("run_id") == run_id)
         .select("media_id", "fingerprint")
     )
+
+
+def _incremental_neardup_gated(
+    batch: DataFrame,
+    registry,
+    bits: int,
+    blocks: int,
+    max_hamming: int,
+    run_id: str,
+    opts: dict,
+) -> DataFrame:
+    """The sidecar-gated probe path of
+    ``incremental_fingerprint_neardup`` — same admitted sets, O(batch)
+    common cost. Per micro-batch:
+
+    1. replay short-circuit: ledger rows tagged ``run_id`` ARE the
+       committed decision (a pushed run_id-column scan — the only
+       whole-ledger touch on the common path, and it reads one column);
+    2. coverage check: sidecar row count vs ledger row count (a
+       footer-only count); mismatch (crash window, lost sidecar,
+       pre-sidecar ledger, out-of-band append) triggers an exact
+       repair of exactly the uncovered rows;
+    3. gated probe: batch combo keys marked against the broadcast
+       bloom; negatives skip; positives verified exactly against the
+       write-time combo index (pushed IN filter on sorted segments);
+    4. within-batch keep-first sweep (unchanged from the exact path);
+    5. collision guard, gated by the media_id bloom (a no-overlap
+       batch pays one row-local mark pass, no ledger join);
+    6. commit: ledger upsert FIRST (the commit point), then the
+       sidecar records the batch (index append + mask OR + meta swap).
+       A crash between 6a and 6b is healed by step 2 next call.
+    """
+    from pyspark import StorageLevel
+
+    from .phash_index import FingerprintProbeSidecar
+
+    spark = batch.sparkSession
+    ledger = registry.read()
+    if ledger is not None:
+        if ledger.filter(F.col("run_id") == run_id).limit(1).count() > 0:
+            return (
+                registry.read()
+                .filter(F.col("run_id") == run_id)
+                .select("media_id", "fingerprint")
+            )
+    sc_state = FingerprintProbeSidecar(
+        spark, registry.path, bits, blocks, max_hamming, **opts
+    )
+    sc_state.load_or_init()
+    ledger_count = ledger.count() if ledger is not None else 0
+    if sc_state.n_items != ledger_count:
+        sc_state.repair(ledger, ledger_count)
+
+    pinned = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = _combo_keyed(pinned, bits, blocks, max_hamming)
+    surv = pinned
+    if ledger_count:
+        blocked = sc_state.blocked_ids(keyed)
+        surv = pinned.join(blocked, "_id", "left_anti")
+        keyed = _combo_keyed(surv, bits, blocks, max_hamming)
+
+    # within-batch keep-first: drop ids matching a smaller surviving id
+    a = keyed.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "combo", "combo_key"
+    )
+    b = keyed.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "combo", "combo_key"
+    )
+    dup_ids = (
+        a.join(b, ["combo", "combo_key"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.expr("bit_count(fp_a ^ fp_b)") <= max_hamming)
+        )
+        .select(F.col("id_b").alias("_id"))
+        .distinct()
+    )
+    admitted = surv.join(dup_ids, "_id", "left_anti")
+    admitted = admitted.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # media_id collision guard (same contract as the exact path) —
+        # gated by the id bloom: no false negatives for covered rows,
+        # so a bloom-all-negative batch cannot contain a ledgered id
+        if ledger_count and sc_state.any_id_maybe_seen(pinned):
+            seen_ids = ledger.select(F.col("media_id").alias("_id"))
+            if pinned.join(seen_ids, "_id", "left_semi").limit(1).count() > 0:
+                hit = admitted.join(seen_ids, "_id", "left_semi").limit(1).collect()
+                if hit:
+                    raise ValueError(
+                        "incremental_fingerprint_neardup: media_id "
+                        f"{hit[0]._id} is already in the ledger from a "
+                        "prior run with a different fingerprint; "
+                        "upserting would re-tag that row's run_id and "
+                        "break the prior run's exactly-once replay — "
+                        "ingest changed content under a NEW media_id "
+                        "(or rebuild the ledger)"
+                    )
+        n_admitted = admitted.count()
+        if n_admitted:
+            registry.upsert(
+                admitted.select(
+                    F.col("_id").alias("media_id"),
+                    F.col("_fp").alias("fingerprint"),
+                    F.lit(run_id).alias("run_id"),
+                )
+            )
+        # ledger committed — cover it in the sidecar (crash here =
+        # count mismatch = exact repair next call). An empty admit
+        # skips both writes: replaying it recomputes from the same
+        # ledger state and re-derives the same empty set.
+        sc_state.record(
+            admitted.select(
+                F.col("_id").alias("media_id"), F.col("_fp").alias("fingerprint")
+            ),
+            run_id,
+            n_admitted,
+        )
+    finally:
+        pinned.unpersist()
+        admitted.unpersist()
+    out = registry.read()
+    if out is None:  # first-ever batch admitted nothing
+        return batch.select(
+            F.col("_id").alias("media_id"), F.col("_fp").alias("fingerprint")
+        ).limit(0)
+    return out.filter(F.col("run_id") == run_id).select("media_id", "fingerprint")
 
 
 def image_neardup_pairs(

@@ -613,9 +613,17 @@ def make_registry(
     backend: str = "auto",
     insert_only: bool = False,
     major_compaction: str = "auto",
+    prefer: str | None = None,
 ) -> ParquetRegistry:
     """Registry factory: ``backend`` = "parquet", "log", "delta", or
     "auto".
+
+    ``prefer="log"`` (only meaningful under "auto") declares an
+    unbounded-ingest call site — streaming sinks, the curate CLI's
+    dedup ledgers: a FRESH path then gets the log backend instead of
+    parquet (Delta still wins when actually usable — it is the managed
+    O(batch) MERGE backend). Existing registries always keep their
+    on-disk format regardless of preference.
 
     "log" is the log-structured backend — O(batch) appends +
     fold-forward compaction — the right choice for streaming ingest
@@ -692,16 +700,32 @@ def make_registry(
             insert_only=insert_only,
             major_compaction=major_compaction,
         )
+    def _fallback() -> ParquetRegistry:
+        # fresh path + a declared unbounded-ingest preference → the
+        # log backend (O(batch) appends); an EXISTING parquet registry
+        # always keeps its on-disk format
+        fresh = not fs0.exists(path) or (
+            not fs0.list_dirs(path) and fs0.size_bytes(path) == 0
+        )
+        if fresh and prefer == "log":
+            return LogStructuredRegistry(
+                spark,
+                path,
+                key_cols,
+                insert_only=insert_only,
+                major_compaction=major_compaction,
+            )
+        return ParquetRegistry(spark, path, key_cols)
+
     try:
         import delta.tables  # noqa: F401
     except ImportError:
-        return ParquetRegistry(spark, path, key_cols)
+        return _fallback()
     ext = spark.conf.get("spark.sql.extensions", "") or ""
     if "DeltaSparkSessionExtension" not in ext:
-        return ParquetRegistry(spark, path, key_cols)
-    fs = HadoopFS(spark, path)
-    if fs.exists(path) and not fs.exists(path.rstrip("/") + "/_delta_log"):
-        return ParquetRegistry(spark, path, key_cols)
+        return _fallback()
+    if fs0.exists(path) and not fs0.exists(path.rstrip("/") + "/_delta_log"):
+        return _fallback()
     return DeltaRegistry(spark, path, key_cols)
 
 

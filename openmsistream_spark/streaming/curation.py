@@ -105,7 +105,9 @@ def curation_sink(
     ``batch`` as a column; drop it for the pure corpus).
 
     ``neardup_registry`` (a ``make_registry(spark, path, ["band",
-    "band_sig", "doc_id"])`` instance) turns on cross-batch NEAR-dup
+    "band_sig", "doc_id"], backend="log")`` instance — it grows
+    without bound with admitted docs, so the log backend's O(batch)
+    appends are the scale-safe choice) turns on cross-batch NEAR-dup
     removal on top of the chain's exact dedup: every micro-batch is run
     through ``incremental_minhash_dedup`` against the durable LSH ledger
     before writing, so a lightly-edited copy of anything ANY earlier

@@ -86,7 +86,14 @@ def media_neardup_stream_sink(
     items against the durable fingerprint ledger, write admitted
     (media_id, fingerprint) to ``batch=<id>``.
 
-    ``fp_registry`` must be ``make_registry(spark, path, ["media_id"])``.
+    ``fp_registry`` must be ``make_registry(spark, path, ["media_id"],
+    backend="log", insert_only=True)`` — this ledger grows without
+    bound with admitted media, so the log backend's O(batch) appends
+    (not parquet's O(ledger) rewrite) are the scale-safe choice;
+    under "auto" a fresh path picks it via ``prefer="log"``. The
+    admission probe keeps a bloom sidecar + write-time combo index
+    beside the ledger (``<path>.probeidx`` — ``llm/phash_index``),
+    so the per-batch probe is O(batch), not O(ledger).
     ``modality="video"`` fingerprints each video as the MAJORITY-fold
     representative of its sampled keyframes (every ``video_every_nth``
     frames — part of the pinned params: a changed sampling rate would

@@ -139,7 +139,9 @@ def span_dedup_stream_sink(
     gram ledger, write the rewritten docs to ``batch=<id>``, then
     INSERT the batch's not-yet-seen grams as (gram, first_batch).
 
-    ``gram_registry`` must be ``make_registry(spark, path, ["gram"])``.
+    ``gram_registry`` must be ``make_registry(spark, path, ["gram"],
+    backend="log")`` — it grows without bound with first-seen grams,
+    so the log backend's O(batch) appends are the scale-safe choice.
     ``fingerprint`` matches the batch operator's modes: ``"hash"``
     (default — 8-byte xxhash64 ledger keys; an xxhash64 collision
     between distinct k-grams would excise non-duplicate text) or

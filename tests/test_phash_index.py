@@ -1,0 +1,174 @@
+"""Bloom sidecar + write-time combo index for the incremental
+fingerprint probe (llm/phash_index.py): equivalence with the exact
+probe, crash/lost-sidecar repair, params refusal, pushdown shape."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _fp(bits_set):
+    v = 0
+    for b in bits_set:
+        v |= 1 << b
+    return v
+
+
+BASE = _fp([1, 5, 9, 17, 33, 49, 60])
+NEAR2 = BASE ^ _fp([2, 40])          # hamming 2 from BASE -> blocked
+FAR = _fp([0, 8, 16, 24, 32, 40, 48, 56])
+FAR_NEAR1 = FAR ^ _fp([7])           # hamming 1 from FAR
+LONE = _fp([3, 11, 22, 44, 58])
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "media_id string, fingerprint long")
+
+
+def _run(spark, reg, rows, run_id, **kw):
+    from openmsistream_spark.llm.phash import incremental_fingerprint_neardup
+
+    return {
+        r.media_id
+        for r in incremental_fingerprint_neardup(
+            _frame(spark, rows), reg, run_id=run_id, **kw
+        ).collect()
+    }
+
+
+@pytest.fixture()
+def regs(spark, tmp_path):
+    from openmsistream_spark.operators.registry import make_registry
+
+    return (
+        make_registry(spark, f"{tmp_path}/gated", ["media_id"], backend="log",
+                      insert_only=True),
+        make_registry(spark, f"{tmp_path}/exact", ["media_id"], backend="log",
+                      insert_only=True),
+    )
+
+
+def test_sidecar_matches_exact_probe(spark, regs):
+    """The gated path must admit EXACTLY the exact path's sets:
+    cross-run blocks, within-batch keep-first, and clean admits —
+    bloom positivity alone never blocks, bloom negativity never
+    misses a committed near-dup."""
+    gated, exact = regs
+    b1 = [("a1", BASE), ("a2", FAR)]
+    # b2: exact dup (blocked), hamming-2 (blocked), within-batch pair
+    # (keep smaller id), clean admit
+    b2 = [("b1", BASE), ("b2", NEAR2), ("b3", LONE), ("b4", LONE ^ 1), ("b5", FAR_NEAR1)]
+    b3 = [("c1", LONE ^ (1 << 50)), ("c2", _fp([12, 13, 14, 15, 16, 20]))]
+    for i, rows in enumerate([b1, b2, b3]):
+        got = _run(spark, gated, rows, f"r{i}", sidecar=True)
+        want = _run(spark, exact, rows, f"r{i}", sidecar=False)
+        assert got == want, f"batch {i}: gated={got} exact={want}"
+    assert _run(spark, gated, b2, "r1", sidecar=True) == {"b3"}  # replay verbatim
+
+
+def test_sidecar_repairs_out_of_band_append(spark, tmp_path):
+    """Ledger rows the sidecar never covered (crash between ledger
+    commit and sidecar update, or a direct registry upsert) must still
+    block — the coverage check repairs from the ledger before probing,
+    so the bloom can't have false negatives for committed rows."""
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, f"{tmp_path}/led", ["media_id"], backend="log",
+                        insert_only=True)
+    assert _run(spark, reg, [("a1", BASE)], "r0") == {"a1"}
+    # out-of-band append: the sidecar knows nothing about FAR
+    reg.upsert(
+        spark.createDataFrame([("oob", FAR, "rX")],
+                              "media_id string, fingerprint long, run_id string")
+    )
+    got = _run(spark, reg, [("b1", FAR_NEAR1), ("b2", LONE)], "r1")
+    assert got == {"b2"}  # FAR_NEAR1 blocked by the uncovered row
+
+
+def test_sidecar_lost_then_rebuilt(spark, tmp_path):
+    """Deleting the sidecar must not change verdicts: the next call
+    falls back to one exact O(ledger) repair (never admits on bloom
+    alone), rebuilds, and subsequent calls are gated again."""
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log", insert_only=True)
+    assert _run(spark, reg, [("a1", BASE), ("a2", FAR)], "r0") == {"a1", "a2"}
+    shutil.rmtree(f"{path}.probeidx")
+    got = _run(spark, reg, [("b1", NEAR2), ("b2", LONE)], "r1")
+    assert got == {"b2"}
+    # rebuilt: a third batch still blocks against ALL earlier runs
+    got = _run(spark, reg, [("c1", FAR_NEAR1), ("c2", LONE ^ 1)], "r2")
+    assert got == set()
+
+
+def test_sidecar_refuses_param_change(spark, tmp_path):
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, f"{tmp_path}/led", ["media_id"], backend="log",
+                        insert_only=True)
+    _run(spark, reg, [("a1", BASE)], "r0")
+    with pytest.raises(ValueError, match="different"):
+        _run(spark, reg, [("b1", FAR)], "r1", max_hamming=2)
+
+
+def test_sidecar_churn_refusal_still_fires(spark, tmp_path):
+    """The media_id collision guard survives the bloom gate: the id
+    bloom has no false negatives, so re-ingesting a ledgered id with
+    different content still refuses."""
+    from openmsistream_spark.operators.registry import make_registry
+
+    reg = make_registry(spark, f"{tmp_path}/led", ["media_id"], backend="log",
+                        insert_only=True)
+    _run(spark, reg, [("a1", BASE)], "r0")
+    with pytest.raises(ValueError, match="already in the ledger"):
+        _run(spark, reg, [("a1", FAR)], "r1")
+
+
+def test_sidecar_tiny_bloom_resizes_and_stays_exact(spark, tmp_path):
+    """A deliberately saturated bloom (tiny mask) must auto-resize and
+    never change verdicts — saturation only costs extra exact checks."""
+    from openmsistream_spark.llm.phash_index import FingerprintProbeSidecar
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log", insert_only=True)
+    opts = {"combo_m_bits": 1 << 10, "id_m_bits": 1 << 10}
+    rows = [(f"a{i}", _fp([i % 60, (i * 7) % 60, (i * 13) % 60]) | (1 << 62))
+            for i in range(40)]
+    _run(spark, reg, rows, "r0", sidecar_opts=opts)
+    sc_state = FingerprintProbeSidecar(spark, path, 64, 8, 3, **opts)
+    sc_state.load_or_init()
+    assert sc_state.combo_bloom.m_bits > (1 << 10)  # resized
+    # verdicts still exact: an exact dup of an r0 admit is blocked
+    admitted0 = {r.media_id for r in reg.read().filter("run_id='r0'").collect()}
+    a_fp = {r.media_id: r.fingerprint for r in reg.read().collect()}
+    some = sorted(admitted0)[0]
+    got = _run(spark, reg, [("z1", a_fp[some]), ("z2", _fp([59, 61]))], "r1",
+               sidecar_opts=opts)
+    assert got == {"z2"}
+
+
+def test_sidecar_index_probe_is_pushdown_pruned(spark, tmp_path):
+    """The gated probe's index read must carry a pushed IN filter on
+    combo_key (the write-time index is sorted by combo_key inside each
+    segment so row-group stats prune the scan)."""
+    from openmsistream_spark.llm.phash import _combo_keyed
+    from openmsistream_spark.llm.phash_index import FingerprintProbeSidecar
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log", insert_only=True)
+    _run(spark, reg, [("a1", BASE), ("a2", FAR)], "r0")
+    sc_state = FingerprintProbeSidecar(spark, path, 64, 8, 3)
+    sc_state.load_or_init()
+    keyed = _combo_keyed(
+        spark.createDataFrame([("p1", NEAR2)], "media_id string, fingerprint long")
+        .select(F.col("media_id").alias("_id"), F.col("fingerprint").alias("_fp")),
+        64, 8, 3,
+    )
+    blocked = sc_state.blocked_ids(keyed)
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "combo_key" in plan
+    assert {r._id for r in blocked.collect()} == {"p1"}

@@ -30,7 +30,9 @@ bucket construction itself.
 
 Writes STRESS_MEDIA_LEDGER.json. Usage:
     python tools/stress_media_ledger.py [n_batches batch_size [backends]]
-(default 20 batches x 10000 items, backends "parquet,log")
+(default 20 batches x 10000 items, backends "parquet,log@exact,log";
+ "@exact" = sidecar off (the round-15 exact probe), "@reset" = wipe
+ the ledger each batch — the session-age control leg)
 """
 
 from __future__ import annotations
@@ -70,6 +72,10 @@ def run_backend(spark, backend: str, n_batches: int, batch_size: int) -> dict:
 
     backend, _, mode = backend.partition("@")
     reset_each = mode == "reset"
+    # "@exact" disables the round-16 bloom sidecar + write-time combo
+    # index, i.e. the round-15 exact O(ledger) probe — kept as the
+    # comparison leg that the sidecar's flatness is judged against
+    use_sidecar = mode != "exact"
     tmp = tempfile.mkdtemp(prefix="media_ledger_stress_")
     # insert_only mirrors the real sink contract (the collision guard +
     # same-run short-circuit make the fp ledger at-most-once-per-key),
@@ -121,7 +127,7 @@ def run_backend(spark, backend: str, n_batches: int, batch_size: int) -> dict:
             upsert_box["sec"] = 0.0
             t0 = time.time()
             n_admitted = incremental_fingerprint_neardup(
-                batch, reg, run_id=f"batch-{b}"
+                batch, reg, run_id=f"batch-{b}", sidecar=use_sidecar
             ).count()
             wall = time.time() - t0
             after = rest_totals(spark)
@@ -138,10 +144,13 @@ def run_backend(spark, backend: str, n_batches: int, batch_size: int) -> dict:
                     3,
                 ),
             }
-            row["backend"] = backend + ("@reset" if reset_each else "")
+            row["backend"] = backend + (f"@{mode}" if mode else "")
             if reset_each:
                 row["ledger_rows_before"] = 0
                 shutil.rmtree(os.path.join(tmp, "fp"), ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(tmp, "fp.probeidx"), ignore_errors=True
+                )
             rows.append(row)
             print(json.dumps(row))
     finally:
@@ -162,7 +171,11 @@ def run_backend(spark, backend: str, n_batches: int, batch_size: int) -> dict:
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
-    backends = sys.argv[3].split(",") if len(sys.argv) > 3 else ["parquet", "log"]
+    backends = (
+        sys.argv[3].split(",")
+        if len(sys.argv) > 3
+        else ["parquet", "log@exact", "log"]
+    )
     spark = get_spark(
         app_name="media-ledger-stress",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4099"},
