@@ -11,14 +11,15 @@ step is layered:
   ``llm/gif.py``), baseline AND progressive JPEG (SOF0 sequential +
   SOF2 spectral-selection/successive-approximation DCT, 4:4:4/4:2:2/
   4:2:0, restart markers — ``llm/jpeg.py``; float-tier pixels, see its
-  determinism note), and PCM WAV are parsed in pure Python/numpy
+  determinism note), lossless WebP (the full VP8L bitstream —
+  ``llm/webp.py``), and PCM WAV are parsed in pure Python/numpy
   (``decode_bmp``/``decode_ppm``/``decode_png``/``decode_gif``/
-  ``decode_jpeg``/``decode_wav``) — headers, row padding, filters, and
-  sample widths per the published format specs. The default decoder
-  sniffs magic bytes and uses these.
-- **Heavyweight codecs** (MP3/AAC, H.264, arithmetic-coded or 12-bit
-  JPEG …) need external libraries this container does not ship:
-  register one via ``set_decoder``.
+  ``decode_jpeg``/``decode_webp``/``decode_wav``) — headers, row
+  padding, filters, and sample widths per the published format specs.
+  The default decoder sniffs magic bytes and uses these.
+- **Heavyweight codecs** (MP3/AAC, H.264, lossy-VP8/animated WebP,
+  arithmetic-coded or 12-bit JPEG …) need external libraries this
+  container does not ship: register one via ``set_decoder``.
 - **Unknown formats** fall back to the deterministic fake decoder
   (plumbing stays exercisable); ``strict=True`` raises instead, so a
   production pipeline cannot silently ship hash-derived features.
@@ -453,6 +454,10 @@ def sniff_pixels(content: bytes):
         from .jpeg import jpeg_pixels
 
         return jpeg_pixels
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from .webp import webp_pixels
+
+        return webp_pixels
     return None
 
 
@@ -488,6 +493,10 @@ def _sniff(content: bytes):
         return decode_gif
     if content[:2] == b"\xff\xd8":
         return decode_jpeg
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav
     return None
@@ -495,7 +504,8 @@ def _sniff(content: bytes):
 
 def default_decoder(media_type: str, content: bytes) -> dict:
     """Magic-byte-sniffing decoder: real parse for the dependency-free
-    formats (BMP, PPM/PGM, PCM WAV), deterministic fake for anything
+    formats (BMP, PPM/PGM, PNG, GIF, baseline+progressive JPEG, VP8L
+    WebP, PCM WAV), deterministic fake for anything
     else — so known formats always yield REAL byte-derived features
     while exotic codecs keep the plumbing testable. ``strict`` mode in
     ``decode_features`` refuses every fake path instead (unknown format
@@ -518,7 +528,7 @@ def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
     decoder = _DECODER
     if decoder is None:
         if strict:
-            # built-ins really decode BMP/PPM/PGM/PCM-WAV; strict mode
+            # built-ins really decode the sniffed formats; strict mode
             # refuses EVERY hash-derived fake path: unknown formats
             # raise NotImplementedError, and malformed known-format
             # content lets the decoder's own ValueError/struct.error
@@ -528,7 +538,8 @@ def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 if dec is None:
                     raise NotImplementedError(
                         "no decoder for this format: built-ins cover "
-                        "BMP/PPM/PGM/PCM-WAV; install codec libraries and "
+                        "BMP/PPM/PGM/PNG/GIF/JPEG/VP8L-WebP/PCM-WAV; "
+                        "install codec libraries and "
                         "call set_decoder() for others (stub by design)"
                     )
                 return dec(content)

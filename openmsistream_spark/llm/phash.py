@@ -3,8 +3,8 @@ treatment for the multimodal axis (every text modality already has
 one: exact / MinHash / SimHash / span / embedding).
 
 Two public fingerprint algorithms, both 64-bit, both computed from REAL
-decoded pixels (llm/multimodal.py's dependency-free BMP/PPM/PGM
-decoders — no codec libraries needed):
+decoded pixels (llm/multimodal.py's dependency-free decoders —
+BMP/PPM/PGM/PNG/GIF/JPEG/VP8L-WebP, no codec libraries needed):
 
 - **dHash** (difference hash, the gradient member of the average-hash
   family — public algorithm, Krawetz 2013 "Kind of Like That"):
@@ -183,8 +183,9 @@ def image_fingerprints(
                     if strict:
                         raise ValueError(
                             "image_fingerprints: undecodable media bytes "
-                            f"for media_id={row.media_id} (built-ins cover "
-                            "BMP/PPM/PGM; register a pixel decoder or pass "
+                            f"for media_id={row.media_id} (built-ins "
+                            "cover BMP/PPM/PGM/PNG/GIF/JPEG/VP8L-WebP; "
+                            "register a pixel decoder or pass "
                             "strict=False to skip non-image rows)"
                         )
                     continue
