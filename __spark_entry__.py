@@ -33,6 +33,7 @@ import openmsistream_spark.queries_extras8  # noqa: E402,F401  isort: skip
 import openmsistream_spark.queries_extras9  # noqa: E402,F401  isort: skip
 import openmsistream_spark.queries_extras10  # noqa: E402,F401  isort: skip
 import openmsistream_spark.queries_extras11  # noqa: E402,F401  isort: skip
+import openmsistream_spark.queries_extras12  # noqa: E402,F401  isort: skip
 
 
 def entry(spark: SparkSession) -> DataFrame:

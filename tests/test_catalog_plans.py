@@ -56,6 +56,11 @@ PYTHON_ALLOWED = {
     # stay JVM-side codegen md5, Python only does vectorized numpy
     # bit arithmetic)
     "bloom_sharded_gram_novelty",
+    # probe-sidecar gate twin (round 16): bloom_build/bloom_mark are
+    # the broadcast-mask stages of llm/phash_index — positions stay
+    # JVM codegen md5; the Arrow stages only do vectorized numpy bit
+    # OR/test (same sanction as bloom_gram_novelty)
+    "combo_bloom_gated_probe",
     # unicode NFC composition is the one step Spark's function library
     # cannot express (no ICU builtin): a single Arrow-vectorized
     # pandas_udf (llm/extract.nfc_udf — round-12; everything else in

@@ -28,6 +28,7 @@ for mod in (
     "queries_extras9",
     "queries_extras10",
     "queries_extras11",
+    "queries_extras12",
 ):
     importlib.import_module(f"openmsistream_spark.{mod}")
 
