@@ -105,8 +105,8 @@ class FingerprintProbeSidecar:
         bits: int,
         blocks: int,
         max_hamming: int,
-        combo_m_bits: int = 1 << 23,
-        id_m_bits: int = 1 << 20,
+        combo_m_bits: int = 1 << 26,
+        id_m_bits: int = 1 << 22,
         k: int = 4,
         resize_fill: float = 0.25,
         max_pushdown_keys: int = 8192,
@@ -286,26 +286,25 @@ class FingerprintProbeSidecar:
             F.col("_fp").alias("fingerprint"),
         )
 
-    def _or_masks(
-        self, exploded: DataFrame, rows: DataFrame, build_partitions: int = 1
-    ) -> None:
-        # bloom_build's transient Arrow footprint is n_partitions x m/8
-        # bytes of per-partition mask rows — a micro-batch builds at
-        # ONE partition (one mask row total, any m), a ledger-sized
-        # rebuild at 8 (the measured OOM guard from llm/bloom.py)
+    def _or_masks(self, exploded: DataFrame, rows: DataFrame) -> None:
+        # REPARTITION the build inputs to a bounded width instead of
+        # using bloom_build's coalesce cap: coalesce would collapse the
+        # upstream combo explode + md5 hashing onto the same few cores
+        # (measured 6-9 s/batch single-cored vs ~2 s repartitioned),
+        # while 8 partitions bound the transient Arrow footprint at
+        # 8 x m/8 bytes of mask rows (the measured OOM guard from
+        # llm/bloom.py)
         cb = bloom_build(
-            exploded.withColumn("_bk", _combo_bloom_key()),
+            exploded.withColumn("_bk", _combo_bloom_key()).repartition(8),
             "_bk",
             m_bits=self.combo_bloom.m_bits,
             k=self.k,
-            build_partitions=build_partitions,
         )
         ib = bloom_build(
-            rows.withColumn("_ik", F.col("media_id").cast("string")),
+            rows.withColumn("_ik", F.col("media_id").cast("string")).repartition(8),
             "_ik",
             m_bits=self.id_bloom.m_bits,
             k=self.k,
-            build_partitions=build_partitions,
         )
         self.combo_bloom = BloomFilter(
             self.combo_bloom.m_bits,
@@ -337,21 +336,20 @@ class FingerprintProbeSidecar:
             return
         m = self.combo_bloom.m_bits * 4
         self.combo_bloom = bloom_build(
-            idx.withColumn("_bk", _combo_bloom_key()),
+            idx.withColumn("_bk", _combo_bloom_key()).repartition(8),
             "_bk",
             m_bits=m,
             k=self.k,
-            build_partitions=8,
         )
         if self.id_bloom.fill_ratio > self.resize_fill:
             # media_id appears once per combo row — duplicates set the
             # same bits, so the index is a valid id-bloom build source
             self.id_bloom = bloom_build(
-                idx.withColumn("_ik", F.col("media_id").cast("string")),
+                idx.withColumn("_ik", F.col("media_id").cast("string"))
+                .repartition(8),
                 "_ik",
                 m_bits=self.id_bloom.m_bits * 4,
                 k=self.k,
-                build_partitions=8,
             )
 
     def record(self, admitted: DataFrame, run_id: str, n_admitted: int) -> None:
@@ -413,7 +411,7 @@ class FingerprintProbeSidecar:
             if new_runs:
                 exploded = self._explode(uncovered)
                 self.index.upsert(exploded)
-                self._or_masks(exploded, uncovered, build_partitions=8)
+                self._or_masks(exploded, uncovered)
                 self._maybe_resize()
             self.covered.update(new_runs)
             self.n_items = ledger_count

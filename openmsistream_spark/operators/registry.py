@@ -420,7 +420,12 @@ class LogStructuredRegistry(ParquetRegistry):
             # that bytes alone cannot explain). One file per delta keeps
             # the union's task count ~= segment count; the base keeps
             # its natural partitioning (it can be arbitrarily large).
-            df = df.coalesce(1)
+            # repartition, NOT coalesce: coalesce(1) collapses the
+            # UPSTREAM plan onto one core too (measured 7.8 s/batch on
+            # the probe sidecar's 56x-exploded index deltas — the same
+            # serialization trap as the round-15 compact-ledger read);
+            # the shuffle it adds moves one micro-batch of rows
+            df = df.repartition(1)
         if self.segment_sort_cols:
             df = df.sortWithinPartitions(*self.segment_sort_cols)
         # stage + atomic rename: _segments() only matches the seg-*
@@ -580,7 +585,17 @@ class LogStructuredRegistry(ParquetRegistry):
         all_segs = self._list_segments()
         segs = self._segments()
         if segs and not (len(segs) == 1 and segs[0][1] == "base"):
-            folded = self._fold(segs)
+            if self.insert_only and all(
+                k not in ("tomb", "trun") for _, k, _ in segs
+            ):
+                # declared key-disjoint, nothing tombstoned: the union
+                # IS the table — rewrite it without the fold's shuffle
+                dfs = [self.spark.read.parquet(p) for _, _, p in segs]
+                folded = dfs[0]
+                for df in dfs[1:]:
+                    folded = folded.unionByName(df, allowMissingColumns=True)
+            else:
+                folded = self._fold(segs)
             self._write_segment(folded, "base", self._next_seq(all_segs))
             for _, _, p in all_segs:
                 self.fs.delete(p)
