@@ -296,6 +296,11 @@ def minhash_lsh_candidates(
             ).alias("band_sig")
         )
     )
+    return _band_bucket_pairs(bands, id_col)
+
+
+def _band_bucket_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, band_sig) bucket rows → distinct candidate id pairs."""
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (
@@ -304,6 +309,59 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def _minhash_band_rows(
+    shingles: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_sig) band-bucket rows computed in ONE map-side-
+    combinable groupBy directly from the shingle table — the fused form
+    of ``minhash_signatures`` + the banding half of
+    ``minhash_lsh_candidates``. The unpivot (stack to (id, h, minhash))
+    followed by a second corpus-wide groupBy(id, band) that the unfused
+    pair performs exists only to rebuild per-band hash lists the wide
+    aggregate already holds as columns — deriving band_sig from the
+    wide row removes one corpus-sized Exchange + aggregate per LSH run
+    (guide §2.4: remove shuffles outright).
+
+    band_sig equivalence with the unfused path: there, collect_list of
+    (h, minhash) structs is array_sorted (h ascending, h unique within
+    a band) and the minhashes concat_ws(",")-joined — exactly the
+    in-h-order concat of this band's ``_mh{h}`` columns, so the md5 is
+    the same VALUE, not just equality-equivalent. A trailing partial
+    band (num_hashes % rows_per_band != 0) keeps the same membership
+    as the unfused ``(h / rows_per_band).cast("int")`` rule.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"_mh{h}")
+        for h in range(num_hashes)
+    ]
+    wide = shingles.groupBy(id_col).agg(*aggs)
+    n_bands = (num_hashes + rows_per_band - 1) // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"_mh{h}")
+                        for h in range(
+                            b * rows_per_band,
+                            min((b + 1) * rows_per_band, num_hashes),
+                        )
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    return wide.select(
+        id_col, F.explode(F.array(*band_structs)).alias("_bk")
+    ).select(id_col, "_bk.band", "_bk.band_sig")
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
@@ -384,8 +442,10 @@ def minhash_lsh_dedup(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
-    cand = minhash_lsh_candidates(sigs, rows_per_band=rows_per_band, id_col=id_col)
+    bands = _minhash_band_rows(
+        sh, num_hashes=num_hashes, rows_per_band=rows_per_band, id_col=id_col
+    )
+    cand = _band_bucket_pairs(bands, id_col)
     if restrict_verify == "auto":
         restrict = _plan_size_bytes(docs) >= RESTRICT_VERIFY_MIN_BYTES
     else:
@@ -931,19 +991,40 @@ def simhash(
     winning bits. Two shuffles total: (doc, token) count, then the
     per-(doc, bit) vote — both map-side combinable.
     """
+    # one 32-bit integer per 8-hex-char chunk of the token's md5 instead
+    # of a per-bit substring+instr string scan: bit j lives in hex digit
+    # j//4 (0-based from the left), i.e. chunk c = j//32, left-digit
+    # d = j//4 - 8c, so bit j = (chunk_c >> (4*(7-d) + j%4)) & 1 —
+    # IDENTICAL to the former instr(HEX, substring(th, j//4+1, 1))
+    # digit-value extraction, but the per-row work for ``bits`` votes
+    # drops from ``bits`` string ops to ceil(bits/32) conv()s + integer
+    # shifts (guide §1.2 step 2: per-task work, same aggregate shape)
+    n_chunks = (bits + 31) // 32
     tok_counts = (
         docs.select(id_col, F.explode(_tokens(text_col)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("cnt"))
         .withColumn("th", F.md5("token"))
+        .select(
+            id_col,
+            "cnt",
+            *[
+                F.conv(F.substring(F.col("th"), c * 8 + 1, 8), 16, 10)
+                .cast("long")
+                .alias(f"_thc{c}")
+                for c in range(n_chunks)
+            ],
+        )
     )
 
     def vote(j: int) -> F.Column:
-        # hex digit holding bit j, then the bit within that digit —
-        # j is a build-time constant, so positions/shifts fold into codegen
-        dv = F.instr(F.lit(HEX), F.substring(F.col("th"), j // 4 + 1, 1)) - 1
-        bit = F.shiftright(dv, j % 4).bitwiseAND(F.lit(1)).cast("long")
+        c, d = j // 32, j // 4 - 8 * (j // 32)
+        bit = (
+            F.shiftright(F.col(f"_thc{c}"), 4 * (7 - d) + j % 4)
+            .bitwiseAND(F.lit(1))
+            .cast("long")
+        )
         return F.sum(F.col("cnt") * (2 * bit - 1)).alias(f"_v{j}")
 
     # all `bits` votes as parallel aggregates in one map-side-combinable

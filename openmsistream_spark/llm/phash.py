@@ -376,6 +376,21 @@ def hamming_combo_pairs(
     )
 
 
+#: ledger size (bytes on disk, cheap driver-side listing — no job) past
+#: which ``sidecar="auto"`` switches the probe from the exact
+#: O(ledger) explode+join to the bloom-gated write-time index. Below
+#: it the exact probe is CHEAPER: the sidecar's per-batch constant
+#: (meta read/write, 2 bloom builds, index append ≈ 6 extra jobs) buys
+#: nothing while the whole ledger fits a few shuffle partitions —
+#: measured in STRESS_MEDIA_LEDGER (exact probe wall grows ~+7 s per
+#: 190k rows; the gated path is flat but pays its constant at every
+#: size). ~4 MiB of ledger parquet ≈ 10^5 fingerprint rows, the
+#: measured crossover region; past it the gate wins at every size and
+#: the one-time repair that builds the index is a single old-style
+#: probe's worth of work (amortized O(1)/row).
+SIDECAR_AUTO_MIN_BYTES = 4 << 20
+
+
 def incremental_fingerprint_neardup(
     fps: DataFrame,
     registry,
@@ -385,7 +400,7 @@ def incremental_fingerprint_neardup(
     id_col: str = "media_id",
     fp_col: str = "fingerprint",
     run_id: str | None = None,
-    sidecar: bool = True,
+    sidecar: bool | str = "auto",
     sidecar_opts: dict | None = None,
 ) -> DataFrame:
     """Cross-run perceptual near-dup against a durable fingerprint
@@ -438,8 +453,8 @@ def incremental_fingerprint_neardup(
     incremental_exact_dedup's "admits nothing on replay" (which holds
     exactly there because exact equality is transitive).
 
-    ``sidecar=True`` (default) maintains a bloom sidecar plus a
-    write-time combo index next to the ledger
+    ``sidecar=True`` maintains a bloom sidecar plus a write-time combo
+    index next to the ledger
     (``<path>.probeidx`` — see ``phash_index``), making the common
     per-batch probe O(batch) instead of O(ledger): the ledger is never
     re-exploded at probe time; bloom-negative keys skip the index
@@ -452,11 +467,30 @@ def incremental_fingerprint_neardup(
     fallback path). ``sidecar_opts`` forwards sizing knobs to
     ``FingerprintProbeSidecar`` (``combo_m_bits``, ``k``,
     ``max_pushdown_keys``, …).
+
+    ``sidecar="auto"`` (default) picks by ledger size: the exact probe
+    while the ledger is below ``SIDECAR_AUTO_MIN_BYTES`` on disk (its
+    whole-ledger explode is cheaper than the sidecar's per-batch
+    constant there), the gated path past it — and always the gated
+    path once a sidecar exists (keeping an existing index current is
+    cheaper than abandoning it). The switchover builds the index via
+    the normal repair path: one exact probe's worth of work, once.
+    Both paths produce identical admitted sets, so "auto" is a pure
+    cost policy (guide §2: scale-adaptive, not tuned to either end).
     """
     import uuid
 
     run_id = run_id if run_id is not None else uuid.uuid4().hex
     batch = fps.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    if sidecar == "auto":
+        from ..operators.registry import HadoopFS
+
+        fs = HadoopFS(batch.sparkSession, registry.path)
+        base = registry.path.rstrip("/") + ".probeidx"
+        sidecar = fs.exists(f"{base}/meta") or (
+            registry.exists()
+            and fs.size_bytes(registry.path) >= SIDECAR_AUTO_MIN_BYTES
+        )
     if sidecar:
         return _incremental_neardup_gated(
             batch, registry, bits, blocks, max_hamming, run_id, sidecar_opts or {}

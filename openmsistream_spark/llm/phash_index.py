@@ -105,8 +105,8 @@ class FingerprintProbeSidecar:
         bits: int,
         blocks: int,
         max_hamming: int,
-        combo_m_bits: int = 1 << 26,
-        id_m_bits: int = 1 << 22,
+        combo_m_bits: int = 1 << 22,
+        id_m_bits: int = 1 << 18,
         k: int = 4,
         resize_fill: float = 0.25,
         max_pushdown_keys: int = 8192,
@@ -323,34 +323,58 @@ class FingerprintProbeSidecar:
             ).tobytes(),
         )
 
+    def _sized_m_bits(self, cur_m: int, n_keys: int) -> int:
+        """Smallest power-of-two mask ≥ 4×current whose PREDICTED fill
+        (1 - e^(-k·n/m)) sits at or under ``resize_fill`` for ``n_keys``
+        distinct keys — one rebuild lands the mask at steady state
+        instead of ×4-stepping through several index scans when a large
+        batch outgrows a small mask (the defaults start small —
+        2^22/2^18 — so a fresh ledger's per-batch constant is KiB-sized
+        meta I/O, and growth is paid only when the ledger earns it)."""
+        import math
+
+        need = self.k * max(n_keys, 1) / -math.log(1.0 - self.resize_fill)
+        m = cur_m * 4
+        while m < need:
+            m *= 2
+        return m
+
     def _maybe_resize(self) -> None:
-        """×4 the combo mask when it saturates — rebuild from the
-        index (one scan, amortized O(1)/row by the doubling argument).
-        Saturation only costs false positives (extra exact checks),
-        so the threshold trades probe selectivity against rebuild
-        frequency."""
+        """Grow the combo mask when it saturates — rebuild from the
+        index (one scan, amortized O(1)/row by the doubling argument;
+        the target size is predicted from the index's key count so one
+        rebuild suffices). Saturation only costs false positives
+        (extra exact checks), so the threshold trades probe
+        selectivity against rebuild frequency."""
         if self.combo_bloom.fill_ratio <= self.resize_fill:
             return
         idx = self.index.read()
         if idx is None:
             return
-        m = self.combo_bloom.m_bits * 4
-        self.combo_bloom = bloom_build(
-            idx.withColumn("_bk", _combo_bloom_key()).repartition(8),
-            "_bk",
-            m_bits=m,
-            k=self.k,
-        )
-        if self.id_bloom.fill_ratio > self.resize_fill:
-            # media_id appears once per combo row — duplicates set the
-            # same bits, so the index is a valid id-bloom build source
-            self.id_bloom = bloom_build(
-                idx.withColumn("_ik", F.col("media_id").cast("string"))
-                .repartition(8),
-                "_ik",
-                m_bits=self.id_bloom.m_bits * 4,
+        idx = idx.persist()
+        try:
+            n_keys = idx.count()  # combo rows ≈ distinct combo keys
+            self.combo_bloom = bloom_build(
+                idx.withColumn("_bk", _combo_bloom_key()).repartition(8),
+                "_bk",
+                m_bits=self._sized_m_bits(self.combo_bloom.m_bits, n_keys),
                 k=self.k,
             )
+            if self.id_bloom.fill_ratio > self.resize_fill:
+                # media_id appears once per combo row — duplicates set
+                # the same bits, so the index is a valid id-bloom
+                # build source; ids are keys/56, sized accordingly
+                self.id_bloom = bloom_build(
+                    idx.withColumn("_ik", F.col("media_id").cast("string"))
+                    .repartition(8),
+                    "_ik",
+                    m_bits=self._sized_m_bits(
+                        self.id_bloom.m_bits, n_keys // 56 + 1
+                    ),
+                    k=self.k,
+                )
+        finally:
+            idx.unpersist()
 
     def record(self, admitted: DataFrame, run_id: str, n_admitted: int) -> None:
         """Cover one committed batch: append its exploded combo rows to

@@ -1144,12 +1144,17 @@ def ensemble_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ensemble_from_shingles(docs: DataFrame, sh: DataFrame) -> DataFrame:
     from .llm.dedup import (
-        minhash_lsh_candidates,
-        minhash_signatures,
+        _band_bucket_pairs,
+        _minhash_band_rows,
         simhash_band_pairs,
     )
 
-    cand = minhash_lsh_candidates(minhash_signatures(sh, num_hashes=8), rows_per_band=2)
+    # fused band rows: one corpus groupBy instead of signature unpivot +
+    # re-group (same band_sig VALUES — see _minhash_band_rows), so the
+    # LSH arm drops one corpus-sized Exchange
+    cand = _band_bucket_pairs(
+        _minhash_band_rows(sh, num_hashes=8, rows_per_band=2), "doc_id"
+    )
     sim = simhash_band_pairs(docs, bits=32, bands=4, max_hamming=3)
     agreed = cand.join(sim, ["id_a", "id_b"])  # carries hamming once
     # exact-Jaccard verify (minhash_lsh_dedup's verify stage) on the

@@ -92,8 +92,11 @@ def media_neardup_stream_sink(
     (not parquet's O(ledger) rewrite) are the scale-safe choice;
     under "auto" a fresh path picks it via ``prefer="log"``. The
     admission probe keeps a bloom sidecar + write-time combo index
-    beside the ledger (``<path>.probeidx`` — ``llm/phash_index``),
-    so the per-batch probe is O(batch), not O(ledger).
+    beside the ledger (``<path>.probeidx`` — ``llm/phash_index``)
+    once the ledger crosses ``phash.SIDECAR_AUTO_MIN_BYTES`` (the
+    probe's ``sidecar="auto"`` policy: the exact probe is cheaper
+    below it), so the per-batch probe stays O(batch) at any ledger
+    size.
     ``modality="video"`` fingerprints each video as the MAJORITY-fold
     representative of its sampled keyframes (every ``video_every_nth``
     frames — part of the pinned params: a changed sampling rate would

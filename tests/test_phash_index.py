@@ -76,13 +76,13 @@ def test_sidecar_repairs_out_of_band_append(spark, tmp_path):
 
     reg = make_registry(spark, f"{tmp_path}/led", ["media_id"], backend="log",
                         insert_only=True)
-    assert _run(spark, reg, [("a1", BASE)], "r0") == {"a1"}
+    assert _run(spark, reg, [("a1", BASE)], "r0", sidecar=True) == {"a1"}
     # out-of-band append: the sidecar knows nothing about FAR
     reg.upsert(
         spark.createDataFrame([("oob", FAR, "rX")],
                               "media_id string, fingerprint long, run_id string")
     )
-    got = _run(spark, reg, [("b1", FAR_NEAR1), ("b2", LONE)], "r1")
+    got = _run(spark, reg, [("b1", FAR_NEAR1), ("b2", LONE)], "r1", sidecar=True)
     assert got == {"b2"}  # FAR_NEAR1 blocked by the uncovered row
 
 
@@ -94,12 +94,12 @@ def test_sidecar_lost_then_rebuilt(spark, tmp_path):
 
     path = f"{tmp_path}/led"
     reg = make_registry(spark, path, ["media_id"], backend="log", insert_only=True)
-    assert _run(spark, reg, [("a1", BASE), ("a2", FAR)], "r0") == {"a1", "a2"}
+    assert _run(spark, reg, [("a1", BASE), ("a2", FAR)], "r0", sidecar=True) == {"a1", "a2"}
     shutil.rmtree(f"{path}.probeidx")
-    got = _run(spark, reg, [("b1", NEAR2), ("b2", LONE)], "r1")
+    got = _run(spark, reg, [("b1", NEAR2), ("b2", LONE)], "r1", sidecar=True)
     assert got == {"b2"}
     # rebuilt: a third batch still blocks against ALL earlier runs
-    got = _run(spark, reg, [("c1", FAR_NEAR1), ("c2", LONE ^ 1)], "r2")
+    got = _run(spark, reg, [("c1", FAR_NEAR1), ("c2", LONE ^ 1)], "r2", sidecar=True)
     assert got == set()
 
 
@@ -108,9 +108,9 @@ def test_sidecar_refuses_param_change(spark, tmp_path):
 
     reg = make_registry(spark, f"{tmp_path}/led", ["media_id"], backend="log",
                         insert_only=True)
-    _run(spark, reg, [("a1", BASE)], "r0")
+    _run(spark, reg, [("a1", BASE)], "r0", sidecar=True)
     with pytest.raises(ValueError, match="different"):
-        _run(spark, reg, [("b1", FAR)], "r1", max_hamming=2)
+        _run(spark, reg, [("b1", FAR)], "r1", max_hamming=2, sidecar=True)
 
 
 def test_sidecar_churn_refusal_still_fires(spark, tmp_path):
@@ -121,9 +121,9 @@ def test_sidecar_churn_refusal_still_fires(spark, tmp_path):
 
     reg = make_registry(spark, f"{tmp_path}/led", ["media_id"], backend="log",
                         insert_only=True)
-    _run(spark, reg, [("a1", BASE)], "r0")
+    _run(spark, reg, [("a1", BASE)], "r0", sidecar=True)
     with pytest.raises(ValueError, match="already in the ledger"):
-        _run(spark, reg, [("a1", FAR)], "r1")
+        _run(spark, reg, [("a1", FAR)], "r1", sidecar=True)
 
 
 def test_sidecar_tiny_bloom_resizes_and_stays_exact(spark, tmp_path):
@@ -137,7 +137,7 @@ def test_sidecar_tiny_bloom_resizes_and_stays_exact(spark, tmp_path):
     opts = {"combo_m_bits": 1 << 10, "id_m_bits": 1 << 10}
     rows = [(f"a{i}", _fp([i % 60, (i * 7) % 60, (i * 13) % 60]) | (1 << 62))
             for i in range(40)]
-    _run(spark, reg, rows, "r0", sidecar_opts=opts)
+    _run(spark, reg, rows, "r0", sidecar=True, sidecar_opts=opts)
     sc_state = FingerprintProbeSidecar(spark, path, 64, 8, 3, **opts)
     sc_state.load_or_init()
     assert sc_state.combo_bloom.m_bits > (1 << 10)  # resized
@@ -146,7 +146,7 @@ def test_sidecar_tiny_bloom_resizes_and_stays_exact(spark, tmp_path):
     a_fp = {r.media_id: r.fingerprint for r in reg.read().collect()}
     some = sorted(admitted0)[0]
     got = _run(spark, reg, [("z1", a_fp[some]), ("z2", _fp([59, 61]))], "r1",
-               sidecar_opts=opts)
+               sidecar=True, sidecar_opts=opts)
     assert got == {"z2"}
 
 
@@ -160,7 +160,7 @@ def test_sidecar_index_probe_is_pushdown_pruned(spark, tmp_path):
 
     path = f"{tmp_path}/led"
     reg = make_registry(spark, path, ["media_id"], backend="log", insert_only=True)
-    _run(spark, reg, [("a1", BASE), ("a2", FAR)], "r0")
+    _run(spark, reg, [("a1", BASE), ("a2", FAR)], "r0", sidecar=True)
     sc_state = FingerprintProbeSidecar(spark, path, 64, 8, 3)
     sc_state.load_or_init()
     keyed = _combo_keyed(
@@ -172,3 +172,60 @@ def test_sidecar_index_probe_is_pushdown_pruned(spark, tmp_path):
     plan = blocked._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "combo_key" in plan
     assert {r._id for r in blocked.collect()} == {"p1"}
+
+
+def test_auto_uses_exact_probe_below_threshold(spark, tmp_path):
+    """sidecar="auto" (the default) must NOT build a sidecar for a
+    small ledger — the exact probe is cheaper there — while admitting
+    exactly the same sets (pure cost policy)."""
+    import os
+
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log",
+                        insert_only=True)
+    assert _run(spark, reg, [("a1", BASE), ("a2", FAR)], "r0") == {"a1", "a2"}
+    got = _run(spark, reg, [("b1", NEAR2), ("b2", LONE)], "r1")
+    assert got == {"b2"}
+    assert not os.path.exists(f"{path}.probeidx")
+
+
+def test_auto_keeps_maintaining_existing_sidecar(spark, tmp_path):
+    """Once a sidecar exists (an earlier run crossed the threshold or
+    forced sidecar=True), auto keeps it current instead of letting it
+    go stale-then-repair every batch."""
+    from openmsistream_spark.llm.phash_index import FingerprintProbeSidecar
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log",
+                        insert_only=True)
+    _run(spark, reg, [("a1", BASE)], "r0", sidecar=True)
+    got = _run(spark, reg, [("b1", NEAR2), ("b2", LONE)], "r1")  # auto
+    assert got == {"b2"}
+    sc_state = FingerprintProbeSidecar(spark, path, 64, 8, 3)
+    sc_state.load_or_init()
+    assert sc_state.covered == {"r0", "r1"}  # auto batch was recorded
+
+
+def test_auto_switches_to_sidecar_past_threshold(spark, tmp_path, monkeypatch):
+    """Auto must build the sidecar (via the normal repair path) once
+    the ledger's on-disk size crosses SIDECAR_AUTO_MIN_BYTES."""
+    import os
+
+    from openmsistream_spark.llm import phash
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log",
+                        insert_only=True)
+    assert _run(spark, reg, [("a1", BASE)], "r0") == {"a1"}
+    assert not os.path.exists(f"{path}.probeidx")
+    monkeypatch.setattr(phash, "SIDECAR_AUTO_MIN_BYTES", 1)
+    got = _run(spark, reg, [("b1", FAR)], "r1")
+    assert got == {"b1"}
+    assert os.path.exists(f"{path}.probeidx")  # repair built the index
+    # and the now-existing sidecar keeps gating + blocking correctly
+    monkeypatch.setattr(phash, "SIDECAR_AUTO_MIN_BYTES", 4 << 20)
+    assert _run(spark, reg, [("c1", FAR_NEAR1), ("c2", LONE)], "r2") == {"c2"}
