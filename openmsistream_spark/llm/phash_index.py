@@ -135,6 +135,9 @@ class FingerprintProbeSidecar:
         self.id_bloom = BloomFilter(id_m_bits, k, bytes(id_m_bits // 8))
         self.covered: set[str] = set()
         self.n_items = 0
+        # frames persisted during one probe→record cycle, released at
+        # the end of record() (the gated path's last step)
+        self._pins: list[DataFrame] = []
 
     # ---------------------------------------------------------- state
 
@@ -209,8 +212,16 @@ class FingerprintProbeSidecar:
             ("run", i, None, rid, None, None, None, None, None, None, None)
             for i, rid in enumerate(sorted(self.covered))
         )
+        # ship the mask bytes driver→JVM as ONE Arrow table instead of
+        # pickled Row tuples: the py4j row path re-marshals O(mask)
+        # bytes per batch, which grows with the ledger's key count
+        # (2^30 mask = 128 MiB per meta write) — the Arrow conversion
+        # is the guide's driver-transfer rule applied in reverse
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=[f.name for f in _META_SCHEMA.fields])
         self.meta.replace(  # staged rename — atomic, never partial
-            self.spark.createDataFrame(rows, _META_SCHEMA)
+            self.spark.createDataFrame(pdf, _META_SCHEMA)
         )
 
     # ---------------------------------------------------------- probe
@@ -222,12 +233,24 @@ class FingerprintProbeSidecar:
         skipped (no false negatives for covered rows); bloom-positive
         keys are verified exactly against the index — the bloom alone
         never blocks (or admits) anything."""
+        from pyspark import StorageLevel
+
         marked = bloom_mark(
             keyed.withColumn("_bk", _combo_bloom_key()), "_bk", self.combo_bloom
         )
-        pos = marked.filter(F.col("maybe_seen")).select(
-            "_id", "_fp", "combo", "combo_key"
+        # persist the (tiny) bloom-positive subset: the candidate-key
+        # collect below AND the caller's eventual materialization of the
+        # verify join both consume it — without the pin, the full
+        # batch-explode + mask-mark pass (which re-ships the broadcast
+        # mask to every Python worker) executes once PER consumer
+        # (measured 70 s of a 205 s batch at a 2^30 mask, two passes).
+        # Released in record(), the gated path's final step.
+        pos = (
+            marked.filter(F.col("maybe_seen"))
+            .select("_id", "_fp", "combo", "combo_key")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        self._pins.append(pos)
         # bounded driver collect: distinct candidate keys, capped — the
         # IN list reaches the index scan as a pushed filter, so parquet
         # row-group stats (segments are combo_key-sorted) prune the
@@ -382,14 +405,32 @@ class FingerprintProbeSidecar:
         the meta (counts + covered run). Called AFTER the ledger
         upsert — the ledger is the commit point; a crash in here is
         healed by the next call's repair."""
-        if n_admitted:
-            exploded = self._explode(admitted)
-            self.index.upsert(exploded)
-            self._or_masks(exploded, admitted)
-            self._maybe_resize()
-        self.n_items += n_admitted
-        self.covered.add(run_id)
-        self._persist_meta()
+        from pyspark import StorageLevel
+
+        try:
+            if n_admitted:
+                # the exploded combo rows feed TWO actions (index append
+                # + mask build) — pin so the 56× explode and its md5
+                # hashing run once, not per consumer. DISK_ONLY: the
+                # explode is 56×batch rows (~1.7 GB at a 500k batch) and
+                # the mask build right after it needs execution heap for
+                # n_partitions × m/8 mask rows — an in-memory pin here
+                # OOM'd a 16 g heap at (500k batch, 2^30 mask); a local
+                # sequential disk reread is cheap next to the recompute
+                exploded = self._explode(admitted).persist(
+                    StorageLevel.DISK_ONLY
+                )
+                self._pins.append(exploded)
+                self.index.upsert(exploded)
+                self._or_masks(exploded, admitted)
+                self._maybe_resize()
+            self.n_items += n_admitted
+            self.covered.add(run_id)
+            self._persist_meta()
+        finally:
+            for df in self._pins:
+                df.unpersist()
+            self._pins.clear()
 
     def repair(self, ledger: DataFrame | None, ledger_count: int) -> None:
         """Bring the sidecar up to date with the committed ledger: the
@@ -430,10 +471,17 @@ class FingerprintProbeSidecar:
         uncovered = uncovered.select("media_id", "fingerprint", "run_id").persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        exploded = None
         try:
             new_runs = [r.run_id for r in uncovered.select("run_id").distinct().collect()]
             if new_runs:
-                exploded = self._explode(uncovered)
+                # both repair actions (index append + mask build)
+                # consume the explode — pin it for the repair's scope
+                # (DISK_ONLY for the same heap-headroom reason as
+                # record(): the explode is 56× the uncovered rows)
+                exploded = self._explode(uncovered).persist(
+                    StorageLevel.DISK_ONLY
+                )
                 self.index.upsert(exploded)
                 self._or_masks(exploded, uncovered)
                 self._maybe_resize()
@@ -442,3 +490,5 @@ class FingerprintProbeSidecar:
             self._persist_meta()
         finally:
             uncovered.unpersist()
+            if exploded is not None:
+                exploded.unpersist()
