@@ -195,6 +195,221 @@ def _fold_masks(masks: DataFrame, nbytes: int) -> bytes:
         return bytes(nbytes)
 
 
+def bloom_build_chunked(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int = 4,
+    chunk_bits: int = 1 << 25,
+    delegate_below: int | None = None,
+) -> BloomFilter:
+    """Build the same filter as :func:`bloom_build`, but without ever
+    materializing a full ``m/8``-byte mask in ANY task or result row:
+    the k positions per key are exploded (JVM md5 arithmetic), shuffled
+    by mask CHUNK (``chunk_bits`` bits ≈ 4 MiB of mask per chunk), each
+    task ORs only the whole chunks it owns, and the driver assembles
+    the chunk rows (``m/8`` bytes total, through Arrow).
+
+    Why it exists: ``bloom_build``'s transient footprint is
+    ``n_partitions × m/8`` bytes of per-partition masks crossing Arrow
+    plus the treeReduce fan-in — measured to OOM a 16 GiB heap at the
+    2^30→2^31 mask transition (STRESS_MEDIA_LEDGER_XL). Here the worst
+    task holds ``O(chunk)`` and the shuffle moves ``keys × k × 16`` B
+    of positions — O(keys), independent of ``m``.
+
+    Below ``delegate_below`` bits this DELEGATES to ``bloom_build``
+    (8-partition build ≤ 512 MiB transient at the 2^29 boundary): for
+    small masks the chunk shuffle degenerates to few reduce tasks and
+    would serialize the upstream key hashing onto them (measured 132 s
+    single-tasked vs ~20 s delegated at a 56M-key build over a 2^22
+    mask). Past ~2^33 the assembled mask itself outgrows a sane
+    driver/broadcast — switch to ``llm/bloom_sharded.py``."""
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+    if delegate_below is None:
+        delegate_below = 1 << 30
+    if m_bits < delegate_below:
+        return bloom_build(df, key_col, m_bits, k, build_partitions=8)
+    chunk_bits = min(chunk_bits, m_bits)
+    if m_bits % chunk_bits:
+        raise ValueError("chunk_bits must divide m_bits")
+    n_chunks = m_bits // chunk_bits
+    cb = chunk_bits
+
+    pos = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.explode(positions_col(F.col(key_col), k, m_bits)).alias("_pos")
+        )
+        .withColumn("_chunk", (F.col("_pos") / cb).cast("long"))
+        .repartition(n_chunks, "_chunk")
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        local: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            p = pdf["_pos"].to_numpy(dtype=np.int64)
+            c = pdf["_chunk"].to_numpy(dtype=np.int64)
+            for ch in np.unique(c):
+                m = local.setdefault(int(ch), np.zeros(cb // 8, dtype=np.uint8))
+                rel = p[c == ch] - ch * cb
+                np.bitwise_or.at(m, rel >> 3, (1 << (rel & 7)).astype(np.uint8))
+        for ch, m in local.items():
+            yield pd.DataFrame({"chunk": [ch], "mask": [m.tobytes()]})
+
+    rows = pos.mapInPandas(build, schema="chunk long, mask binary").toPandas()
+    full = np.zeros(m_bits // 8, dtype=np.uint8)
+    for ch, mb in zip(rows["chunk"], rows["mask"]):
+        off = int(ch) * (cb // 8)
+        full[off : off + cb // 8] |= np.frombuffer(bytes(mb), dtype=np.uint8)
+    return BloomFilter(m_bits=m_bits, k=k, mask=full.tobytes())
+
+
+def pack_positions(pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Fold raw bit positions into (unique byte index, OR value)
+    arrays, so applying them to a mask is one vectorized
+    ``arr[idx] |= val`` (unique indices — safe fancy indexing) instead
+    of a ``np.bitwise_or.at`` scatter, which is ~20× slower at tens of
+    millions of positions. Computed ONCE on the driver per delta; every
+    worker then applies the packed form."""
+    if not pos.size:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.uint8)
+    b = pos >> 3
+    v = (1 << (pos & 7)).astype(np.uint8)
+    order = np.argsort(b, kind="stable")
+    b, v = b[order], v[order]
+    edge = np.empty(len(b), dtype=bool)
+    edge[0] = True
+    np.not_equal(b[1:], b[:-1], out=edge[1:])
+    return b[edge], np.bitwise_or.reduceat(v, np.flatnonzero(edge))
+
+
+def apply_packed(arr: np.ndarray, idx: np.ndarray, val: np.ndarray) -> None:
+    if idx.size:
+        arr[idx] |= val
+
+
+#: worker-process cache for :func:`bloom_mark_layered`:
+#: (owner, epoch) -> [n_deltas_applied, union mask ndarray]. Lives in
+#: this importable module so a reused Python worker keeps the
+#: materialized union mask across tasks and batches (guide §4.5);
+#: deltas are append-only within an epoch, so the cached mask is grown
+#: strictly in place — no copy after the first task of an epoch.
+_LAYER_CACHE: dict = {}
+
+
+def _apply_delta_bc(arr: np.ndarray, bc) -> None:
+    idx_b, val_b = bc.value  # pack_positions output, driver-packed
+    apply_packed(
+        arr,
+        np.frombuffer(idx_b, dtype=np.int64),
+        np.frombuffer(val_b, dtype=np.uint8),
+    )
+
+
+def _layered_mask(token, base_bc, delta_bcs, parent=None) -> np.ndarray:
+    ent = _LAYER_CACHE.get(token)
+    if ent is None:
+        owner = token[0]
+        if parent is not None:
+            # epoch lineage handoff: the new base equals (old base |
+            # old deltas[0:n]) bit-exactly, so a worker holding the
+            # parent epoch's union mask ADOPTS it in place of
+            # re-loading the full base broadcast (the O(mask)
+            # per-worker reload that otherwise follows every rebase)
+            p_epoch, n, p_bcs = parent
+            pent = _LAYER_CACHE.pop((owner, p_epoch), None)
+            if pent is not None and pent[0] <= n:
+                for bc in p_bcs[pent[0] : n]:
+                    _apply_delta_bc(pent[1], bc)
+                ent = [0, pent[1]]
+        for stale in [t for t in _LAYER_CACHE if t[0] == owner]:
+            del _LAYER_CACHE[stale]
+        if ent is None:
+            ent = [0, np.frombuffer(base_bc.value, dtype=np.uint8).copy()]
+        _LAYER_CACHE[token] = ent
+    applied, arr = ent
+    for bc in delta_bcs[applied:]:
+        _apply_delta_bc(arr, bc)
+    ent[0] = len(delta_bcs)
+    return arr
+
+
+def bloom_mark_layered(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    m_bits: int,
+    base_bc,
+    delta_bcs,
+    token,
+    out_col: str = "maybe_seen",
+    parent=None,
+) -> DataFrame:
+    """:func:`bloom_mark` against a LAYERED mask: an already-broadcast
+    base (``base_bc``, the mask bytes at the last rebase) plus an
+    ordered list of delta broadcasts (``delta_bcs``, each the
+    driver-packed ``(idx_bytes, val_bytes)`` pair of
+    :func:`pack_positions` for the bits added since). Verdicts are
+    identical to marking against the union mask — the layers
+    reconstruct it bit-exactly.
+
+    Why: a per-micro-batch probe against a GROWING mask would otherwise
+    re-broadcast (and re-unpickle in every Python worker) the full
+    ``m/8`` bytes every batch — O(mask) per batch, 128 MiB at a 2^30
+    mask. Layering ships only the NEW positions per batch (O(batch));
+    executors fetch each older layer once (broadcast blocks are
+    cached), and the worker-side union mask is materialized once per
+    process per epoch and grown in place (``_LAYER_CACHE``).
+    ``token`` must change whenever the base changes (rebase/resize) and
+    be stable otherwise — (owner-path, epoch-uuid). ``parent``, when
+    given as ``(parent_epoch, n, parent_delta_bcs)``, asserts that this
+    base equals the parent epoch's base OR its first ``n`` deltas —
+    warm workers then adopt their cached parent union mask instead of
+    re-loading ``base_bc`` (O(batch) handoff instead of O(mask)).
+
+    Unlike ``bloom_mark``'s ``mapInPandas`` (whole-row round trip),
+    the test is a vectorized ``pandas_udf`` over ONLY the position
+    array — every other column stays JVM-side (guide §4.1: an opaque
+    whole-partition stage would ship, and copy back, all of a 56×
+    combo explode's columns; measured ~600 MB/100k-item batch vs
+    ~200 MB one-way for the positions alone)."""
+    deltas = list(delta_bcs)
+    kk = k
+
+    @F.pandas_udf(BooleanType())
+    def _test(pos_series):
+        import pandas as pd
+
+        arr = _layered_mask(token, base_bc, deltas, parent)
+        ok = np.zeros(len(pos_series), dtype=bool)
+        notnull = pos_series.notna().to_numpy()
+        if notnull.any():
+            flat = _flat_batch_positions(pos_series[notnull])
+            bits = (arr[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
+            ok[notnull] = bits.reshape(-1, kk).all(axis=1)
+        return pd.Series(ok)
+
+    # callers filter on the output column; without this the optimizer
+    # pushes the filter below the projection and evaluates the UDF
+    # TWICE (guide §4.4) — the verdicts are deterministic, the flag
+    # only forbids re-evaluation/reordering
+    _test = _test.asNondeterministic()
+
+    return df.withColumn(
+        out_col,
+        _test(
+            F.when(
+                F.col(key_col).isNotNull(),
+                positions_col(F.col(key_col), k, m_bits),
+            )
+        ),
+    )
+
+
 def bloom_from_positions(
     pos_df: DataFrame | None,
     m_bits: int,

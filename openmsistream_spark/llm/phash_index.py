@@ -17,9 +17,8 @@ ledger-side work:
   point/IN filters). The probe never re-explodes the ledger.
 - **Bloom sidecar**: an m-bit bloom over all admitted combo keys
   (plus a second, smaller bloom over admitted media_ids for the
-  collision guard). Bloom maintenance is a bitmap OR — O(batch) per
-  upsert. At probe time the micro-batch's combo keys are marked
-  against the BROADCAST mask; bloom-NEGATIVE keys are definitively
+  collision guard). At probe time the micro-batch's combo keys are
+  marked against the mask; bloom-NEGATIVE keys are definitively
   absent and skip the index entirely, so a no-hit batch costs one
   row-local mark pass and zero ledger I/O. Bloom-positive keys (real
   matches + a controlled false-positive tail) are verified EXACTLY
@@ -34,22 +33,55 @@ ledger-side work:
   sidecar is the same case with zero covered rows: one full O(ledger)
   repair (the cost of a single old-style probe), then flat again.
 
+Every per-batch term is O(batch), amortized — the round-16 XL stress
+showed the FIRST sidecar cut only the ledger-ROW term and left four
+O(mask) = O(ledger-keys) per-batch terms (full-mask ``bloom_build`` +
+treeReduce per batch, 95–226 s at a 2^30 mask; a full-mask meta
+rewrite AND reload per batch; a full-mask re-broadcast per batch; an
+every-batch resize that OOM'd at the 2^30→2^31 fold). The storage and
+transfer design that removes them:
+
+- **Masks update by POSITIONS, not by mask**: a batch's new bit
+  positions (``keys × k`` int64s, O(batch)) are computed JVM-side,
+  collected once through Arrow, and OR'd into the driver-resident
+  mask — no executor ever builds a full mask on the common path.
+- **Snapshot + delta persistence**: per batch the sidecar durably
+  appends only the packed positions (``masks/delta-<snap>-<seq>``);
+  a full-mask snapshot (``masks/snap-<id>``) is written only when
+  accumulated delta bytes exceed the mask size — amortized O(batch),
+  and a cold load replays at most one mask's worth of deltas.
+- **Layered broadcast marking** (``bloom.bloom_mark_layered``): the
+  mask ships to executors as a base broadcast (re-shipped only on
+  rebase/resize) plus per-batch position-delta broadcasts; reused
+  Python workers keep the materialized union mask in a module-global
+  cache and grow it in place — per-batch ship is O(batch).
+- **Chunked distributed (re)builds** (``bloom.bloom_build_chunked``):
+  resizes and huge-batch absorbs shuffle positions by mask chunk so
+  no task ever holds more than ~4 MiB of mask — removes the
+  ``n_partitions × m/8`` transient that OOM'd the 2^31 fold — and
+  the resize target is sized with 2× headroom (fill lands at
+  ``resize_fill/2``) so rebuilds are geometric in the key count, not
+  once per batch.
+- **Driver session cache** (``_STATE_CACHE``): within one
+  (single-writer) session the masks and their broadcast layers are
+  kept across calls, validated against the committed meta token
+  (snap id, delta seq, row count) — reload from storage happens only
+  cross-session or after an out-of-band change.
+
 False positives in the bloom or duplicate index rows (a crash between
 the index append and the meta commit makes the next repair re-append
 the same rows) only cause extra exact checks — never a wrong verdict.
+An in-session failure between mask update and meta commit leaves the
+cached mask a SUPERSET of the committed bits — same harmless class.
 False negatives cannot occur for committed rows: a row is only
 counted as covered after its keys are in the mask and the index, and
 uncovered rows are probed exactly via repair.
-
-Sizing: the combo mask auto-resizes (×4) whenever its fill ratio
-crosses ``resize_fill`` — the rebuild scans the index once, amortized
-O(1)/row by the same doubling argument as the log backend's
-compaction. At ~10.6M combo keys (a 190k-row ledger) the steady-state
-mask is ~2^27 bits = 16 MiB — broadcast-size at any ledger the index
-itself can hold.
 """
 
 from __future__ import annotations
+
+import math
+import uuid as _uuid
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -62,8 +94,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..operators.registry import LogStructuredRegistry, ParquetRegistry
-from .bloom import BloomFilter, bloom_build, bloom_mark
+from ..operators.registry import HadoopFS, LogStructuredRegistry, ParquetRegistry
+from .bloom import (
+    BloomFilter,
+    apply_packed,
+    bloom_build_chunked,
+    bloom_mark_layered,
+    pack_positions,
+    positions_col,
+)
 
 _META_SCHEMA = StructType(
     [
@@ -78,12 +117,36 @@ _META_SCHEMA = StructType(
         StructField("bits", LongType()),
         StructField("blocks", LongType()),
         StructField("max_hamming", LongType()),
+        StructField("snap_id", StringType()),
+        StructField("delta_seq", LongType()),
+        StructField("n_keys", LongType()),
     ]
 )
 
-#: mask bytes per meta row — parquet handles large binary cells, but
+#: rows of the mask store (snapshots hold mask bytes, deltas hold
+#: packed int64 bit positions; both chunked at _MASK_CHUNK)
+_BLOB_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("chunk", LongType()),
+        StructField("mask", BinaryType()),
+    ]
+)
+
+#: blob bytes per row — parquet handles large binary cells, but
 #: bounded rows keep the writer's row-group memory predictable
 _MASK_CHUNK = 4 << 20
+
+#: packed-position bytes past which a batch absorb switches from the
+#: driver positions-collect to the distributed chunked partial-mask
+#: build (bounds the driver collect AND the per-worker delta apply)
+_POS_COLLECT_MAX = 256 << 20
+
+#: driver session cache: meta path -> (token, spark, combo _MaskState,
+#: id _MaskState, delta_bytes). Token = the committed meta identity
+#: (snap_id, delta_seq, n_items, m_bits, id_m_bits, k) — any committed
+#: change bumps it, so a hit proves the cached masks equal storage.
+_STATE_CACHE: dict = {}
 
 
 def _combo_bloom_key() -> F.Column:
@@ -92,11 +155,134 @@ def _combo_bloom_key() -> F.Column:
     return F.concat_ws(":", F.col("combo"), F.col("combo_key"))
 
 
+class _MaskState:
+    """Driver-side state for one bloom mask: the current bits
+    (mutable, OR'd by positions), the tracked key count (for the
+    predicted-fill resize trigger), and the broadcast LAYERS the mark
+    pass ships (base mask at last rebase + position deltas since)."""
+
+    __slots__ = (
+        "m_bits",
+        "k",
+        "arr",
+        "n_keys",
+        "epoch",
+        "base_bc",
+        "delta_bcs",
+        "parent",
+        "_parent_bcs",
+    )
+
+    def __init__(self, m_bits: int, k: int, arr=None, n_keys: int = 0):
+        self.m_bits = m_bits
+        self.k = k
+        self.arr = (
+            arr if arr is not None else np.zeros(m_bits // 8, dtype=np.uint8)
+        )
+        self.n_keys = n_keys
+        self.epoch: str | None = None
+        self.base_bc = None
+        self.delta_bcs: list = []
+        # lineage handoff across one rebase: (parent epoch, n deltas)
+        # plus the parent's delta broadcasts, kept alive so warm
+        # workers can adopt their cached union mask instead of
+        # re-loading the new base (O(batch) vs O(mask) per worker)
+        self.parent: tuple | None = None
+        self._parent_bcs: list = []
+
+    def as_filter(self) -> BloomFilter:
+        return BloomFilter(self.m_bits, self.k, self.arr.tobytes())
+
+    def predicted_fill(self) -> float:
+        """Fill predicted from the tracked key count — O(1), no
+        popcount scan. Tracks slightly high across batches (repeated
+        keys re-counted), which only triggers growth early; at resize
+        time the count is corrected from the index."""
+        return 1.0 - math.exp(-self.k * self.n_keys / self.m_bits)
+
+    def or_positions(self, pos: np.ndarray, spark: SparkSession | None = None):
+        """OR raw bit positions into the mask (driver-packed to the
+        unique-byte form first — one vectorized fancy-index OR here
+        and in every worker). With ``spark``, also append the packed
+        delta as a broadcast layer (callers that skip this MUST rebase
+        before the next mark — the layers would otherwise miss these
+        bits)."""
+        if pos.size:
+            idx, val = pack_positions(pos)
+            apply_packed(self.arr, idx, val)
+            if spark is not None and self.base_bc is not None:
+                self.delta_bcs.append(
+                    spark.sparkContext.broadcast((idx.tobytes(), val.tobytes()))
+                )
+        self.n_keys += pos.size // self.k
+
+    def or_partial(self, mask: bytes, n_keys_added: int):
+        """OR a same-size partial mask in (the chunked-build path),
+        then rebase — the layers cannot express a mask-shaped delta."""
+        self.arr |= np.frombuffer(mask, dtype=np.uint8)
+        self.n_keys += n_keys_added
+        self.rebase()
+
+    def replace(self, arr: np.ndarray, m_bits: int, n_keys: int):
+        self.rebase()
+        self.arr = arr
+        self.m_bits = m_bits
+        self.n_keys = n_keys
+
+    def rebase(self, handoff: bool = False):
+        """Drop the broadcast layers; the next mark re-broadcasts the
+        current mask as a fresh base under a new epoch. With
+        ``handoff`` (legal ONLY when every bit OR'd since the last
+        epoch went through a broadcast delta), the old epoch + deltas
+        are kept as the next epoch's lineage parent so warm workers
+        skip the base reload."""
+        drop = [] if self.base_bc is None else [self.base_bc]
+        drop += self._parent_bcs
+        if handoff and self.base_bc is not None:
+            self.parent = (self.epoch, len(self.delta_bcs))
+            self._parent_bcs = list(self.delta_bcs)
+        else:
+            drop += list(self.delta_bcs)
+            self.parent = None
+            self._parent_bcs = []
+        for bc in drop:
+            try:
+                bc.destroy()
+            except Exception:
+                pass
+        self.base_bc = None
+        self.delta_bcs = []
+        self.epoch = None
+
+    def mark(self, df: DataFrame, key_col: str, owner: str, out_col="maybe_seen"):
+        spark = df.sparkSession
+        if self.base_bc is None:
+            self.epoch = _uuid.uuid4().hex
+            self.base_bc = spark.sparkContext.broadcast(self.arr.tobytes())
+            self.delta_bcs = []
+        parent = (
+            (self.parent[0], self.parent[1], self._parent_bcs)
+            if self.parent is not None
+            else None
+        )
+        return bloom_mark_layered(
+            df,
+            key_col,
+            self.k,
+            self.m_bits,
+            self.base_bc,
+            self.delta_bcs,
+            (owner, self.epoch),
+            out_col,
+            parent,
+        )
+
+
 class FingerprintProbeSidecar:
     """Durable sidecar state for one fingerprint ledger, stored next
-    to it at ``<ledger_path>.probeidx/{index,meta}``. Single-writer,
-    same discipline as the ledger itself (serialize inside the
-    stream's foreachBatch)."""
+    to it at ``<ledger_path>.probeidx/{index,meta,masks}``.
+    Single-writer, same discipline as the ledger itself (serialize
+    inside the stream's foreachBatch)."""
 
     def __init__(
         self,
@@ -130,14 +316,33 @@ class FingerprintProbeSidecar:
             segment_sort_cols=["combo_key"],
         )
         self.meta = ParquetRegistry(spark, f"{base}/meta", ["kind", "chunk"])
+        self.masks_path = f"{base}/masks"
+        self.fs = HadoopFS(spark, base)
         # in-memory state, populated by load_or_init
-        self.combo_bloom = BloomFilter(combo_m_bits, k, bytes(combo_m_bits // 8))
-        self.id_bloom = BloomFilter(id_m_bits, k, bytes(id_m_bits // 8))
+        self._combo = _MaskState(combo_m_bits, k)
+        self._ids = _MaskState(id_m_bits, k)
         self.covered: set[str] = set()
         self.n_items = 0
+        self.snap_id: str | None = None
+        self.delta_seq = 0
+        self.delta_bytes = 0
         # frames persisted during one probe→record cycle, released at
         # the end of record() (the gated path's last step)
         self._pins: list[DataFrame] = []
+
+    @property
+    def combo_bloom(self) -> BloomFilter:
+        return self._combo.as_filter()
+
+    @property
+    def id_bloom(self) -> BloomFilter:
+        return self._ids.as_filter()
+
+    @property
+    def _n_combos(self) -> int:
+        from .phash import _combo_params
+
+        return len(_combo_params(self.bits, self.blocks, self.max_hamming)[2])
 
     # ---------------------------------------------------------- state
 
@@ -145,10 +350,12 @@ class FingerprintProbeSidecar:
         """Read the meta table if present; refuse a params mismatch
         (a silently changed combo budget would re-derive different
         probe keys than the index holds — the same refusal discipline
-        as the streaming params sidecar)."""
+        as the streaming params sidecar). On a session-cache token hit
+        the masks are adopted in memory — no mask I/O at all."""
         df = self.meta.read()
         if df is None:
             return
+        legacy = "snap_id" not in df.columns
         rows = df.collect()
         meta = next(r for r in rows if r.kind == "meta")
         stored = (meta.bits, meta.blocks, meta.max_hamming)
@@ -165,11 +372,74 @@ class FingerprintProbeSidecar:
         self.n_items = meta.n_items
         self.k = meta.k
         self.covered = {r.run_id for r in rows if r.kind == "run"}
-        self.combo_bloom = BloomFilter(
-            meta.m_bits, meta.k, self._join_mask(rows, "cmask", meta.m_bits)
+        self.snap_id = None if legacy else meta.snap_id
+        self.delta_seq = 0 if self.snap_id is None else int(meta.delta_seq)
+        n_keys = (
+            self.n_items * self._n_combos
+            if legacy or meta.n_keys is None
+            else int(meta.n_keys)
         )
-        self.id_bloom = BloomFilter(
-            meta.id_m_bits, meta.k, self._join_mask(rows, "imask", meta.id_m_bits)
+        token = (
+            self.snap_id,
+            self.delta_seq,
+            self.n_items,
+            meta.m_bits,
+            meta.id_m_bits,
+            meta.k,
+        )
+        cached = _STATE_CACHE.get(self.meta.path)
+        if (
+            cached is not None
+            and cached[0] == token
+            and cached[1] is self.spark
+        ):
+            _, _, self._combo, self._ids, self.delta_bytes = cached
+            return
+        if legacy:
+            # pre-snapshot layout: masks chunked inline in the meta
+            # table (read once; the next commit migrates to the
+            # snapshot+delta layout via the snap_id-None snapshot rule)
+            carr = np.frombuffer(
+                self._join_mask(rows, "cmask", meta.m_bits), dtype=np.uint8
+            ).copy()
+            iarr = np.frombuffer(
+                self._join_mask(rows, "imask", meta.id_m_bits), dtype=np.uint8
+            ).copy()
+            self.delta_bytes = 0
+        else:
+            blobs = self._read_blobs(f"{self.masks_path}/snap-{self.snap_id}")
+            carr = self._as_mask(blobs.get("cmask", b""), meta.m_bits, "cmask")
+            iarr = self._as_mask(
+                blobs.get("imask", b""), meta.id_m_bits, "imask"
+            )
+            self.delta_bytes = 0
+            for s in range(1, self.delta_seq + 1):
+                d = self._read_blobs(
+                    f"{self.masks_path}/delta-{self.snap_id}-{s}"
+                )
+                for key, arr in (("cpos", carr), ("ipos", iarr)):
+                    pos = np.frombuffer(d.get(key, b""), dtype=np.int64)
+                    apply_packed(arr, *pack_positions(pos))
+                    self.delta_bytes += pos.nbytes
+        self._combo = _MaskState(meta.m_bits, meta.k, carr, n_keys)
+        self._ids = _MaskState(meta.id_m_bits, meta.k, iarr, self.n_items)
+        self._cache_put(token)
+
+    def _cache_put(self, token) -> None:
+        stale = _STATE_CACHE.pop(self.meta.path, None)
+        if stale is not None and stale[2] is not self._combo:
+            stale[2].rebase()
+            stale[3].rebase()
+        while len(_STATE_CACHE) >= 8:  # bound driver mask residency
+            old = _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+            old[2].rebase()
+            old[3].rebase()
+        _STATE_CACHE[self.meta.path] = (
+            token,
+            self.spark,
+            self._combo,
+            self._ids,
+            self.delta_bytes,
         )
 
     @staticmethod
@@ -186,7 +456,87 @@ class FingerprintProbeSidecar:
             )
         return mask
 
-    def _persist_meta(self) -> None:
+    def _as_mask(self, raw: bytes, m_bits: int, kind: str) -> np.ndarray:
+        if len(raw) != m_bits // 8:
+            raise ValueError(
+                f"probe sidecar {kind} mask is {len(raw)} bytes, expected "
+                f"{m_bits // 8} — sidecar corrupt; delete it to force a "
+                "rebuild from the ledger"
+            )
+        return np.frombuffer(raw, dtype=np.uint8).copy()
+
+    # ------------------------------------------------------ mask store
+
+    def _write_blobs(self, path: str, blobs: dict[str, bytes]) -> None:
+        import pandas as pd
+
+        rows = [
+            (kind, i // _MASK_CHUNK, data[i : i + _MASK_CHUNK])
+            for kind, data in blobs.items()
+            for i in range(0, max(len(data), 1), _MASK_CHUNK)
+        ]
+        pdf = pd.DataFrame(rows, columns=[f.name for f in _BLOB_SCHEMA.fields])
+        # overwrite: a crashed earlier attempt at the same name was
+        # never referenced by a committed meta, so clobbering it is safe
+        (
+            self.spark.createDataFrame(pdf, _BLOB_SCHEMA)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def _read_blobs(self, path: str) -> dict[str, bytes]:
+        pdf = self.spark.read.parquet(path).toPandas()
+        out: dict[str, bytes] = {}
+        for kind in pdf["kind"].unique():
+            sub = pdf[pdf["kind"] == kind].sort_values("chunk")
+            out[kind] = b"".join(bytes(b) for b in sub["mask"])
+        return out
+
+    def _write_delta(self, cpos: np.ndarray, ipos: np.ndarray) -> None:
+        seq = self.delta_seq + 1
+        self._write_blobs(
+            f"{self.masks_path}/delta-{self.snap_id}-{seq}",
+            {"cpos": cpos.tobytes(), "ipos": ipos.tobytes()},
+        )
+        self.delta_seq = seq
+        self.delta_bytes += cpos.nbytes + ipos.nbytes
+
+    def _write_snapshot(self) -> None:
+        sid = _uuid.uuid4().hex
+        self._write_blobs(
+            f"{self.masks_path}/snap-{sid}",
+            {
+                "cmask": self._combo.arr.tobytes(),
+                "imask": self._ids.arr.tobytes(),
+            },
+        )
+        self.snap_id = sid
+        self.delta_seq = 0
+        self.delta_bytes = 0
+
+    def _gc_masks(self) -> None:
+        """Drop snapshot/delta dirs the committed meta no longer
+        references (orphans from crashed attempts, superseded
+        snapshots and their folded deltas)."""
+        keep = {f"snap-{self.snap_id}"} | {
+            f"delta-{self.snap_id}-{s}" for s in range(1, self.delta_seq + 1)
+        }
+        for name in self.fs.list_dirs(self.masks_path):
+            if name not in keep:
+                self.fs.delete(f"{self.masks_path}/{name}")
+
+    def _commit_meta(self) -> None:
+        """Atomically publish the sidecar state: the meta table (a
+        staged-rename replace) references the snapshot + deltas that
+        are already durable — readers never see uncommitted mask
+        state, and a crash before this point leaves the previous
+        commit fully intact (heal = repair of the uncovered rows)."""
+        if self.snap_id is None:  # first commit / legacy migration
+            self._write_snapshot()
+        import pandas as pd
+
+        pad = (None,) * 10
         rows = [
             (
                 "meta",
@@ -194,34 +544,35 @@ class FingerprintProbeSidecar:
                 None,
                 None,
                 self.n_items,
-                self.combo_bloom.m_bits,
-                self.id_bloom.m_bits,
+                self._combo.m_bits,
+                self._ids.m_bits,
                 self.k,
                 self.bits,
                 self.blocks,
                 self.max_hamming,
+                self.snap_id,
+                self.delta_seq,
+                self._combo.n_keys,
             )
         ]
-        for kind, bloom in (("cmask", self.combo_bloom), ("imask", self.id_bloom)):
-            for i in range(0, len(bloom.mask), _MASK_CHUNK):
-                rows.append(
-                    (kind, i // _MASK_CHUNK, bloom.mask[i : i + _MASK_CHUNK],
-                     None, None, None, None, None, None, None, None)
-                )
         rows.extend(
-            ("run", i, None, rid, None, None, None, None, None, None, None)
+            ("run", i, None, rid) + pad
             for i, rid in enumerate(sorted(self.covered))
         )
-        # ship the mask bytes driver→JVM as ONE Arrow table instead of
-        # pickled Row tuples: the py4j row path re-marshals O(mask)
-        # bytes per batch, which grows with the ledger's key count
-        # (2^30 mask = 128 MiB per meta write) — the Arrow conversion
-        # is the guide's driver-transfer rule applied in reverse
-        import pandas as pd
-
         pdf = pd.DataFrame(rows, columns=[f.name for f in _META_SCHEMA.fields])
         self.meta.replace(  # staged rename — atomic, never partial
             self.spark.createDataFrame(pdf, _META_SCHEMA)
+        )
+        self._gc_masks()
+        self._cache_put(
+            (
+                self.snap_id,
+                self.delta_seq,
+                self.n_items,
+                self._combo.m_bits,
+                self._ids.m_bits,
+                self.k,
+            )
         )
 
     # ---------------------------------------------------------- probe
@@ -235,14 +586,15 @@ class FingerprintProbeSidecar:
         never blocks (or admits) anything."""
         from pyspark import StorageLevel
 
-        marked = bloom_mark(
-            keyed.withColumn("_bk", _combo_bloom_key()), "_bk", self.combo_bloom
+        marked = self._combo.mark(
+            keyed.withColumn("_bk", _combo_bloom_key()),
+            "_bk",
+            f"{self.meta.path}#combo",
         )
         # persist the (tiny) bloom-positive subset: the candidate-key
         # collect below AND the caller's eventual materialization of the
         # verify join both consume it — without the pin, the full
-        # batch-explode + mask-mark pass (which re-ships the broadcast
-        # mask to every Python worker) executes once PER consumer
+        # batch-explode + mask-mark pass executes once PER consumer
         # (measured 70 s of a 205 s batch at a 2^30 mask, two passes).
         # Released in record(), the gated path's final step.
         pos = (
@@ -281,10 +633,10 @@ class FingerprintProbeSidecar:
         """Collision-guard gate: False means NO batch media_id can be
         in the ledger (bloom has no false negatives for covered rows),
         so the exact guard join is skipped entirely."""
-        marked = bloom_mark(
+        marked = self._ids.mark(
             batch.withColumn("_ik", F.col(id_col).cast("string")),
             "_ik",
-            self.id_bloom,
+            f"{self.meta.path}#id",
         )
         return marked.filter(F.col("maybe_seen")).limit(1).count() > 0
 
@@ -309,100 +661,158 @@ class FingerprintProbeSidecar:
             F.col("_fp").alias("fingerprint"),
         )
 
-    def _or_masks(self, exploded: DataFrame, rows: DataFrame) -> None:
-        # REPARTITION the build inputs to a bounded width instead of
-        # using bloom_build's coalesce cap: coalesce would collapse the
-        # upstream combo explode + md5 hashing onto the same few cores
-        # (measured 6-9 s/batch single-cored vs ~2 s repartitioned),
-        # while 8 partitions bound the transient Arrow footprint at
-        # 8 x m/8 bytes of mask rows (the measured OOM guard from
-        # llm/bloom.py)
-        cb = bloom_build(
-            exploded.withColumn("_bk", _combo_bloom_key()).repartition(8),
-            "_bk",
-            m_bits=self.combo_bloom.m_bits,
-            k=self.k,
+    def _absorb(self, exploded: DataFrame, rows: DataFrame, n_new: int) -> None:
+        """Fold one batch's keys into both masks and persist the
+        change — O(batch): the new BIT POSITIONS (keys × k int64s) are
+        computed JVM-side, collected once through Arrow, OR'd into the
+        driver masks, appended as broadcast delta layers for the mark
+        pass, and durably logged as a position delta. A snapshot (full
+        mask write + broadcast rebase) happens only when accumulated
+        deltas exceed the mask size — amortized O(batch). Batches
+        whose packed positions exceed _POS_COLLECT_MAX instead build
+        partial masks with the chunked distributed builder (no big
+        driver collect; O(batch + mask), and such a batch is Ω(mask))."""
+        est = n_new * self._n_combos * self.k * 8
+        if est > _POS_COLLECT_MAX:
+            cpart = bloom_build_chunked(
+                exploded.withColumn("_bk", _combo_bloom_key()),
+                "_bk",
+                m_bits=self._combo.m_bits,
+                k=self.k,
+            )
+            ipart = bloom_build_chunked(
+                rows.withColumn("_ik", F.col("media_id").cast("string")),
+                "_ik",
+                m_bits=self._ids.m_bits,
+                k=self.k,
+            )
+            self._combo.or_partial(cpart.mask, n_new * self._n_combos)
+            self._ids.or_partial(ipart.mask, n_new)
+            self._write_snapshot()
+            return
+        pos_pdf = (
+            exploded.withColumn("_bk", _combo_bloom_key())
+            .select(
+                F.explode(
+                    positions_col(F.col("_bk"), self.k, self._combo.m_bits)
+                ).alias("p"),
+                F.lit(0).alias("t"),
+            )
+            .unionByName(
+                rows.select(
+                    F.explode(
+                        positions_col(
+                            F.col("media_id").cast("string"),
+                            self.k,
+                            self._ids.m_bits,
+                        )
+                    ).alias("p"),
+                    F.lit(1).alias("t"),
+                )
+            )
+            .toPandas()
         )
-        ib = bloom_build(
-            rows.withColumn("_ik", F.col("media_id").cast("string")).repartition(8),
-            "_ik",
-            m_bits=self.id_bloom.m_bits,
-            k=self.k,
+        p = pos_pdf["p"].to_numpy(dtype=np.int64)
+        t = pos_pdf["t"].to_numpy()
+        cpos = np.unique(p[t == 0])
+        ipos = np.unique(p[t == 1])
+        snap = self.snap_id is None or (
+            self.delta_bytes + cpos.nbytes + ipos.nbytes
+            > len(self._combo.arr) + len(self._ids.arr)
         )
-        self.combo_bloom = BloomFilter(
-            self.combo_bloom.m_bits,
-            self.k,
-            (
-                np.frombuffer(self.combo_bloom.mask, dtype=np.uint8)
-                | np.frombuffer(cb.mask, dtype=np.uint8)
-            ).tobytes(),
-        )
-        self.id_bloom = BloomFilter(
-            self.id_bloom.m_bits,
-            self.k,
-            (
-                np.frombuffer(self.id_bloom.mask, dtype=np.uint8)
-                | np.frombuffer(ib.mask, dtype=np.uint8)
-            ).tobytes(),
-        )
+        if snap:
+            # broadcast this last delta too, then rebase WITH lineage:
+            # the new base == old base | all broadcast deltas, so warm
+            # workers adopt their cached union mask instead of paying
+            # the O(mask)-per-worker base reload after every snapshot
+            self._combo.or_positions(cpos, self.spark)
+            self._ids.or_positions(ipos, self.spark)
+            self._combo.rebase(handoff=True)
+            self._ids.rebase(handoff=True)
+            self._write_snapshot()
+        else:
+            self._combo.or_positions(cpos, self.spark)
+            self._ids.or_positions(ipos, self.spark)
+            self._write_delta(cpos, ipos)
 
     def _sized_m_bits(self, cur_m: int, n_keys: int) -> int:
         """Smallest power-of-two mask ≥ 4×current whose PREDICTED fill
-        (1 - e^(-k·n/m)) sits at or under ``resize_fill`` for ``n_keys``
-        distinct keys — one rebuild lands the mask at steady state
-        instead of ×4-stepping through several index scans when a large
-        batch outgrows a small mask (the defaults start small —
-        2^22/2^18 — so a fresh ledger's per-batch constant is KiB-sized
-        meta I/O, and growth is paid only when the ledger earns it)."""
-        import math
-
-        need = self.k * max(n_keys, 1) / -math.log(1.0 - self.resize_fill)
+        sits at or under ``resize_fill/2`` for ``n_keys`` distinct keys
+        — the 2× headroom makes rebuilds geometric (keys must double
+        before the next trigger; an earlier draft sized to land exactly
+        AT the threshold and re-triggered nearly every batch). The
+        defaults start small — 2^22/2^18 — so a fresh ledger's
+        per-batch constant is KiB-sized meta I/O, and growth is paid
+        only when the ledger earns it."""
+        need = self.k * max(n_keys, 1) / -math.log(1.0 - self.resize_fill / 2)
         m = cur_m * 4
         while m < need:
             m *= 2
         return m
 
     def _maybe_resize(self) -> None:
-        """Grow the combo mask when it saturates — rebuild from the
-        index (one scan, amortized O(1)/row by the doubling argument;
-        the target size is predicted from the index's key count so one
-        rebuild suffices). Saturation only costs false positives
-        (extra exact checks), so the threshold trades probe
-        selectivity against rebuild frequency."""
-        if self.combo_bloom.fill_ratio <= self.resize_fill:
+        """Grow a mask when its predicted fill crosses the threshold —
+        rebuild from the index with the CHUNKED builder (no task holds
+        more than ~4 MiB of mask — the full-mask treeReduce this
+        replaces OOM'd a 16 GiB heap at the 2^30→2^31 fold), sized
+        from the index's actual key count so one rebuild lands at
+        steady state. Saturation only costs false positives (extra
+        exact checks), so the threshold trades probe selectivity
+        against rebuild frequency."""
+        need_c = self._combo.predicted_fill() > self.resize_fill
+        need_i = self._ids.predicted_fill() > self.resize_fill
+        if not (need_c or need_i):
             return
         idx = self.index.read()
         if idx is None:
             return
-        idx = idx.persist()
+        from pyspark import StorageLevel
+
+        # the index reads as FEW partitions (coalesce(1) log segments):
+        # without a widen, the rebuild's position hashing runs nearly
+        # serial on the segment count (measured 415 s for the 2^29→2^31
+        # rebuild at a 42M-row index; the shuffle moves 40 B rows)
+        par = idx.sparkSession.sparkContext.defaultParallelism
+        if idx.rdd.getNumPartitions() < par:
+            idx = idx.repartition(par)
+        idx = idx.persist(StorageLevel.DISK_ONLY)
         try:
             n_keys = idx.count()  # combo rows ≈ distinct combo keys
-            self.combo_bloom = bloom_build(
-                idx.withColumn("_bk", _combo_bloom_key()).repartition(8),
-                "_bk",
-                m_bits=self._sized_m_bits(self.combo_bloom.m_bits, n_keys),
-                k=self.k,
-            )
-            if self.id_bloom.fill_ratio > self.resize_fill:
-                # media_id appears once per combo row — duplicates set
-                # the same bits, so the index is a valid id-bloom
-                # build source; ids are keys/56, sized accordingly
-                self.id_bloom = bloom_build(
-                    idx.withColumn("_ik", F.col("media_id").cast("string"))
-                    .repartition(8),
-                    "_ik",
-                    m_bits=self._sized_m_bits(
-                        self.id_bloom.m_bits, n_keys // 56 + 1
-                    ),
+            if need_c:
+                m = self._sized_m_bits(self._combo.m_bits, n_keys)
+                nb = bloom_build_chunked(
+                    idx.withColumn("_bk", _combo_bloom_key()),
+                    "_bk",
+                    m_bits=m,
                     k=self.k,
                 )
+                self._combo.replace(
+                    np.frombuffer(nb.mask, dtype=np.uint8).copy(), m, n_keys
+                )
+            if need_i:
+                # media_id appears once per combo row — duplicates set
+                # the same bits, so the index is a valid id-bloom
+                # build source; ids are keys/combos, sized accordingly
+                n_ids = n_keys // self._n_combos + 1
+                m = self._sized_m_bits(self._ids.m_bits, n_ids)
+                nb = bloom_build_chunked(
+                    idx.withColumn("_ik", F.col("media_id").cast("string")),
+                    "_ik",
+                    m_bits=m,
+                    k=self.k,
+                )
+                self._ids.replace(
+                    np.frombuffer(nb.mask, dtype=np.uint8).copy(), m, n_ids
+                )
+            self._write_snapshot()
         finally:
             idx.unpersist()
 
     def record(self, admitted: DataFrame, run_id: str, n_admitted: int) -> None:
         """Cover one committed batch: append its exploded combo rows to
-        the index, OR its keys into the masks, then atomically commit
-        the meta (counts + covered run). Called AFTER the ledger
+        the index, absorb its keys into the masks (positions delta +
+        broadcast layers), then atomically commit the meta (counts +
+        covered run + mask-store pointer). Called AFTER the ledger
         upsert — the ledger is the commit point; a crash in here is
         healed by the next call's repair."""
         from pyspark import StorageLevel
@@ -410,23 +820,21 @@ class FingerprintProbeSidecar:
         try:
             if n_admitted:
                 # the exploded combo rows feed TWO actions (index append
-                # + mask build) — pin so the 56× explode and its md5
+                # + position collect) — pin so the 56× explode and its
                 # hashing run once, not per consumer. DISK_ONLY: the
-                # explode is 56×batch rows (~1.7 GB at a 500k batch) and
-                # the mask build right after it needs execution heap for
-                # n_partitions × m/8 mask rows — an in-memory pin here
-                # OOM'd a 16 g heap at (500k batch, 2^30 mask); a local
-                # sequential disk reread is cheap next to the recompute
+                # explode is 56×batch rows (~1.7 GB at a 500k batch);
+                # a local sequential disk reread is cheap next to the
+                # recompute
                 exploded = self._explode(admitted).persist(
                     StorageLevel.DISK_ONLY
                 )
                 self._pins.append(exploded)
                 self.index.upsert(exploded)
-                self._or_masks(exploded, admitted)
+                self._absorb(exploded, admitted, n_admitted)
                 self._maybe_resize()
             self.n_items += n_admitted
             self.covered.add(run_id)
-            self._persist_meta()
+            self._commit_meta()
         finally:
             for df in self._pins:
                 df.unpersist()
@@ -442,7 +850,8 @@ class FingerprintProbeSidecar:
         if ledger is None or ledger_count == 0:
             self.covered = set()
             self.n_items = 0
-            self._persist_meta()
+            self._reset_masks()
+            self._commit_meta()
             return
         if self.n_items > ledger_count:
             # the ledger shrank out-of-band (not a flow this operator
@@ -453,13 +862,7 @@ class FingerprintProbeSidecar:
             self.index.replace(
                 self._explode(ledger.select("media_id", "fingerprint")).limit(0)
             )
-            self.combo_bloom = BloomFilter(
-                self.combo_bloom.m_bits, self.k,
-                bytes(self.combo_bloom.m_bits // 8),
-            )
-            self.id_bloom = BloomFilter(
-                self.id_bloom.m_bits, self.k, bytes(self.id_bloom.m_bits // 8)
-            )
+            self._reset_masks()
         uncovered = ledger
         if self.covered:
             covered_df = self.spark.createDataFrame(
@@ -468,27 +871,41 @@ class FingerprintProbeSidecar:
             uncovered = ledger.join(F.broadcast(covered_df), "run_id", "left_anti")
         from pyspark import StorageLevel
 
-        uncovered = uncovered.select("media_id", "fingerprint", "run_id").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        uncovered = uncovered.select("media_id", "fingerprint", "run_id")
+        # a full-ledger repair otherwise explodes+hashes from the few
+        # coalesced log segments — same widen rule as the exact probe
+        par = uncovered.sparkSession.sparkContext.defaultParallelism
+        if uncovered.rdd.getNumPartitions() < par:
+            uncovered = uncovered.repartition(par)
+        uncovered = uncovered.persist(StorageLevel.MEMORY_AND_DISK)
         exploded = None
         try:
             new_runs = [r.run_id for r in uncovered.select("run_id").distinct().collect()]
             if new_runs:
-                # both repair actions (index append + mask build)
+                n_unc = uncovered.count()
+                # both repair actions (index append + position collect)
                 # consume the explode — pin it for the repair's scope
-                # (DISK_ONLY for the same heap-headroom reason as
-                # record(): the explode is 56× the uncovered rows)
                 exploded = self._explode(uncovered).persist(
                     StorageLevel.DISK_ONLY
                 )
                 self.index.upsert(exploded)
-                self._or_masks(exploded, uncovered)
+                self._absorb(exploded, uncovered, n_unc)
                 self._maybe_resize()
             self.covered.update(new_runs)
             self.n_items = ledger_count
-            self._persist_meta()
+            self._commit_meta()
         finally:
             uncovered.unpersist()
             if exploded is not None:
                 exploded.unpersist()
+
+    def _reset_masks(self) -> None:
+        self._combo.replace(
+            np.zeros(self._combo.m_bits // 8, dtype=np.uint8),
+            self._combo.m_bits,
+            0,
+        )
+        self._ids.replace(
+            np.zeros(self._ids.m_bits // 8, dtype=np.uint8), self._ids.m_bits, 0
+        )
+        self._write_snapshot()

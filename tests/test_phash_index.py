@@ -229,3 +229,121 @@ def test_auto_switches_to_sidecar_past_threshold(spark, tmp_path, monkeypatch):
     # and the now-existing sidecar keeps gating + blocking correctly
     monkeypatch.setattr(phash, "SIDECAR_AUTO_MIN_BYTES", 4 << 20)
     assert _run(spark, reg, [("c1", FAR_NEAR1), ("c2", LONE)], "r2") == {"c2"}
+
+
+def test_sidecar_cold_reload_replays_deltas(spark, tmp_path):
+    """Per-batch mask persistence is a POSITION delta, not a mask
+    rewrite; a cold load (no session cache) must fold snapshot +
+    deltas back into the exact mask so verdicts are unchanged."""
+    from openmsistream_spark.llm import phash_index
+    from openmsistream_spark.llm.phash_index import FingerprintProbeSidecar
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log",
+                        insert_only=True)
+    # batch 1 commits the first snapshot; batches 2-3 append deltas
+    _run(spark, reg, [("a1", BASE)], "r0", sidecar=True)
+    _run(spark, reg, [("a2", FAR)], "r1", sidecar=True)
+    _run(spark, reg, [("a3", LONE)], "r2", sidecar=True)
+    sc_state = FingerprintProbeSidecar(spark, path, 64, 8, 3)
+    sc_state.load_or_init()
+    assert sc_state.snap_id is not None and sc_state.delta_seq == 2
+    # cold reload: wipe the driver cache so masks come from storage
+    phash_index._STATE_CACHE.clear()
+    got = _run(
+        spark, reg,
+        [("z1", NEAR2), ("z2", FAR_NEAR1), ("z3", LONE ^ 1), ("z4", _fp([2, 30]))],
+        "r3", sidecar=True,
+    )
+    # every near-dup of a delta-covered admit is still blocked
+    assert got == {"z4"}
+
+
+def test_sidecar_snapshot_rollover_bounds_deltas(spark, tmp_path):
+    """Once accumulated delta bytes exceed the mask bytes the sidecar
+    must roll a fresh snapshot (delta_seq resets) and GC superseded
+    dirs — the amortized-O(batch) persistence rule."""
+    import os
+
+    from openmsistream_spark.llm.phash_index import FingerprintProbeSidecar
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log",
+                        insert_only=True)
+    # tiny masks: any batch's packed positions outweigh 2x 1 KiB masks
+    opts = {"combo_m_bits": 1 << 13, "id_m_bits": 1 << 13}
+    _run(spark, reg, [("a1", BASE), ("a2", FAR)], "r0", sidecar=True,
+         sidecar_opts=opts)
+    _run(spark, reg, [("a3", LONE), ("a4", _fp([12, 13, 14, 15, 16, 20]))],
+         "r1", sidecar=True, sidecar_opts=opts)
+    sc_state = FingerprintProbeSidecar(spark, path, 64, 8, 3, **opts)
+    sc_state.load_or_init()
+    assert sc_state.delta_seq == 0  # every batch rolled a snapshot
+    names = os.listdir(f"{path}.probeidx/masks")
+    assert len([n for n in names if n.startswith("snap-")]) == 1  # GC'd
+    assert not [n for n in names if n.startswith("delta-")]
+    got = _run(spark, reg, [("b1", NEAR2), ("b2", _fp([2, 30]))], "r2",
+               sidecar=True, sidecar_opts=opts)
+    assert got == {"b2"}
+
+
+def test_sidecar_legacy_inline_meta_migrates(spark, tmp_path):
+    """A sidecar written by the pre-snapshot layout (masks chunked
+    inline in the meta table) must load, answer exactly, and migrate
+    to the snapshot+delta layout on its next commit."""
+    import shutil as _sh
+
+    import numpy as np
+    from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                   StructField, StructType)
+
+    from openmsistream_spark.llm import phash_index
+    from openmsistream_spark.llm.phash_index import FingerprintProbeSidecar
+    from openmsistream_spark.operators.registry import (ParquetRegistry,
+                                                        make_registry)
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log",
+                        insert_only=True)
+    _run(spark, reg, [("a1", BASE)], "r0", sidecar=True)
+    live = FingerprintProbeSidecar(spark, path, 64, 8, 3)
+    live.load_or_init()
+    old_schema = StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("chunk", LongType()),
+            StructField("mask", BinaryType()),
+            StructField("run_id", StringType()),
+            StructField("n_items", LongType()),
+            StructField("m_bits", LongType()),
+            StructField("id_m_bits", LongType()),
+            StructField("k", LongType()),
+            StructField("bits", LongType()),
+            StructField("blocks", LongType()),
+            StructField("max_hamming", LongType()),
+        ]
+    )
+    rows = [
+        ("meta", 0, None, None, live.n_items, live.combo_bloom.m_bits,
+         live.id_bloom.m_bits, live.k, 64, 8, 3),
+        ("cmask", 0, live.combo_bloom.mask, None, None, None, None, None,
+         None, None, None),
+        ("imask", 0, live.id_bloom.mask, None, None, None, None, None,
+         None, None, None),
+        ("run", 0, None, "r0", None, None, None, None, None, None, None),
+    ]
+    ParquetRegistry(spark, f"{path}.probeidx/meta", ["kind", "chunk"]).replace(
+        spark.createDataFrame(rows, old_schema)
+    )
+    _sh.rmtree(f"{path}.probeidx/masks")
+    phash_index._STATE_CACHE.clear()
+    # loads via the legacy branch, blocks correctly, and the commit
+    # migrates the masks out of the meta table
+    got = _run(spark, reg, [("b1", NEAR2), ("b2", LONE)], "r1", sidecar=True)
+    assert got == {"b2"}
+    migrated = FingerprintProbeSidecar(spark, path, 64, 8, 3)
+    migrated.load_or_init()
+    assert migrated.snap_id is not None
+    assert migrated.covered == {"r0", "r1"}

@@ -239,3 +239,91 @@ def test_gram_novelty_vs_exact_join(spark, sf_dir):
     # total undercount bounded: fp flips are rare at this fill
     slack = merged["n_novel_exact"].sum() - merged["n_novel"].sum()
     assert slack <= max(10, 0.01 * merged["n_grams"].sum())
+
+
+def test_bloom_build_chunked_matches_bloom_build(spark):
+    """The chunked builder (shuffle by mask chunk, no full mask in any
+    task) must produce the BIT-IDENTICAL mask to bloom_build — it is
+    the resize/huge-batch path of the probe sidecar."""
+    from openmsistream_spark.llm.bloom import bloom_build, bloom_build_chunked
+
+    rows = [(f"ck{i}",) for i in range(800)]
+    df = spark.createDataFrame(rows, "k string").repartition(7)
+    a = bloom_build(df, "k", m_bits=1 << 17, k=4)
+    # delegate_below=0 forces the real multi-chunk shuffle + assembly
+    b = bloom_build_chunked(
+        df, "k", m_bits=1 << 17, k=4, chunk_bits=1 << 14, delegate_below=0
+    )
+    assert a.m_bits == b.m_bits and a.mask == b.mask
+    # single-chunk degenerate case (chunk_bits clamped to m_bits)
+    c = bloom_build_chunked(
+        df, "k", m_bits=1 << 17, k=4, chunk_bits=1 << 20, delegate_below=0
+    )
+    assert c.mask == a.mask
+    # the small-mask default delegates to bloom_build — same bits
+    d = bloom_build_chunked(df, "k", m_bits=1 << 17, k=4)
+    assert d.mask == a.mask
+
+
+def test_bloom_mark_layered_matches_union_mask(spark):
+    """Layered marking (base broadcast + ordered position-delta
+    broadcasts) must give the verdicts of marking against the full
+    union mask — the layers reconstruct it bit-exactly, whatever the
+    base/delta split."""
+    import numpy as np
+
+    from openmsistream_spark.llm.bloom import (
+        bloom_build,
+        bloom_mark,
+        bloom_mark_layered,
+        pack_positions,
+        positions,
+    )
+
+    m, k = 1 << 14, 4
+    base_keys = [f"b{i}" for i in range(120)]
+    d1_keys = [f"d{i}" for i in range(40)]
+    d2_keys = [f"e{i}" for i in range(40)]
+    base = bloom_build(
+        spark.createDataFrame([(x,) for x in base_keys], "k string"), "k", m, k
+    )
+    full = bloom_build(
+        spark.createDataFrame(
+            [(x,) for x in base_keys + d1_keys + d2_keys], "k string"
+        ),
+        "k",
+        m,
+        k,
+    )
+
+    def pos_arr(keys):
+        return np.unique(
+            np.array(
+                [p for x in keys for p in positions(x, k, m)], dtype=np.int64
+            )
+        )
+
+    def packed(keys):
+        idx, val = pack_positions(pos_arr(keys))
+        return idx.tobytes(), val.tobytes()
+
+    sc = spark.sparkContext
+    base_bc = sc.broadcast(base.mask)
+    deltas = [sc.broadcast(packed(d1_keys)), sc.broadcast(packed(d2_keys))]
+    probe = spark.createDataFrame(
+        [(x,) for x in base_keys[:5] + d1_keys[:5] + d2_keys[:5]]
+        + [(f"absent{i}",) for i in range(50)],
+        "k string",
+    )
+    want = {
+        r.k: r.maybe_seen for r in bloom_mark(probe, "k", full).collect()
+    }
+    got = {
+        r.k: r.maybe_seen
+        for r in bloom_mark_layered(
+            probe, "k", k, m, base_bc, deltas, ("t-layered", "ep1")
+        ).collect()
+    }
+    assert got == want
+    # every inserted key must mark positive (no false negatives)
+    assert all(got[x] for x in base_keys[:5] + d1_keys[:5] + d2_keys[:5])
