@@ -321,11 +321,15 @@ def _minhash_band_rows(
     combinable groupBy directly from the shingle table — the fused form
     of ``minhash_signatures`` + the banding half of
     ``minhash_lsh_candidates``. The unpivot (stack to (id, h, minhash))
-    followed by a second corpus-wide groupBy(id, band) that the unfused
-    pair performs exists only to rebuild per-band hash lists the wide
+    followed by a second groupBy(id, band) that the unfused pair
+    performs exists only to rebuild per-band hash lists the wide
     aggregate already holds as columns — deriving band_sig from the
-    wide row removes one corpus-sized Exchange + aggregate per LSH run
-    (guide §2.4: remove shuffles outright).
+    wide row removes the unpivot's per-band collect_list/array_sort
+    aggregate pass (guide §1.2 per-task work). The Exchange count is
+    UNCHANGED (plans/r16/minhash_lsh_pairs_{before,after}.txt): the old
+    regroup already reused the signature aggregate's
+    HashPartitioning(doc_id), which satisfies the (doc_id, band)
+    clustering — the fusion saves the aggregate pass, not a shuffle.
 
     band_sig equivalence with the unfused path: there, collect_list of
     (h, minhash) structs is array_sorted (h ascending, h unique within

@@ -464,9 +464,14 @@ def incremental_fingerprint_neardup(
     O(ledger) repair, then probes are gated again. Semantics —
     admitted sets, replay identity, the churn refusal — are identical
     to ``sidecar=False`` (the original exact probe, kept as the
-    fallback path). ``sidecar_opts`` forwards sizing knobs to
+    fallback path). ``sidecar_opts`` forwards sizing/policy knobs to
     ``FingerprintProbeSidecar`` (``combo_m_bits``, ``k``,
-    ``max_pushdown_keys``, …).
+    ``max_pushdown_keys``, ``resize="auto"|"manual"``, ``max_m_bits``,
+    …): pre-size ``combo_m_bits`` for the expected ledger scale and/or
+    set ``resize="manual"`` + schedule
+    ``FingerprintProbeSidecar.rebuild_now()`` off the ingest path to
+    keep the amortized mask-rebuild pause out of ``foreachBatch``
+    (SCALING.md recipe).
 
     ``sidecar="auto"`` (default) picks by ledger size: the exact probe
     while the ledger is below ``SIDECAR_AUTO_MIN_BYTES`` on disk (its
@@ -530,7 +535,16 @@ def incremental_fingerprint_neardup(
     # decode+hash stage would re-execute in each branch
     pinned = batch.persist(StorageLevel.MEMORY_AND_DISK)
     batch = pinned
-    keyed = _combo_keyed(batch, bits, blocks, max_hamming)
+    # pin the batch's 56× combo explode too: the ledger probe and BOTH
+    # sides of the within-batch sweep consume it — re-deriving it from
+    # the post-anti-join survivors (the previous shape) re-ran the
+    # explode + key packing once per consumer (guide §1.2 per-task
+    # work; an anti-join of the already-exploded rows on _id yields
+    # the identical rowset, explode is per-row deterministic)
+    keyed_full = _combo_keyed(batch, bits, blocks, max_hamming).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    keyed = keyed_full
 
     # vs-ledger probe: any prior fingerprint within budget blocks the id
     if seen is not None:
@@ -545,13 +559,13 @@ def incremental_fingerprint_neardup(
             "combo", "combo_key", F.col("_fp").alias("_ledger_fp")
         )
         blocked = (
-            keyed.join(seen_keyed, ["combo", "combo_key"])
+            keyed_full.join(seen_keyed, ["combo", "combo_key"])
             .filter(F.expr("bit_count(_fp ^ _ledger_fp)") <= max_hamming)
             .select("_id")
             .distinct()
         )
         batch = batch.join(blocked, "_id", "left_anti")
-        keyed = _combo_keyed(batch, bits, blocks, max_hamming)
+        keyed = keyed_full.join(blocked, "_id", "left_anti")
 
     # within-batch keep-first: drop ids matching a smaller surviving id
     a = keyed.select(
@@ -615,6 +629,7 @@ def incremental_fingerprint_neardup(
         )
     finally:
         pinned.unpersist()
+        keyed_full.unpersist()
         admitted.unpersist()
         if seen is not None:
             seen.unpersist()
@@ -678,12 +693,21 @@ def _incremental_neardup_gated(
         sc_state.repair(ledger, ledger_count)
 
     pinned = batch.persist(StorageLevel.MEMORY_AND_DISK)
-    keyed = _combo_keyed(pinned, bits, blocks, max_hamming)
+    # pin the batch's 56× combo explode: the gated probe's mark pass,
+    # BOTH sides of the within-batch sweep, and the sidecar's index
+    # append all consume the same rows — the previous shape re-ran the
+    # explode + key packing from the survivors once per consumer
+    # (guide §1.2; the anti-joins below on _id yield rowsets identical
+    # to re-exploding the surviving rows)
+    keyed_full = _combo_keyed(pinned, bits, blocks, max_hamming).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    keyed = keyed_full
     surv = pinned
     if ledger_count:
-        blocked = sc_state.blocked_ids(keyed)
+        blocked = sc_state.blocked_ids(keyed_full)
         surv = pinned.join(blocked, "_id", "left_anti")
-        keyed = _combo_keyed(surv, bits, blocks, max_hamming)
+        keyed = keyed_full.join(blocked, "_id", "left_anti")
 
     # within-batch keep-first: drop ids matching a smaller surviving id
     a = keyed.select(
@@ -733,16 +757,26 @@ def _incremental_neardup_gated(
         # ledger committed — cover it in the sidecar (crash here =
         # count mismatch = exact repair next call). An empty admit
         # skips both writes: replaying it recomputes from the same
-        # ledger state and re-derives the same empty set.
+        # ledger state and re-derives the same empty set. The admitted
+        # rows' combo explode is derived from the pinned keyed_full
+        # (sweep survivors minus within-batch dups) so record() does
+        # not re-explode + re-hash the admitted rows from scratch.
         sc_state.record(
             admitted.select(
                 F.col("_id").alias("media_id"), F.col("_fp").alias("fingerprint")
             ),
             run_id,
             n_admitted,
+            exploded=keyed.join(dup_ids, "_id", "left_anti").select(
+                "combo",
+                "combo_key",
+                F.col("_id").alias("media_id"),
+                F.col("_fp").alias("fingerprint"),
+            ),
         )
     finally:
         pinned.unpersist()
+        keyed_full.unpersist()
         admitted.unpersist()
     out = registry.read()
     if out is None:  # first-ever batch admitted nothing

@@ -25,8 +25,11 @@ ledger-side work:
   against the index — membership is never decided by the bloom alone.
 - **Coverage accounting**: the ledger upsert remains the commit point
   (ledger first, sidecar second). The sidecar records which run_ids
-  it covers and how many rows; a probe first compares its row count
-  against the ledger's (a parquet-footer count) and, on mismatch
+  it covers (one O(1) run-log append per batch — the meta table
+  itself is ONE row, so the per-batch commit is O(batch), not
+  O(total runs ever)) and how many rows; a probe first compares its
+  row count against the ledger's (a parquet-footer count) and, on
+  mismatch
   (crash between ledger commit and sidecar update, a pre-sidecar
   ledger, an out-of-band append), REPAIRS by exploding exactly the
   uncovered rows — the exact-probe fallback. A lost or deleted
@@ -296,6 +299,8 @@ class FingerprintProbeSidecar:
         k: int = 4,
         resize_fill: float = 0.25,
         max_pushdown_keys: int = 8192,
+        resize: str = "auto",
+        max_m_bits: int = 1 << 33,
     ):
         self.spark = spark
         self.bits = bits
@@ -304,6 +309,20 @@ class FingerprintProbeSidecar:
         self.k = k
         self.resize_fill = resize_fill
         self.max_pushdown_keys = max_pushdown_keys
+        if resize not in ("auto", "manual"):
+            raise ValueError(f"resize={resize!r} (have 'auto'|'manual')")
+        self.resize = resize
+        if max(combo_m_bits, id_m_bits) > max_m_bits:
+            raise ValueError(
+                f"mask of {max(combo_m_bits, id_m_bits)} bits exceeds the "
+                f"broadcast envelope max_m_bits={max_m_bits} "
+                f"({max_m_bits // (8 << 20)} MiB resident per Python "
+                "worker — see SCALING.md): shard the ingest by media_id "
+                "so each ledger's key count stays inside the envelope, "
+                "or raise max_m_bits explicitly if the workers have the "
+                "memory"
+            )
+        self.max_m_bits = max_m_bits
         base = ledger_path.rstrip("/") + ".probeidx"
         # the index rides the log backend: O(batch) appends, sorted
         # segments for combo_key row-group pruning, insert-only union
@@ -316,12 +335,22 @@ class FingerprintProbeSidecar:
             segment_sort_cols=["combo_key"],
         )
         self.meta = ParquetRegistry(spark, f"{base}/meta", ["kind", "chunk"])
+        # covered-run bookkeeping rides its own log registry: one
+        # appended run row per batch (O(1)/batch write; minor folds
+        # bound segment count) — the r16 layout rewrote one meta row
+        # per run id EVER, every batch: O(total runs) per commit, the
+        # exact super-constant class the sidecar exists to remove
+        self.runs = LogStructuredRegistry(
+            spark, f"{base}/runs", ["run_id"], insert_only=True
+        )
         self.masks_path = f"{base}/masks"
         self.fs = HadoopFS(spark, base)
         # in-memory state, populated by load_or_init
         self._combo = _MaskState(combo_m_bits, k)
         self._ids = _MaskState(id_m_bits, k)
-        self.covered: set[str] = set()
+        #: run rows still inline in a pre-runs-log meta table — carried
+        #: until the next commit migrates them into the run log
+        self._legacy_runs: list[str] | None = None
         self.n_items = 0
         self.snap_id: str | None = None
         self.delta_seq = 0
@@ -333,6 +362,16 @@ class FingerprintProbeSidecar:
     @property
     def combo_bloom(self) -> BloomFilter:
         return self._combo.as_filter()
+
+    @property
+    def covered(self) -> set[str]:
+        """Committed run ids — introspection/test surface only (an
+        O(runs) driver collect; no per-batch path materializes this)."""
+        out = set(self._legacy_runs or ())
+        df = self.runs.read()
+        if df is not None:
+            out.update(r.run_id for r in df.select("run_id").collect())
+        return out
 
     @property
     def id_bloom(self) -> BloomFilter:
@@ -371,7 +410,12 @@ class FingerprintProbeSidecar:
             )
         self.n_items = meta.n_items
         self.k = meta.k
-        self.covered = {r.run_id for r in rows if r.kind == "run"}
+        # run rows inline in the meta table = a pre-runs-log sidecar;
+        # the next commit migrates them into the run log (they are
+        # committed coverage — masks/index already hold their bits)
+        self._legacy_runs = sorted(
+            r.run_id for r in rows if r.kind == "run"
+        ) or None
         self.snap_id = None if legacy else meta.snap_id
         self.delta_seq = 0 if self.snap_id is None else int(meta.delta_seq)
         n_keys = (
@@ -531,12 +575,13 @@ class FingerprintProbeSidecar:
         staged-rename replace) references the snapshot + deltas that
         are already durable — readers never see uncommitted mask
         state, and a crash before this point leaves the previous
-        commit fully intact (heal = repair of the uncovered rows)."""
+        commit fully intact (heal = repair of the uncovered rows).
+        ONE row — covered runs live in the run log (``_log_runs``),
+        so the rewrite is O(1) in ledger age, not O(total runs)."""
         if self.snap_id is None:  # first commit / legacy migration
             self._write_snapshot()
         import pandas as pd
 
-        pad = (None,) * 10
         rows = [
             (
                 "meta",
@@ -555,10 +600,6 @@ class FingerprintProbeSidecar:
                 self._combo.n_keys,
             )
         ]
-        rows.extend(
-            ("run", i, None, rid) + pad
-            for i, rid in enumerate(sorted(self.covered))
-        )
         pdf = pd.DataFrame(rows, columns=[f.name for f in _META_SCHEMA.fields])
         self.meta.replace(  # staged rename — atomic, never partial
             self.spark.createDataFrame(pdf, _META_SCHEMA)
@@ -574,6 +615,35 @@ class FingerprintProbeSidecar:
                 self.k,
             )
         )
+
+    # ------------------------------------------------------- run log
+
+    def _migrate_legacy_runs(self) -> None:
+        """One-time migration of run rows found inline in a legacy
+        meta table into the run log. Runs BEFORE the meta commit that
+        drops them: the runs are already-committed coverage (their
+        bits are in the committed masks/index), so logging them early
+        is always safe — a crash in between leaves them present in
+        BOTH places, and coverage reads de-duplicate."""
+        if not self._legacy_runs:
+            return
+        self.runs.upsert(
+            self.spark.createDataFrame(
+                [(r,) for r in self._legacy_runs], "run_id string"
+            )
+        )
+        self._legacy_runs = None
+
+    def _log_runs(self, run_ids: DataFrame) -> None:
+        """Append newly covered run ids — one O(batch) run-log delta
+        per call (the log backend's minor folds bound segment count).
+        Called strictly AFTER ``_commit_meta``: a run row must never
+        claim coverage whose mask bits are not committed (that would
+        be a bloom false negative = a wrong admit). The reverse crash
+        window — committed bits, missing run row — only makes a future
+        repair re-explode that run: duplicate index rows are benign
+        and mask ORs are idempotent."""
+        self.runs.upsert(run_ids.select("run_id").distinct())
 
     # ---------------------------------------------------------- probe
 
@@ -743,14 +813,68 @@ class FingerprintProbeSidecar:
         AT the threshold and re-triggered nearly every batch). The
         defaults start small — 2^22/2^18 — so a fresh ledger's
         per-batch constant is KiB-sized meta I/O, and growth is paid
-        only when the ledger earns it."""
+        only when the ledger earns it.
+
+        Growth CLAMPS at ``max_m_bits`` (default 2^33 = 1 GiB — the
+        broadcast envelope: every reused Python worker holds one
+        materialized union mask, ``bloom._LAYER_CACHE``). At the clamp
+        the mask saturates instead of growing: verdicts stay exact
+        (bloom positives are always verified against the index; the
+        rising false-positive rate only sends more keys to that exact
+        verify), so the gate degrades toward an index-scan probe
+        rather than OOM-ing the workers. The recipe past the envelope
+        is sharding the INGEST by media_id so each ledger's key count
+        stays inside it (SCALING.md)."""
+        if cur_m >= self.max_m_bits:
+            return cur_m
         need = self.k * max(n_keys, 1) / -math.log(1.0 - self.resize_fill / 2)
         m = cur_m * 4
         while m < need:
             m *= 2
+        if m > self.max_m_bits:
+            import warnings
+
+            warnings.warn(
+                f"fingerprint probe sidecar at {self.meta.path}: mask "
+                f"growth clamped at max_m_bits={self.max_m_bits} "
+                f"({self.max_m_bits // (8 << 20)} MiB per Python worker); "
+                "the bloom will saturate and the probe degrades toward "
+                "an exact index scan — shard the ingest by media_id so "
+                "each ledger stays inside the envelope, or raise "
+                "max_m_bits if the workers have the memory (SCALING.md)",
+                stacklevel=3,
+            )
+            return self.max_m_bits
         return m
 
     def _maybe_resize(self) -> None:
+        """Auto-resize hook on the ingest path: a no-op under
+        ``resize="manual"`` — there the operator schedules
+        :meth:`rebuild_now` off the ingest path (mirroring the log
+        backend's ``major_compaction="manual"`` / ``compact_now``
+        pairing), because the rebuild, though amortized-geometric, is
+        a single-batch O(ledger keys) pause inside ``foreachBatch``
+        (measured 203 s at the 2^29→2^31 transition of a 42M-key
+        index). Deferring it is always safe: a fuller bloom only
+        costs extra exact verifies, never a wrong verdict. The other
+        escape is pre-sizing ``combo_m_bits`` for the expected ledger
+        scale so growth never triggers (SCALING.md recipe)."""
+        if self.resize == "manual":
+            return
+        self._rebuild_masks()
+
+    def rebuild_now(self) -> bool:
+        """Operator-scheduled mask rebuild + commit — the
+        ``resize="manual"`` companion (call ``load_or_init`` first,
+        serialized with the writer like any sidecar write). Runs the
+        same fill check and chunked rebuild as the auto path and
+        commits the new masks; returns True when a rebuild happened."""
+        if self._rebuild_masks():
+            self._commit_meta()
+            return True
+        return False
+
+    def _rebuild_masks(self) -> bool:
         """Grow a mask when its predicted fill crosses the threshold —
         rebuild from the index with the CHUNKED builder (no task holds
         more than ~4 MiB of mask — the full-mask treeReduce this
@@ -759,13 +883,19 @@ class FingerprintProbeSidecar:
         steady state. Saturation only costs false positives (extra
         exact checks), so the threshold trades probe selectivity
         against rebuild frequency."""
-        need_c = self._combo.predicted_fill() > self.resize_fill
-        need_i = self._ids.predicted_fill() > self.resize_fill
+        need_c = (
+            self._combo.m_bits < self.max_m_bits
+            and self._combo.predicted_fill() > self.resize_fill
+        )
+        need_i = (
+            self._ids.m_bits < self.max_m_bits
+            and self._ids.predicted_fill() > self.resize_fill
+        )
         if not (need_c or need_i):
-            return
+            return False
         idx = self.index.read()
         if idx is None:
-            return
+            return False
         from pyspark import StorageLevel
 
         # the index reads as FEW partitions (coalesce(1) log segments):
@@ -805,36 +935,59 @@ class FingerprintProbeSidecar:
                     np.frombuffer(nb.mask, dtype=np.uint8).copy(), m, n_ids
                 )
             self._write_snapshot()
+            return True
         finally:
             idx.unpersist()
 
-    def record(self, admitted: DataFrame, run_id: str, n_admitted: int) -> None:
+    def record(
+        self,
+        admitted: DataFrame,
+        run_id: str,
+        n_admitted: int,
+        exploded: DataFrame | None = None,
+    ) -> None:
         """Cover one committed batch: append its exploded combo rows to
         the index, absorb its keys into the masks (positions delta +
-        broadcast layers), then atomically commit the meta (counts +
-        covered run + mask-store pointer). Called AFTER the ledger
-        upsert — the ledger is the commit point; a crash in here is
-        healed by the next call's repair."""
+        broadcast layers), atomically commit the meta (counts +
+        mask-store pointer), then append the run to the run log.
+        Called AFTER the ledger upsert — the ledger is the commit
+        point; a crash in here is healed by the next call's repair.
+
+        An EMPTY admit writes nothing at all: the ledger holds no rows
+        for the run, so there is no coverage to record (repair scopes
+        by ledger rows) and a replay recomputes the same empty set from
+        the same ledger state — the r16 layout paid a full meta rewrite
+        here, one row per run id ever, every batch.
+
+        ``exploded``, when given, must equal ``_explode(admitted)``
+        (the caller already holds the batch's 56× combo explode pinned
+        — ``_incremental_neardup_gated`` derives the admitted subset
+        from it by two anti-joins instead of re-exploding + re-hashing
+        the admitted rows from scratch)."""
         from pyspark import StorageLevel
 
         try:
-            if n_admitted:
-                # the exploded combo rows feed TWO actions (index append
-                # + position collect) — pin so the 56× explode and its
-                # hashing run once, not per consumer. DISK_ONLY: the
-                # explode is 56×batch rows (~1.7 GB at a 500k batch);
-                # a local sequential disk reread is cheap next to the
-                # recompute
-                exploded = self._explode(admitted).persist(
-                    StorageLevel.DISK_ONLY
-                )
-                self._pins.append(exploded)
-                self.index.upsert(exploded)
-                self._absorb(exploded, admitted, n_admitted)
-                self._maybe_resize()
+            if not n_admitted:
+                return
+            self._migrate_legacy_runs()
+            # the exploded combo rows feed TWO actions (index append
+            # + position collect) — pin so the 56× explode and its
+            # hashing run once, not per consumer. DISK_ONLY: the
+            # explode is 56×batch rows (~1.7 GB at a 500k batch);
+            # a local sequential disk reread is cheap next to the
+            # recompute
+            if exploded is None:
+                exploded = self._explode(admitted)
+            exploded = exploded.persist(StorageLevel.DISK_ONLY)
+            self._pins.append(exploded)
+            self.index.upsert(exploded)
+            self._absorb(exploded, admitted, n_admitted)
+            self._maybe_resize()
             self.n_items += n_admitted
-            self.covered.add(run_id)
             self._commit_meta()
+            self._log_runs(
+                self.spark.createDataFrame([(run_id,)], "run_id string")
+            )
         finally:
             for df in self._pins:
                 df.unpersist()
@@ -848,7 +1001,7 @@ class FingerprintProbeSidecar:
         pre-sidecar ledger it is the whole table, i.e. exactly one
         old-style O(ledger) probe's worth of work, once."""
         if ledger is None or ledger_count == 0:
-            self.covered = set()
+            self._clear_runs()
             self.n_items = 0
             self._reset_masks()
             self._commit_meta()
@@ -857,18 +1010,21 @@ class FingerprintProbeSidecar:
             # the ledger shrank out-of-band (not a flow this operator
             # performs): stale index/mask entries could block on rows
             # no longer committed — rebuild from scratch
-            self.covered = set()
+            self._clear_runs()
             self.n_items = 0
             self.index.replace(
                 self._explode(ledger.select("media_id", "fingerprint")).limit(0)
             )
             self._reset_masks()
+        self._migrate_legacy_runs()
         uncovered = ledger
-        if self.covered:
-            covered_df = self.spark.createDataFrame(
-                [(r,) for r in sorted(self.covered)], "run_id string"
-            )
-            uncovered = ledger.join(F.broadcast(covered_df), "run_id", "left_anti")
+        covered_df = self.runs.read()
+        if covered_df is not None:
+            # run-log rows are tiny; the planner broadcasts a small
+            # log and falls back to a shuffle join only when the run
+            # count genuinely outgrows the broadcast threshold — no
+            # driver-built O(runs) list either way
+            uncovered = ledger.join(covered_df, "run_id", "left_anti")
         from pyspark import StorageLevel
 
         uncovered = uncovered.select("media_id", "fingerprint", "run_id")
@@ -880,9 +1036,8 @@ class FingerprintProbeSidecar:
         uncovered = uncovered.persist(StorageLevel.MEMORY_AND_DISK)
         exploded = None
         try:
-            new_runs = [r.run_id for r in uncovered.select("run_id").distinct().collect()]
-            if new_runs:
-                n_unc = uncovered.count()
+            n_unc = uncovered.count()
+            if n_unc:
                 # both repair actions (index append + position collect)
                 # consume the explode — pin it for the repair's scope
                 exploded = self._explode(uncovered).persist(
@@ -891,13 +1046,21 @@ class FingerprintProbeSidecar:
                 self.index.upsert(exploded)
                 self._absorb(exploded, uncovered, n_unc)
                 self._maybe_resize()
-            self.covered.update(new_runs)
             self.n_items = ledger_count
             self._commit_meta()
+            if n_unc:
+                self._log_runs(uncovered.select("run_id"))
         finally:
             uncovered.unpersist()
             if exploded is not None:
                 exploded.unpersist()
+
+    def _clear_runs(self) -> None:
+        self._legacy_runs = None
+        if self.runs.exists():
+            self.runs.replace(
+                self.spark.createDataFrame([], "run_id string")
+            )
 
     def _reset_masks(self) -> None:
         self._combo.replace(

@@ -1143,6 +1143,22 @@ def ensemble_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensemble_from_shingles(docs: DataFrame, sh: DataFrame) -> DataFrame:
+    return (
+        _ensemble_pairs_frame(docs, sh)
+        # eager: the pair set (tiny next to the corpus) is materialized
+        # off the persisted shingles NOW, so the caller's unpersist is
+        # safe; localCheckpoint blocks are ContextCleaner-freed when the
+        # returned frame is garbage collected (unlike CacheManager
+        # entries, which only a matching unpersist() releases)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _ensemble_pairs_frame(docs: DataFrame, sh: DataFrame) -> DataFrame:
+    """The ensemble pair set UPSTREAM of the localCheckpoint —
+    separate so plan tooling can capture the fused shape (the
+    checkpoint truncates the returned frame's lineage to a
+    Scan ExistingRDD, which proves nothing about the LSH fusion)."""
     from .llm.dedup import (
         _band_bucket_pairs,
         _minhash_band_rows,
@@ -1151,7 +1167,9 @@ def _ensemble_from_shingles(docs: DataFrame, sh: DataFrame) -> DataFrame:
 
     # fused band rows: one corpus groupBy instead of signature unpivot +
     # re-group (same band_sig VALUES — see _minhash_band_rows), so the
-    # LSH arm drops one corpus-sized Exchange
+    # LSH arm skips the unpivot's per-band collect_list/array_sort
+    # aggregate pass (Exchange count unchanged — the regroup already
+    # reused the signature aggregate's doc_id partitioning)
     cand = _band_bucket_pairs(
         _minhash_band_rows(sh, num_hashes=8, rows_per_band=2), "doc_id"
     )
@@ -1186,12 +1204,6 @@ def _ensemble_from_shingles(docs: DataFrame, sh: DataFrame) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.1)
         .select("id_a", "id_b", "jaccard", "hamming")
-        # eager: the pair set (tiny next to the corpus) is materialized
-        # off the persisted shingles NOW, so the caller's unpersist is
-        # safe; localCheckpoint blocks are ContextCleaner-freed when the
-        # returned frame is garbage collected (unlike CacheManager
-        # entries, which only a matching unpersist() releases)
-        .localCheckpoint(eager=True)
     )
 
 

@@ -347,3 +347,135 @@ def test_sidecar_legacy_inline_meta_migrates(spark, tmp_path):
     migrated.load_or_init()
     assert migrated.snap_id is not None
     assert migrated.covered == {"r0", "r1"}
+
+
+def test_sidecar_meta_commit_is_one_row(spark, tmp_path):
+    """The per-batch meta commit must stay ONE row regardless of how
+    many runs the sidecar has ever covered — covered runs ride the
+    append-only run log (the pre-r17 layout rewrote one meta row per
+    run id EVER, every batch: O(total runs) per commit)."""
+    from openmsistream_spark.llm.phash_index import FingerprintProbeSidecar
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log",
+                        insert_only=True)
+    # pairwise hamming 8 (> max_hamming 3): every batch admits
+    for i in range(5):
+        fp = _fp([i, i + 16, i + 32, i + 48])
+        assert _run(spark, reg, [(f"a{i}", fp)], f"r{i}", sidecar=True) == {f"a{i}"}
+    sc = FingerprintProbeSidecar(spark, path, 64, 8, 3)
+    sc.load_or_init()
+    meta_rows = sc.meta.read().collect()
+    assert [r.kind for r in meta_rows] == ["meta"]  # no per-run rows
+    assert sc.covered == {f"r{i}" for i in range(5)}  # run log has them
+    assert sc.n_items == 5
+
+
+def test_sidecar_empty_admit_writes_nothing(spark, tmp_path):
+    """A batch that admits nothing must not touch the sidecar at all:
+    the ledger holds no rows for that run (repair scopes by ledger
+    rows), and a replay recomputes the same empty set from the same
+    ledger state."""
+    from openmsistream_spark.llm.phash_index import FingerprintProbeSidecar
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log",
+                        insert_only=True)
+    assert _run(spark, reg, [("a1", BASE)], "r0", sidecar=True) == {"a1"}
+    before = sorted(
+        (r.kind, r.chunk)
+        for r in FingerprintProbeSidecar(spark, path, 64, 8, 3).meta.read().collect()
+    )
+    assert _run(spark, reg, [("b1", BASE)], "r1", sidecar=True) == set()
+    sc = FingerprintProbeSidecar(spark, path, 64, 8, 3)
+    sc.load_or_init()
+    assert sc.covered == {"r0"}  # the empty run was (correctly) not logged
+    assert sc.n_items == 1
+    after = sorted((r.kind, r.chunk) for r in sc.meta.read().collect())
+    assert after == before
+    # and subsequent probes still block exactly
+    assert _run(spark, reg, [("c1", NEAR2), ("c2", LONE)], "r2",
+                sidecar=True) == {"c2"}
+
+
+def test_sidecar_resize_manual_defers_then_rebuild_now(spark, tmp_path):
+    """resize="manual" keeps the O(ledger-keys) mask rebuild out of the
+    ingest path (verdicts stay exact — a saturated bloom only costs
+    extra exact verifies); the operator-scheduled rebuild_now() then
+    grows the masks and commits, off the ingest path."""
+    from openmsistream_spark.llm.phash_index import FingerprintProbeSidecar
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log",
+                        insert_only=True)
+    opts = {"combo_m_bits": 1 << 10, "id_m_bits": 1 << 10, "resize": "manual"}
+    rows = [(f"a{i}", _fp([i % 60, (i * 7) % 60, (i * 13) % 60]) | (1 << 62))
+            for i in range(40)]
+    _run(spark, reg, rows, "r0", sidecar=True, sidecar_opts=opts)
+    sc = FingerprintProbeSidecar(spark, path, 64, 8, 3, **opts)
+    sc.load_or_init()
+    assert sc.combo_bloom.m_bits == 1 << 10  # deferred: no auto-resize
+    # saturated bloom, exact verdicts: a dup is blocked, a novel admits
+    admitted0 = {r.media_id for r in reg.read().filter("run_id='r0'").collect()}
+    a_fp = {r.media_id: r.fingerprint for r in reg.read().collect()}
+    some = sorted(admitted0)[0]
+    got = _run(spark, reg, [("z1", a_fp[some]), ("z2", _fp([59, 61]))], "r1",
+               sidecar=True, sidecar_opts=opts)
+    assert got == {"z2"}
+    # operator-scheduled rebuild off the ingest path
+    sc = FingerprintProbeSidecar(spark, path, 64, 8, 3, **opts)
+    sc.load_or_init()
+    assert sc.rebuild_now() is True
+    sc2 = FingerprintProbeSidecar(spark, path, 64, 8, 3, **opts)
+    sc2.load_or_init()
+    assert sc2.combo_bloom.m_bits > (1 << 10)
+    assert sc2.rebuild_now() is False  # steady state: nothing to do
+    # verdicts unchanged after the rebuild (no r0 fingerprint shares
+    # two of y2's bits, so hamming > 3 from every ledger row, and
+    # hamming 5 from r1's z2 admit)
+    got = _run(spark, reg, [("y1", a_fp[some]), ("y2", _fp([6, 27, 45]))],
+               "r2", sidecar=True, sidecar_opts=opts)
+    assert got == {"y2"}
+
+
+def test_sidecar_mask_growth_clamps_at_envelope(spark, tmp_path):
+    """Auto-growth clamps at max_m_bits (the per-worker broadcast
+    envelope) with a warning instead of growing past it — the bloom
+    saturates, verdicts stay exact."""
+    import warnings
+
+    from openmsistream_spark.llm.phash_index import FingerprintProbeSidecar
+    from openmsistream_spark.operators.registry import make_registry
+
+    path = f"{tmp_path}/led"
+    reg = make_registry(spark, path, ["media_id"], backend="log",
+                        insert_only=True)
+    opts = {"combo_m_bits": 1 << 10, "id_m_bits": 1 << 10,
+            "max_m_bits": 1 << 12}
+    rows = [(f"a{i}", _fp([i % 60, (i * 7) % 60, (i * 13) % 60]) | (1 << 62))
+            for i in range(40)]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _run(spark, reg, rows, "r0", sidecar=True, sidecar_opts=opts)
+    assert any("clamped" in str(x.message) for x in w)
+    sc = FingerprintProbeSidecar(spark, path, 64, 8, 3, **opts)
+    sc.load_or_init()
+    assert sc.combo_bloom.m_bits <= 1 << 12
+    # saturated but exact
+    admitted0 = {r.media_id for r in reg.read().filter("run_id='r0'").collect()}
+    a_fp = {r.media_id: r.fingerprint for r in reg.read().collect()}
+    some = sorted(admitted0)[0]
+    got = _run(spark, reg, [("z1", a_fp[some]), ("z2", _fp([59, 61]))], "r1",
+               sidecar=True, sidecar_opts=opts)
+    assert got == {"z2"}
+
+
+def test_sidecar_ctor_refuses_mask_beyond_envelope(spark, tmp_path):
+    from openmsistream_spark.llm.phash_index import FingerprintProbeSidecar
+
+    with pytest.raises(ValueError, match="envelope"):
+        FingerprintProbeSidecar(spark, f"{tmp_path}/led", 64, 8, 3,
+                                combo_m_bits=1 << 34)

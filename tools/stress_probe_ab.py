@@ -18,8 +18,9 @@ persistence (amortized O(batch)), layered broadcasts with a
 worker-side union-mask cache, and a chunked distributed rebuild
 (no task holds more than ~4 MiB of mask).
 
-Appends the new leg ``probe_1m_r16opt`` to STRESS_MEDIA_LEDGER_XL.json.
-Usage: python tools/stress_probe_ab.py [build_batch probe_batch]
+Appends the new leg (name from $STRESS_LEG, default ``probe_1m_r16opt``)
+to STRESS_MEDIA_LEDGER_XL.json.
+Usage: [STRESS_LEG=name] python tools/stress_probe_ab.py [build_batch probe_batch]
 """
 
 from __future__ import annotations
@@ -128,10 +129,15 @@ def main() -> None:
     )
     with open(path) as f:
         out = json.load(f)
-    out["legs"]["probe_1m_r16opt"] = {
+    leg = os.environ.get("STRESS_LEG", "probe_1m_r16opt")
+    out["legs"][leg] = {
         "note": "post-§6 re-run of probe_1m: same build/probe shape, "
         "positions-delta masks + snapshot/delta store + layered "
-        "broadcasts + chunked resize (OPTIMIZATION_r16.md §6)",
+        "broadcasts + chunked resize (OPTIMIZATION_r16.md §6)"
+        if leg == "probe_1m_r16opt"
+        else "r17 re-run of the same shape: pinned keyed_full explode "
+        "reused across probe/sweep/record, one-row meta commit + "
+        "run log (OPTIMIZATION_r17.md)",
         "steps": steps,
     }
     with open(path, "w") as f:
