@@ -558,8 +558,15 @@ def incremental_fingerprint_neardup(
         ).select(
             "combo", "combo_key", F.col("_fp").alias("_ledger_fp")
         )
+        # merge hint on the LEDGER explode: its true size is unbounded
+        # (56× ledger rows) but Catalyst's Generate stats under-estimate
+        # it, so size-based planning can pick it as a broadcast side —
+        # reproduced at a 1.3M-row ledger (8.9 GiB built relation vs
+        # the 8 GiB cap) once the batch explode gained accurate cached
+        # stats. Guide §3.1: never broadcast the side that grows without
+        # bound; the shuffle this forces moves 40-byte key rows.
         blocked = (
-            keyed_full.join(seen_keyed, ["combo", "combo_key"])
+            keyed_full.join(seen_keyed.hint("merge"), ["combo", "combo_key"])
             .filter(F.expr("bit_count(_fp ^ _ledger_fp)") <= max_hamming)
             .select("_id")
             .distinct()
