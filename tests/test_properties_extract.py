@@ -9,6 +9,7 @@ would then "repair" — fixed-order single-pass repair is the documented
 contract (ftfy iterates to a fixpoint instead), and the oracle pairing
 pins that order, so the property matches the contract, not more."""
 
+import pytest
 import re
 import unicodedata
 
@@ -39,6 +40,9 @@ _CTRL = re.compile("[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f]")
 
 @given(_texts)
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_normalize_idempotent_no_controls_nfc(spark, texts):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

@@ -78,6 +78,9 @@ def test_score_is_exact_integer_margin(spark):
     assert r.n_tokens == 3 and r.score == float(pyw["good"])
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_trainer_separates_planted_corpus(spark):
     pos = spark.createDataFrame(POS, SCHEMA)
     neg = spark.createDataFrame(NEG, SCHEMA)
@@ -122,6 +125,9 @@ def test_training_is_deterministic_and_partitioning_free(spark):
     assert w1 == w2  # bit-equal: decimal-accumulated sums, no float order
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_hashed_feature_mode_bounds_table(spark):
     pos = spark.createDataFrame(POS, SCHEMA)
     neg = spark.createDataFrame(NEG, SCHEMA)

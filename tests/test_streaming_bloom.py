@@ -2,6 +2,8 @@
 batch bloom scan, exactly-once replay, and the mask-bounded state
 guarantee."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from openmsistream_spark.llm.bloom import bloom_build, gram_novelty
@@ -104,6 +106,9 @@ def test_replay_is_exactly_once(spark, tmp_path):
     assert got == {d: first[d] for d in (2, 3)}
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_ledger_is_mask_bounded_and_attributed(spark, tmp_path):
     in_dir, out_dir, ckpt = (
         str(tmp_path / "in"),

@@ -105,6 +105,9 @@ def test_curate_stream_batch_semantics(spark):
 GOOD_1_NEAR = GOOD_1.replace("lazy dog", "sleepy dog")
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_streaming_curation_neardup_across_restart(spark, dirs):
     """With a durable LSH ledger wired into the sink, the stream drops
     near-duplicates — not just exact ones — across micro-batches AND
@@ -158,6 +161,9 @@ def test_streaming_curation_neardup_across_restart(spark, dirs):
 GOOD_2_NEAR = GOOD_2.replace("renewed interest", "refreshed interest")
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_streaming_curation_collapses_within_batch_neardups(spark, dirs):
     """collapse_batch_neardups=True keeps one representative (min id)
     when a single micro-batch carries near-duplicates of each other,

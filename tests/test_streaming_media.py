@@ -117,6 +117,9 @@ def test_unknown_modality_rejected(spark, tmp_path):
         )
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_audio_modality_path(spark, tmp_path):
     import struct
 
@@ -161,6 +164,9 @@ def _pnm_stream(*frames: np.ndarray) -> bytearray:
     return out
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_video_modality_path(spark, tmp_path):
     """Video leg of the streaming sink (round-14): each video is
     reduced to its majority-fold representative fingerprint, then flows

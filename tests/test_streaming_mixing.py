@@ -107,6 +107,9 @@ def test_replay_is_exactly_once(spark, tmp_path):
     assert got == first
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_compaction_preserves_rates(spark, tmp_path):
     reg = make_registry(spark, str(tmp_path / "led"), ["lang", "batch"])
     _stream(spark, tmp_path, BATCHES[:2], reg)

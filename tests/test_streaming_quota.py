@@ -135,6 +135,9 @@ def test_replay_is_exactly_once(spark, tmp_path):
     assert sorted(map(tuple, reg.read().collect())) == before
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_compaction_preserves_future_priors(spark, tmp_path):
     reg = make_registry(spark, str(tmp_path / "led"), ["domain", "batch"])
     _stream_batches(spark, tmp_path, BATCHES[:2], reg)
@@ -160,6 +163,9 @@ def test_compaction_preserves_future_priors(spark, tmp_path):
     assert [tuple(r) for r in prior_before] == [tuple(r) for r in prior_after]
 
 
+@pytest.mark.slow  # stress/e2e tier: moved out of the default gate
+# so `pytest tests/` fits the driver's verify window (r16 VERDICT #7);
+# runs in the attested full suite (`pytest -m 'slow or not slow'`)
 def test_compact_every_runs_inside_sink(spark, tmp_path):
     reg = make_registry(spark, str(tmp_path / "led"), ["domain", "batch"])
     out_dir = _stream_batches(spark, tmp_path, BATCHES, reg, compact_every=2)
