@@ -14,8 +14,19 @@ Modes:
       after every 2nd word — WITHIN-copy near-dup structure is
       preserved (every doc of a copy is transformed identically) while
       CROSS-copy 3-gram shingles share nothing (every shingle spans an
-      inserted token), so pair counts scale linearly in ``copies``
-      instead of quadratically. All other tables copy verbatim.
+      inserted token), so SHINGLE-keyed pair counts scale linearly in
+      ``copies`` instead of quadratically. All other tables copy
+      verbatim.
+
+      KNOWN LIMIT (measured, r17): the construction is honest for
+      shingle/fingerprint-keyed entries but ADVERSARIAL for
+      token-vote simhash — the inserted copy token appears at ~1/3 of
+      every token position, dominating the per-doc vote, so all docs
+      of a copy collapse toward one simhash and the hamming<=3 OUTPUT
+      itself floods quadratically (simhash_combo_neardup: 3.4 s at
+      5k docs -> 756 s at 40k). Read simhash-family datapoints as a
+      hot-bucket/skew-flood stress, not a typical-corpus scaling
+      signal.
 
   run  --sf SCALED_DIR --out FILE [-n 2] [names...]
       Time the entry list with the bench methodology (noop sink,
@@ -120,6 +131,8 @@ def run(args) -> None:
     import openmsistream_spark.queries_extras11  # noqa: F401
     import openmsistream_spark.queries_extras12  # noqa: F401
 
+    import bench  # EXTRA entries (the incremental/2batch pipelines)
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name=f"scaling_probe_c{cpus}")
     names = args.names or DEFAULT_ENTRIES
@@ -130,11 +143,12 @@ def run(args) -> None:
     ).mode("overwrite").save()
     out = {"cpus": int(cpus), "sf_dir": args.sf, "n": args.n, "queries": {}}
     for name in names:
+        fn = QUERIES[name].fn if name in QUERIES else bench.EXTRA[name]
         runs = []
         for _ in range(args.n):
             spark.sparkContext.setJobDescription(f"scaling:{name}@c{cpus}")
             t0 = time.perf_counter()
-            QUERIES[name].fn(spark, args.sf).write.format("noop").mode(
+            fn(spark, args.sf).write.format("noop").mode(
                 "overwrite"
             ).save()
             runs.append(time.perf_counter() - t0)
